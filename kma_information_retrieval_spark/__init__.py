@@ -1,0 +1,19 @@
+"""kma_information_retrieval_spark — a PySpark-native full-text index + BM25 engine.
+
+A brand-new implementation (NOT a port) of the query/data-processing
+capabilities of the reference Rust crate `grimoire`
+(maxpushka/kma-information-retrieval): term dictionary, inverted /
+positional / bigram / trigram / permuterm indexes, boolean + phrase +
+proximity + wildcard search, SPIMI-style external index construction,
+delta+varbyte posting compression — re-expressed as Spark DataFrame
+plans — plus the north-star additions: salted term-hash segment build,
+block-max metadata, BM25 (k1=1.2, b=0.75) top-k with block-max WAND,
+checkpoint-resumable segment manifests, and training-data-pipeline
+operators (dedup, ANN similarity, text quality analysis).
+
+Everything is declarative DataFrame/SQL so Catalyst handles pushdown,
+pruning and join strategy; Python touches data only through
+Arrow-vectorized pandas UDFs (codec + WAND kernels).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,124 @@
+"""Deterministic synthetic source-code corpus (input_hint shape).
+
+Schema: (doc_id, repo, path, commit, lang, content) per
+``BASELINE.json`` input_hint / FIXTURES.md §1. Generation is a pure
+function of the row index ``i`` (seed 42), so Spark executors
+(mapInPandas over ``spark.range``) and the single-node Python oracle
+produce byte-identical rows without any driver-side materialization —
+the same construction works at 10^12 rows because each partition
+generates its own span of indices independently.
+
+Identifiers are drawn Zipfian from a fixed vocabulary, so head-term
+skew is real (the top terms appear in nearly every document — exactly
+the skew the salted segment build exists for). The vocabulary embeds
+the reference's wildcard/front-packing test families
+(``wildcard_search.rs:266-274``, ``dictionary.rs:486-497``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+_LANGS = ["rust", "python", "java", "go", "scala"]
+_EXTS = {"rust": "rs", "python": "py", "java": "java", "go": "go", "scala": "scala"}
+
+# Required families first (FIXTURES.md §1), then generated identifiers.
+_FAMILIES = [
+    "compute", "computer", "computing", "computational",
+    "test", "testing", "tester",
+    "cat", "car", "card",
+    "world", "wonderful",
+    "hello", "help",
+    "compile", "compression", "information", "inform", "informed",
+    "retrieval", "retrieve", "running", "contest",
+]
+_STEMS = [
+    "index", "shard", "merge", "token", "query", "score", "block",
+    "batch", "buffer", "cursor", "decode", "encode", "filter", "handle",
+    "iter", "lookup", "matrix", "offset", "parse", "queue", "record",
+    "schema", "stream", "thread", "vector", "worker", "cache", "chunk",
+]
+_SUFFIXES = ["", "er", "ing", "ed", "s", "map", "set", "list", "node", "ctx"]
+
+
+def vocabulary() -> list[str]:
+    vocab = list(_FAMILIES)
+    for stem in _STEMS:
+        for suf in _SUFFIXES:
+            w = stem + suf
+            if w not in vocab and len(w) > 2:
+                vocab.append(w)
+    i = 0
+    while len(vocab) < 2000:
+        vocab.append(f"var{i:04d}")
+        i += 1
+    return vocab
+
+
+_VOCAB = vocabulary()
+_V = len(_VOCAB)
+# Zipf(s=1.07) over vocabulary ranks — heavy head, long tail.
+_RANKS = np.arange(1, _V + 1, dtype=np.float64)
+_PROBS = (1.0 / _RANKS**1.07)
+_PROBS /= _PROBS.sum()
+
+
+def content_for(i: int) -> str:
+    """Deterministic code-like content for document ``i``."""
+    rng = np.random.default_rng(SEED + i)
+    n_tokens = int(rng.integers(50, 501))
+    idx = rng.choice(_V, size=n_tokens, p=_PROBS)
+    toks = []
+    for j, t in enumerate(idx):
+        w = _VOCAB[int(t)]
+        if j % 13 == 5:
+            w = w + "()"          # call-site noise; tokenizer strips it
+        elif j % 17 == 3:
+            w = w.capitalize()    # case noise; tokenizer lowercases
+        toks.append(w)
+    # newline every ~12 tokens to look like code
+    lines = [" ".join(toks[k : k + 12]) for k in range(0, len(toks), 12)]
+    return "\n".join(lines)
+
+
+def row_for(i: int) -> dict:
+    lang = _LANGS[i % len(_LANGS)]
+    return {
+        "doc_id": i,
+        "repo": f"org{i % 7}/repo{i % 23}",
+        "path": f"src/mod{i % 11}/file{i}.{_EXTS[lang]}",
+        "commit": hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40],
+        "lang": lang,
+        "content": content_for(i),
+    }
+
+
+def local_corpus(n_docs: int) -> list[dict]:
+    """Driver/oracle-side corpus (small n only)."""
+    return [row_for(i) for i in range(n_docs)]
+
+
+CORPUS_SCHEMA = (
+    "doc_id long, repo string, path string, commit string, lang string, content string"
+)
+
+
+def synthetic_corpus(spark, n_docs: int, partitions: int | None = None):
+    """Distributed corpus DataFrame; each partition generates its own ids."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_for(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )

@@ -1,0 +1,23 @@
+from .tokenize import (
+    TOKENIZER_MODES,
+    tokenize_expr,
+    tokens_with_positions,
+    bigrams_expr,
+)
+from .codecs import (
+    vb_encode,
+    vb_decode,
+    delta_vb_encode,
+    delta_vb_decode,
+)
+
+__all__ = [
+    "TOKENIZER_MODES",
+    "tokenize_expr",
+    "tokens_with_positions",
+    "bigrams_expr",
+    "vb_encode",
+    "vb_decode",
+    "delta_vb_encode",
+    "delta_vb_decode",
+]

@@ -1,0 +1,75 @@
+"""Delta + variable-byte posting-list codec (numpy-vectorized).
+
+Byte format matches the reference (``inverted_index.rs:11-78``):
+each integer is emitted as little-endian 7-bit groups, and the
+**last** byte of each value has the high (continuation) bit set.
+``delta_vb`` sorts, gap-encodes, then varbyte-encodes.
+
+These kernels run inside Arrow-batched pandas UDFs / mapInPandas
+during segment build and WAND decode — never per-row Python.
+The vectorized encoder processes all values of a posting list at once
+(one numpy pass per 7-bit group, <= 10 passes for u64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_GROUPS = 10  # 64 bits / 7
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode an array of non-negative ints (no delta)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for _ in range(_MAX_GROUPS):
+        nbits += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    k = np.maximum(nbits, 1)  # zero still takes one byte
+    ends = np.cumsum(k)
+    starts = ends - k
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(k.max())):
+        mask = k > j
+        pos = starts[mask] + j
+        out[pos] = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+    # continuation bit on the LAST byte of each value (reference semantics)
+    out[ends - 1] |= 0x80
+    return out.tobytes()
+
+
+def vb_decode(data: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(b & 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    # shift amount for each byte = 7 * (index within its value)
+    idx_within = np.arange(b.size) - np.repeat(starts, lens)
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * idx_within.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts).astype(np.uint64)
+
+
+def delta_vb_encode(doc_ids: np.ndarray) -> bytes:
+    """Sort ids, gap-encode, varbyte-encode (``inverted_index.rs:48-65``)."""
+    v = np.sort(np.asarray(doc_ids, dtype=np.uint64))
+    if v.size == 0:
+        return b""
+    gaps = np.empty_like(v)
+    gaps[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=gaps[1:])
+    return vb_encode(gaps)
+
+
+def delta_vb_decode(data: bytes) -> np.ndarray:
+    """Inverse of :func:`delta_vb_encode` — cumulative sum of decoded gaps."""
+    gaps = vb_decode(data)
+    return np.cumsum(gaps, dtype=np.uint64)

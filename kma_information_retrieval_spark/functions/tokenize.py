@@ -1,0 +1,88 @@
+"""Tokenizers — pure Catalyst expressions, zero Python in the hot path.
+
+The reference has two divergent tokenizers (documented in SURVEY.md §2.2):
+
+* T1 "letters" — regex ``\\b[а-яёА-ЯЁa-zA-Z]{3,}\\b``, lowercased
+  (reference ``parser.rs:15,44-49``): keeps only letter-words of length
+  >= 3, drops digit-bearing tokens.
+* T3 "code"/SPIMI — split on whitespace, strip non-alphanumeric chars
+  inside each token, lowercase, keep length > 2 (reference
+  ``spimi.rs:65-75``, duplicated ``main.rs:589-597``).
+
+The new engine exposes both behind one configurable entry point and
+defaults to T3 semantics with an ASCII character class ("code" mode),
+which is the right default for a source-code corpus and is expressible
+identically in Spark (Java regex) and DuckDB (RE2) so the oracle can
+reproduce it. "unicode" mode is T3 with the full Unicode alnum class
+(exact reference parity for non-Latin text).
+
+Divergence (documented): the reference filters on *byte* length
+(``word.len() > 2`` in Rust); we filter on character length. Identical
+for ASCII corpora.
+
+Everything returns Column expressions, so Catalyst folds the tokenize
+into whole-stage codegen and prunes ``content`` reads to exactly the
+tokenize stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# mode -> (strip_regex or extract_regex, style)
+TOKENIZER_MODES = {
+    # split on whitespace, strip non-alnum (ASCII), lower, len > 2
+    "code": (r"[^a-zA-Z0-9]+", "split_strip"),
+    # split on whitespace, strip non-alnum (Unicode), lower, len > 2  (ref T3)
+    "unicode": (r"[^\p{L}\p{N}]+", "split_strip"),
+    # extract letter-runs of len >= 3, lower  (ref T1)
+    "letters": (r"[а-яёА-ЯЁa-zA-Z]{3,}", "extract"),
+}
+
+
+def tokenize_expr(text: Column | str, mode: str = "code") -> Column:
+    """Array<string> of tokens for one text column.
+
+    Tokens are lowercased and length-filtered; position = index in the
+    returned array (i.e. positions are assigned *after* dropping short
+    tokens, matching the reference's running-counter semantics at
+    ``parser.rs:65-114``).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    regex, style = TOKENIZER_MODES[mode]
+    if style == "extract":
+        toks = F.regexp_extract_all(col, F.lit(regex), 0)
+        return F.transform(toks, lambda x: F.lower(x))
+    toks = F.split(col, r"\s+")
+    cleaned = F.transform(toks, lambda x: F.lower(F.regexp_replace(x, regex, "")))
+    return F.filter(cleaned, lambda x: F.length(x) > 2)
+
+
+def tokens_with_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """(doc_id, pos, term) token frame — the single parse pass every index
+    derives from (fixing the reference's re-parse-per-index pattern at
+    ``main.rs:202-232``)."""
+    toks = tokenize_expr(text_col, mode)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+
+
+def bigrams_expr(tokens: Column) -> Column:
+    """Adjacent-pair "w1 w2" strings from a token array (ref T6,
+    ``bigram_index.rs:54-61``) — an array ``transform`` over indices, no
+    shuffle and no window function needed."""
+    n = F.size(tokens)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.slice(tokens, 1, n - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tokens, i + 2)),
+        )
+    )

@@ -1,0 +1,29 @@
+from .indexes import (
+    token_frame,
+    postings,
+    positional_index,
+    doc_lengths,
+    dictionary,
+    collection_stats,
+    bigram_index,
+    trigram_index,
+    permuterm_index,
+    incidence_matrix,
+)
+from .boolean import parse_query, IndexBundle, compile_query
+
+__all__ = [
+    "token_frame",
+    "postings",
+    "positional_index",
+    "doc_lengths",
+    "dictionary",
+    "collection_stats",
+    "bigram_index",
+    "trigram_index",
+    "permuterm_index",
+    "incidence_matrix",
+    "parse_query",
+    "IndexBundle",
+    "compile_query",
+]

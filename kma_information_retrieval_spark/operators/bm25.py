@@ -1,0 +1,91 @@
+"""BM25 (k1=1.2, b=0.75) top-k scoring — DataFrame-native path.
+
+North-star addition (no reference counterpart; the reference supplies
+tf via ``TermEntry.frequency``/positions and doc length via token
+counts — SURVEY.md §2.6). This is the *distributed* scorer: postings
+for the (tiny, broadcast) query-term set are scored JVM-side and
+reduced per doc; the block-max WAND scorer over compressed segments
+lives in ``index/segments.py``.
+
+Rank-identity contract (BASELINE.md): float64 throughout; per-doc
+score = fold of per-term contributions **in lexicographic term order**
+(a fixed summation order, so distributed partial aggregation cannot
+reorder float additions); tie-break (score DESC, doc_id ASC) — the
+same contract the pure-Python oracle implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_col(df_col, n_docs: int):
+    """Robertson/Lucene idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_scores(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, score) for every matching doc.
+
+    ``postings`` is (term, doc_id, tf[, dl]); if it lacks ``dl``,
+    pass ``doclen`` (doc_id, dl) — at scale prefer denormalized dl in
+    the postings/segments so query time needs no big-big join.
+    """
+    terms = sorted(set(query_terms))
+    matched = postings.filter(F.col("term").isin(terms))
+    if "dl" not in matched.columns:
+        if doclen is None:
+            raise ValueError("postings lack dl; pass doclen")
+        matched = matched.join(doclen, "doc_id")
+    stats = dictionary.filter(F.col("term").isin(terms)).select("term", "df")
+    matched = matched.join(F.broadcast(stats), "term")
+    contrib = idf_col(F.col("df").cast("double"), n_docs) * (
+        F.col("tf").cast("double")
+        * (K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + K1 * (1.0 - B + B * F.col("dl").cast("double") / F.lit(float(avgdl)))
+        )
+    )
+    # Fixed-order float reduction: gather (term, contrib) per doc, sort by
+    # term, fold left — identical to the oracle regardless of partitioning.
+    return (
+        matched.select("doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "tcs", F.lit(0.0), lambda acc, x: acc + x["c"]
+            ).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score), tie-break (score DESC, doc_id ASC).
+    ``orderBy + limit`` compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, no global sort."""
+    scores = bm25_scores(postings, dictionary, n_docs, avgdl, query_terms, doclen)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

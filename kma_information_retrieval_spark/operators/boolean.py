@@ -1,0 +1,301 @@
+"""Boolean / phrase / proximity / wildcard query compiler.
+
+Driver-side recursive-descent parser (same grammar as the reference:
+OR lowest, then AND, then unary NOT, parens —
+``inverted_index.rs:451-522``) producing a small AST, compiled to a
+lazy DataFrame composition over the index tables:
+
+* term        -> filter + project on postings       (J5)
+* AND         -> left-semi join                      (J2)
+* OR          -> union + distinct                    (J1)
+* NOT         -> left-anti join vs the doc universe  (J3)
+* "phrase"    -> positional joins, correct ``p + i`` (J6; the
+  reference's >=3-word off-by-offset at ``coordinate_index.rs:169-191``
+  is a documented divergence we fix)
+* near/k(...) -> positional join + array HOF predicate (J7)
+* wildcards   -> planner routes permuterm / trigram prefilter +
+  ``rlike`` verify, then semi-join into postings (J9-J13)
+
+Documented divergences (SURVEY.md §7): missing term = empty result,
+not an error (reference J5 aborts the query); quotes lex properly
+(reference splits only on space/parens, ``query.rs:14-32``).
+
+Everything composes lazily, so Catalyst collapses filters, reuses the
+postings exchange, and broadcasts the (tiny) matched-term lists into
+the semi-joins.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ parser
+
+_TOKEN_RX = re.compile(r'"[^"]*"|near/\d+\(|\(|\)|[^\s()]+')
+
+Ast = tuple
+
+
+def _lex(query: str) -> list[str]:
+    return _TOKEN_RX.findall(query.strip())
+
+
+def parse_query(query: str) -> Ast:
+    """Parse into AST tuples:
+    ("term", t) | ("phrase", [w..]) | ("near", k, [w..]) |
+    ("wildcard", pattern) | ("and"|"or", l, r) | ("not", x)."""
+    toks = _lex(query.lower())
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "or":
+            take()
+            node = ("or", node, parse_and())
+        return node
+
+    def parse_and():
+        node = parse_not()
+        while peek() == "and":
+            take()
+            node = ("and", node, parse_not())
+        return node
+
+    def parse_not():
+        if peek() == "not":
+            take()
+            return ("not", parse_not())
+        return parse_atom()
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        if t == "(":
+            take()
+            node = parse_or()
+            if take() != ")":
+                raise ValueError("missing )")
+            return node
+        if t.startswith('"'):
+            take()
+            words = t.strip('"').split()
+            return ("phrase", words)
+        if t.startswith("near/"):
+            take()
+            k = int(t[len("near/") : -1])
+            words = []
+            while peek() not in (")", None):
+                words.append(take())
+            if take() != ")":
+                raise ValueError("missing ) in near/k")
+            return ("near", k, words)
+        take()
+        if "*" in t or "?" in t:
+            return ("wildcard", t)
+        return ("term", t)
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens: {toks[pos:]}")
+    return node
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate a ``*``/``?`` glob into an anchored Java/RE2 regex —
+    the exact-verify step (ref T10 ``trigram_index.rs:283-318``) becomes
+    a Catalyst-native ``rlike`` filter."""
+    out = "^"
+    for c in pattern:
+        out += ".*" if c == "*" else "." if c == "?" else re.escape(c)
+    return out + "$"
+
+
+# ------------------------------------------------------------------ compiler
+
+
+@dataclass
+class IndexBundle:
+    """The index DataFrames a query compiles against."""
+
+    postings: DataFrame                 # (term, doc_id, tf)
+    all_docs: DataFrame                 # (doc_id)
+    positional: DataFrame | None = None  # (term, doc_id, positions, tf)
+    vocab: DataFrame | None = None       # (term)
+    trigrams: DataFrame | None = None    # (gram, term)
+    permuterm: DataFrame | None = None   # (rotation, term)
+    bigrams: DataFrame | None = None     # (bigram, doc_id)
+
+
+def compile_query(query: str, idx: IndexBundle) -> DataFrame:
+    """Compile a query string to a DataFrame of matching (doc_id) rows."""
+    return _compile(parse_query(query), idx)
+
+
+def _docs_of_terms(terms_df: DataFrame, idx: IndexBundle) -> DataFrame:
+    # J9: matched terms -> union of their doc sets, via semi-join + distinct
+    return (
+        idx.postings.join(F.broadcast(terms_df), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
+    """Driver-side wildcard planner (J13, ``wildcard_search.rs:114-186``):
+    choose the cheapest prefilter index, always finish with an exact
+    ``rlike`` verify (so the prefilter only affects cost, not results).
+
+    * single ``*``, no ``?``  -> permuterm rotation prefix scan (J11)
+    * otherwise               -> trigram candidate intersection (J10)
+    * no usable trigram       -> full vocabulary scan (reference
+      fallback, ``trigram_index.rs:165-172``)
+    """
+    rx = glob_to_regex(pattern)
+    n_star, n_q = pattern.count("*"), pattern.count("?")
+    if n_star == 1 and n_q == 0 and idx.permuterm is not None:
+        x, y = pattern.split("*")
+        prefix = f"{y}${x}"  # X*Y -> prefix-scan rotation Y$X
+        cands = (
+            idx.permuterm.filter(F.col("rotation").startswith(prefix))
+            .select("term")
+            .distinct()
+        )
+        return cands.filter(F.col("term").rlike(rx))
+    if idx.trigrams is not None:
+        grams = _query_trigrams(pattern)
+        if grams:
+            g = idx.trigrams.filter(F.col("gram").isin(grams))
+            cands = (
+                g.groupBy("term")
+                .agg(F.countDistinct("gram").alias("n"))
+                .filter(F.col("n") == len(grams))
+                .select("term")
+            )
+            return cands.filter(F.col("term").rlike(rx))
+    if idx.vocab is None:
+        raise ValueError("wildcard query needs a vocab or gram index")
+    return idx.vocab.filter(F.col("term").rlike(rx)).select("term")
+
+
+def _query_trigrams(pattern: str) -> list[str]:
+    """Literal trigrams implied by the glob, with the index's '$$' start
+    padding. Segments: split on wildcards; the leading segment (if the
+    pattern doesn't start with a wildcard) gets the '$$' pad."""
+    segs = re.split(r"[*?]+", pattern)
+    grams: list[str] = []
+    for si, seg in enumerate(segs):
+        s = ("$$" + seg) if (si == 0 and not pattern[:1] in "*?") else seg
+        grams.extend(s[i : i + 3] for i in range(len(s) - 2))
+    return sorted(set(grams))
+
+
+def _phrase_docs(words: list[str], idx: IndexBundle) -> DataFrame:
+    """J6 with correct ``p + i``: anchor on the first word's positions,
+    progressively narrow the anchor set with array HOFs — one join per
+    subsequent word, no UDFs."""
+    if idx.positional is None:
+        raise ValueError("phrase query needs a positional index")
+    if len(words) == 1:
+        return (
+            idx.positional.filter(F.col("term") == words[0]).select("doc_id").distinct()
+        )
+    cur = (
+        idx.positional.filter(F.col("term") == words[0])
+        .select("doc_id", F.col("positions").alias("anchor"))
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = idx.positional.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "anchor",
+                F.filter(
+                    F.col("anchor"),
+                    lambda p: F.array_contains(F.col(f"p{i}"), p + i),
+                ),
+            )
+            .filter(F.size("anchor") > 0)
+            .select("doc_id", "anchor")
+        )
+    return cur.select("doc_id").distinct()
+
+
+def _near_docs(k: int, words: list[str], idx: IndexBundle) -> DataFrame:
+    """J7: docs where some occurrence p of w1 has, for EVERY other word,
+    an occurrence within |q - p| <= k (``coordinate_index.rs:210-276``).
+    Pure array HOFs (`exists`/`forall`) after per-word positional joins."""
+    if idx.positional is None:
+        raise ValueError("near query needs a positional index")
+    if not words:
+        return idx.all_docs.limit(0)
+    cur = idx.positional.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("positions").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = idx.positional.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id")
+    def anchor_ok(p):
+        # p is bound once per exists() call, so plain closure capture is safe
+        cond = F.lit(True)
+        for i in range(1, len(words)):
+            cond = cond & F.exists(F.col(f"p{i}"), lambda q: F.abs(q - p) <= k)
+        return cond
+
+    pred = F.exists(F.col("p0"), anchor_ok)
+    return cur.filter(pred).select("doc_id").distinct()
+
+
+def bigram_phrase_docs(words: list[str], idx: IndexBundle) -> DataFrame:
+    """J8: phrase via the bigram index — AND over consecutive-bigram doc
+    lists. No position verify, so >2-word phrases may return false
+    positives (reference parity, ``bigram_index.rs:102-126``); the
+    positional path is the exact one."""
+    if idx.bigrams is None:
+        raise ValueError("bigram phrase needs a bigram index")
+    if len(words) < 2:
+        raise ValueError("bigram phrase needs >= 2 words")
+    pairs = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    cur = idx.bigrams.filter(F.col("bigram") == pairs[0]).select("doc_id")
+    for p in pairs[1:]:
+        nxt = idx.bigrams.filter(F.col("bigram") == p).select("doc_id")
+        cur = cur.join(nxt, "doc_id", "left_semi")
+    return cur.distinct()
+
+
+def _compile(node: Ast, idx: IndexBundle) -> DataFrame:
+    op = node[0]
+    if op == "term":
+        return (
+            idx.postings.filter(F.col("term") == node[1]).select("doc_id").distinct()
+        )
+    if op == "wildcard":
+        return _docs_of_terms(wildcard_terms(node[1], idx), idx)
+    if op == "phrase":
+        return _phrase_docs(node[1], idx)
+    if op == "near":
+        return _near_docs(node[1], node[2], idx)
+    if op == "and":
+        return _compile(node[1], idx).join(_compile(node[2], idx), "doc_id", "left_semi")
+    if op == "or":
+        return _compile(node[1], idx).union(_compile(node[2], idx)).distinct()
+    if op == "not":
+        return idx.all_docs.join(_compile(node[1], idx), "doc_id", "left_anti")
+    raise ValueError(f"unknown node {node!r}")

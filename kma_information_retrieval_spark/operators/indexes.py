@@ -1,0 +1,144 @@
+"""Index-construction operators — one tokenize pass feeds every index.
+
+Spark-first re-expression of the reference's index builders
+(SURVEY.md §2.3): the shared ``token_frame`` replaces the reference's
+re-parse-per-index pattern (``main.rs:202-232``); every index below is
+a groupBy/distinct over it, so Catalyst reuses the exchange and the
+map-side partial aggregation replaces the reference's manual
+``merge_terms`` fold (``dictionary.rs:177-181``).
+
+All functions return lazy DataFrames; callers ``.cache()`` the token
+frame when deriving several indexes in one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import bigrams_expr, tokenize_expr, tokens_with_positions
+
+
+def token_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """(doc_id, pos, term) — the single parse pass."""
+    return tokens_with_positions(docs, id_col, text_col, mode)
+
+
+def postings(tokens: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — A1/A6 (``dictionary.rs:167-175``,
+    ``inverted_index.rs:104-153``). Two-level hash agg: Spark's partial
+    (map-side) + final agg replaces the reference's explicit SPIMI
+    block accumulate + k-way merge (``spimi.rs:33-205``)."""
+    return tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def positional_index(tokens: DataFrame) -> DataFrame:
+    """(term, doc_id, positions, tf) — A7 (``coordinate_index.rs:21-123``)."""
+    return tokens.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").alias("tf"),
+    )
+
+
+def doc_lengths(tokens: DataFrame) -> DataFrame:
+    """(doc_id, dl) — token count per document (BM25 length norm)."""
+    return tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def dictionary(post: DataFrame) -> DataFrame:
+    """(term, df, cf) — A1-A5 over aggregated postings.
+
+    The reference conflates collection frequency and document frequency
+    across pipelines (``dictionary.rs:173`` vs ``spimi.rs:186-188``);
+    we carry both explicitly so the ambiguity cannot recur."""
+    return post.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def collection_stats(docs: DataFrame, tokens: DataFrame, text_col: str = "content") -> DataFrame:
+    """One-row stats frame — A3 (``dictionary.rs:183-186``):
+    (total_documents, collection_size_bytes, total_words, avgdl)."""
+    per_doc = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    sizes = docs.select(
+        F.count("*").alias("total_documents"),
+        F.sum(F.length(text_col)).alias("collection_size_chars"),
+    )
+    words = per_doc.select(
+        F.sum("dl").alias("total_words"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return sizes.crossJoin(words)
+
+
+def bigram_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """(bigram, doc_id) distinct — T6/A8 (``bigram_index.rs:15-86``).
+    Built from the token array with an index ``transform`` (no window
+    function, no extra shuffle beyond the final distinct)."""
+    toks = tokenize_expr(text_col, mode)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams_expr(toks)).alias("bigram"))
+        .select("bigram", "doc_id")
+        .distinct()
+    )
+
+
+def trigram_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
+    """(gram, term) — T7/A10 (``trigram_index.rs:137-152``): all char
+    3-grams of '$$' + term (fixture hello -> $$h, $he, hel, ell, llo).
+    Gram generation is a codegen'd substr lambda, then distinct."""
+    base = vocab.select(F.col(term_col).alias("term"))
+    padded = F.concat(F.lit("$$"), F.col("term"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return (
+        base.select("term", F.explode(grams).alias("gram"))
+        .select("gram", "term")
+        .distinct()
+    )
+
+
+def permuterm_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
+    """(rotation, term) — T8/A11 (``permutation_index.rs:135-146``):
+    all cyclic rotations of term + '$'."""
+    base = vocab.select(F.col(term_col).alias("term"))
+    padded = F.concat(F.col("term"), F.lit("$"))
+    n = F.length(padded)
+    rotations = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat(padded.substr(i + 1, n), padded.substr(F.lit(1), i)),
+    )
+    return (
+        base.select("term", F.explode(rotations).alias("rotation"))
+        .select("rotation", "term")
+        .distinct()
+    )
+
+
+def incidence_matrix(post: DataFrame, max_docs: int = 1000) -> DataFrame:
+    """term x doc 0/1 pivot — A9 (``incidence_matrix.rs:16-46``).
+
+    Kept for structure-comparison parity with ``main.rs:294-333`` only;
+    the reference's own space analysis shows posting lists dominate, so
+    this is gated to demo scale (pivot explodes at higher cardinality)."""
+    doc_ids = [r[0] for r in post.select("doc_id").distinct().limit(max_docs).collect()]
+    return (
+        post.filter(F.col("doc_id").isin(doc_ids))
+        .groupBy("term")
+        .pivot("doc_id", doc_ids)
+        .agg(F.coalesce(F.first(F.lit(1)), F.lit(0)))
+        .na.fill(0)
+    )

@@ -1,0 +1,181 @@
+"""Single-node pure-Python oracle engine.
+
+The rank-identity ground truth for the Spark engine (SURVEY.md §5):
+tokenize -> dict-based postings -> boolean/phrase/proximity/wildcard
+evaluation -> BM25 (k1=1.2, b=0.75) top-k. Used by pytest; the
+DuckDB oracle in ``__spark_entry__.py`` covers the SQL-expressible
+subset independently.
+
+Semantics implemented are the *documented-divergence* versions
+(SURVEY.md §7): missing term = empty set (not an error), phrase uses
+correct ``p + i`` positions (the reference's >=3-word off-by-offset at
+``coordinate_index.rs:169-191`` is intentionally not reproduced),
+quotes lex properly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+K1 = 1.2
+B = 0.75
+
+_STRIP = {
+    "code": re.compile(r"[^a-zA-Z0-9]+"),
+    "unicode": re.compile(r"[^\w]+", re.UNICODE),  # \w ~ [\p{L}\p{N}_]; close enough for tests
+    "letters": re.compile(r"[а-яёА-ЯЁa-zA-Z]{3,}"),
+}
+
+
+def tokenize(text: str, mode: str = "code") -> list[str]:
+    if mode == "letters":
+        return [m.group(0).lower() for m in _STRIP["letters"].finditer(text)]
+    toks = []
+    for raw in text.split():
+        w = _STRIP[mode].sub("", raw).lower()
+        if len(w) > 2:
+            toks.append(w)
+    return toks
+
+
+class OracleIndex:
+    """In-memory postings + positional index + BM25 scorer."""
+
+    def __init__(self, docs: dict[int, str], mode: str = "code"):
+        self.mode = mode
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.doclen: dict[int, int] = {}
+        self.all_docs: set[int] = set(docs)
+        for doc_id, text in docs.items():
+            toks = tokenize(text, mode)
+            self.doclen[doc_id] = len(toks)
+            for pos, term in enumerate(toks):
+                self.positions[term].setdefault(doc_id, []).append(pos)
+        self.tf = {
+            t: {d: len(ps) for d, ps in byd.items()}
+            for t, byd in self.positions.items()
+        }
+        self.n_docs = len(docs)
+        self.avgdl = sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
+
+    # --- dictionary ---
+    def df(self, term: str) -> int:
+        return len(self.tf.get(term, {}))
+
+    def cf(self, term: str) -> int:
+        return sum(self.tf.get(term, {}).values())
+
+    # --- boolean ---
+    def docs_for(self, term: str) -> set[int]:
+        return set(self.tf.get(term, {}))
+
+    # --- phrase: correct p+i semantics ---
+    def phrase(self, words: list[str]) -> set[int]:
+        if not words:
+            return set()
+        first = self.positions.get(words[0], {})
+        out = set()
+        for doc_id, ps in first.items():
+            ok_doc = all(doc_id in self.positions.get(w, {}) for w in words[1:])
+            if not ok_doc:
+                continue
+            for p in ps:
+                if all(
+                    p + i in self.positions[w][doc_id]
+                    for i, w in enumerate(words[1:], start=1)
+                ):
+                    out.add(doc_id)
+                    break
+        return out
+
+    # --- proximity near/k: some occurrence p of w1 such that every other
+    # word has an occurrence within |pos - p| <= k (coordinate_index.rs:210-276)
+    def proximity(self, words: list[str], k: int) -> set[int]:
+        if not words:
+            return set()
+        first = self.positions.get(words[0], {})
+        out = set()
+        for doc_id, ps in first.items():
+            others = [self.positions.get(w, {}).get(doc_id) for w in words[1:]]
+            if any(o is None for o in others):
+                continue
+            for p in ps:
+                if all(any(abs(q - p) <= k for q in o) for o in others):
+                    out.add(doc_id)
+                    break
+        return out
+
+    # --- wildcard: glob over vocabulary, then union of doc sets ---
+    def wildcard_terms(self, pattern: str) -> set[str]:
+        rx = re.compile(
+            "^" + "".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern) + "$"
+        )
+        return {t for t in self.tf if rx.match(t)}
+
+    def wildcard_docs(self, pattern: str) -> set[int]:
+        out: set[int] = set()
+        for t in self.wildcard_terms(pattern):
+            out |= self.docs_for(t)
+        return out
+
+    # --- BM25 ---
+    def idf(self, term: str) -> float:
+        d = self.df(term)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+    def bm25_topk(self, query_terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score); contributions summed in lexicographic
+        term order (rank-identity across engines); tie-break
+        (score DESC, doc_id ASC)."""
+        terms = sorted(set(query_terms))
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            byd = self.tf.get(t)
+            if not byd:
+                continue
+            w = self.idf(t)
+            for doc_id, tf in byd.items():
+                dl = self.doclen[doc_id]
+                tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                scores[doc_id] += w * tfn
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    # --- boolean expression evaluation (grammar: OR < AND < NOT, parens) ---
+    def search(self, query: str) -> set[int]:
+        return _BoolEval(self).eval(query)
+
+
+class _BoolEval:
+    """Recursive-descent boolean evaluator over the oracle index — the
+    same grammar as the reference (``inverted_index.rs:451-522``) with
+    proper quote lexing and near/k(...) support."""
+
+    def __init__(self, idx: OracleIndex):
+        self.idx = idx
+
+    def eval(self, query: str) -> set[int]:
+        from .operators.boolean import parse_query  # shared parser
+
+        ast = parse_query(query)
+        return self._ev(ast)
+
+    def _ev(self, node) -> set[int]:
+        op = node[0]
+        if op == "term":
+            return self.idx.docs_for(node[1])
+        if op == "phrase":
+            return self.idx.phrase(node[1])
+        if op == "near":
+            return self.idx.proximity(node[2], node[1])
+        if op == "wildcard":
+            return self.idx.wildcard_docs(node[1])
+        if op == "and":
+            return self._ev(node[1]) & self._ev(node[2])
+        if op == "or":
+            return self._ev(node[1]) | self._ev(node[2])
+        if op == "not":
+            return self.idx.all_docs - self._ev(node[1])
+        raise ValueError(f"unknown node {node!r}")

@@ -1,0 +1,74 @@
+"""BM25 rank-identity vs the pure-Python oracle (BASELINE.md):
+docID sequence equality, score equality to float64 precision
+(rel tol 1e-12 — JVM Math.log vs libm log differ by <= 1 ulp),
+tie-break (score DESC, doc_id ASC)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kma_information_retrieval_spark.operators.bm25 import bm25_topk
+
+# FIXTURES.md §4: ~20 queries of 1-4 terms spanning head and tail terms.
+BM25_QUERIES = [
+    ["index"],
+    ["compute"],
+    ["shard", "merge"],
+    ["index", "shard", "compute"],
+    ["test", "testing", "tester"],
+    ["wonderful"],
+    ["cat", "car", "card"],
+    ["token", "query", "score", "block"],
+    ["var0001"],
+    ["var0100", "index"],
+    ["information", "retrieval"],
+    ["compile", "compression"],
+    ["hello", "world"],
+    ["running", "contest"],
+    ["buffer", "cursor", "decode"],
+    ["missingterm", "index"],       # missing term contributes nothing
+    ["iter", "itering", "iters"],
+    ["matrix", "offset", "parse", "queue"],
+    ["computational", "computing"],
+    ["help", "handle"],
+]
+
+
+@pytest.mark.parametrize("terms", BM25_QUERIES, ids=["_".join(t) for t in BM25_QUERIES])
+def test_bm25_rank_identity(indexes, oracle, terms):
+    k = 10
+    got = bm25_topk(
+        indexes.postings,
+        indexes.dictionary,
+        indexes.stats["n_docs"],
+        indexes.stats["avgdl"],
+        terms,
+        k,
+        doclen=indexes.doclen,
+    ).collect()
+    want = oracle.bm25_topk(terms, k)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12), (r["doc_id"], r["score"], s)
+
+
+def test_bm25_deterministic_across_partitionings(indexes, oracle):
+    """Rank identity must not depend on the physical partitioning —
+    re-score after an adversarial repartition of the postings."""
+    terms = ["index", "shard", "compute", "merge"]
+    repartitioned = indexes.postings.repartition(13, "doc_id")
+    got = bm25_topk(
+        repartitioned,
+        indexes.dictionary,
+        indexes.stats["n_docs"],
+        indexes.stats["avgdl"],
+        terms,
+        10,
+        doclen=indexes.doclen,
+    ).collect()
+    want = oracle.bm25_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12)

@@ -1,0 +1,73 @@
+"""Boolean / phrase / proximity / wildcard queries vs the pure-Python
+oracle (SURVEY.md §5 — the reference leaves J1-J8 untested; we cover
+them all, including the 3-word-phrase case where the reference's
+off-by-offset defect hides)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kma_information_retrieval_spark.operators.boolean import (
+    bigram_phrase_docs,
+    compile_query,
+    glob_to_regex,
+    parse_query,
+)
+
+QUERIES = [
+    "index and shard",
+    "compute or computing",
+    "not index",
+    "(test or testing) and not card",
+    "index and not (shard or merge)",
+    "missingterm and index",          # missing term -> empty (J5 divergence)
+    "missingterm or index",
+    '"index merge"',
+    '"index merge token"',            # 3-word phrase, correct p+i
+    "near/3(index shard)",
+    "near/10(index shard merge)",
+    "comput*",
+    "*ing",
+    "w*l",
+    "c?t",
+    "*est*",
+    "te*t??",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_query_matches_oracle(indexes, oracle, q):
+    got = sorted(r[0] for r in compile_query(q, indexes).collect())
+    want = sorted(oracle.search(q))
+    assert got == want, f"{q}: got {len(got)} docs, want {len(want)}"
+
+
+def test_parse_precedence():
+    assert parse_query("a or b and c") == ("or", ("term", "a"), ("and", ("term", "b"), ("term", "c")))
+    assert parse_query("not a and b") == ("and", ("not", ("term", "a")), ("term", "b"))
+    assert parse_query("(a or b) and c")[0] == "and"
+
+
+def test_parse_shapes():
+    assert parse_query('"big data"') == ("phrase", ["big", "data"])
+    assert parse_query("near/5(a b c)") == ("near", 5, ["a", "b", "c"])
+    assert parse_query("he*lo") == ("wildcard", "he*lo")
+
+
+def test_glob_to_regex():
+    assert glob_to_regex("he*o") == "^he.*o$"
+    assert glob_to_regex("c?t") == "^c.t$"
+    assert glob_to_regex("a.b*") == r"^a\.b.*$"
+
+
+def test_bigram_phrase_superset_of_exact(indexes, oracle):
+    """J8 parity: bigram phrase = AND over consecutive bigrams; it may
+    over-match >2-word phrases but must contain the exact phrase docs."""
+    words = ["index", "merge"]
+    got = sorted(r[0] for r in bigram_phrase_docs(words, indexes).collect())
+    want = sorted(oracle.phrase(words))
+    assert got == want  # 2-word case is exact
+
+    words3 = ["index", "merge", "token"]
+    got3 = {r[0] for r in bigram_phrase_docs(words3, indexes).collect()}
+    assert set(oracle.phrase(words3)) <= got3

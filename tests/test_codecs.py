@@ -1,0 +1,76 @@
+"""Delta+varbyte codec tests — property-based roundtrips (FIXTURES.md §5)
+plus byte-format checks against the reference semantics
+(``inverted_index.rs:11-78``): little-endian 7-bit groups, continuation
+bit on the LAST byte of each value."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kma_information_retrieval_spark.functions.codecs import (
+    delta_vb_decode,
+    delta_vb_encode,
+    vb_decode,
+    vb_encode,
+)
+
+
+def _py_vb_encode_one(n: int) -> bytes:
+    out = bytearray()
+    while n >= 128:
+        out.append(n % 128)
+        n //= 128
+    out.append(n + 128)
+    return bytes(out)
+
+
+def test_byte_format_matches_reference():
+    # 0 -> [0x80]; 127 -> [0xFF]; 128 -> [0x00, 0x81]; 300 -> [44, 0x82]
+    assert vb_encode(np.array([0])) == b"\x80"
+    assert vb_encode(np.array([127])) == b"\xff"
+    assert vb_encode(np.array([128])) == b"\x00\x81"
+    assert vb_encode(np.array([300])) == bytes([300 % 128, 0x80 + 300 // 128])
+    for n in [0, 1, 127, 128, 16383, 16384, 2**31 - 1]:
+        assert vb_encode(np.array([n])) == _py_vb_encode_one(n)
+
+
+def test_empty():
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert vb_decode(b"").tolist() == []
+    assert delta_vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert delta_vb_decode(b"").tolist() == []
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=0, max_size=500)
+)
+def test_vb_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert vb_decode(vb_encode(arr)).tolist() == values
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=1000)
+)
+def test_delta_vb_roundtrip_is_sorted_identity(values):
+    arr = np.array(sorted(values), dtype=np.uint64)
+    assert delta_vb_decode(delta_vb_encode(arr)).tolist() == sorted(values)
+
+
+def test_fixed_sizes():
+    # FIXTURES.md §5: lengths 0, 1, 2, 100, 10k
+    rng = np.random.default_rng(42)
+    for n in [0, 1, 2, 100, 10_000]:
+        ids = np.unique(rng.integers(0, 2**31, size=n).astype(np.uint64))
+        assert delta_vb_decode(delta_vb_encode(ids)).tolist() == sorted(ids.tolist())
+
+
+def test_compression_actually_compresses():
+    # dense sorted ids -> ~1 byte/gap vs 8 bytes raw
+    ids = np.arange(0, 100_000, 3, dtype=np.uint64)
+    enc = delta_vb_encode(ids)
+    assert len(enc) == ids.size  # every gap of 3 fits one byte

@@ -1,0 +1,85 @@
+"""Dictionary / index-construction operators vs the oracle, plus the
+reference's wildcard-index unit fixtures (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kma_information_retrieval_spark import operators as ops
+
+
+def test_dictionary_df_cf(indexes, oracle):
+    rows = indexes.dictionary.collect()
+    assert len(rows) == len(oracle.tf)
+    for r in rows:
+        assert r["df"] == oracle.df(r["term"]), r["term"]
+        assert r["cf"] == oracle.cf(r["term"]), r["term"]
+
+
+def test_collection_stats(indexes, oracle):
+    assert indexes.stats["n_docs"] == oracle.n_docs
+    assert indexes.stats["total_words"] == sum(oracle.doclen.values())
+    assert abs(indexes.stats["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_doc_lengths(indexes, oracle):
+    got = {r["doc_id"]: r["dl"] for r in indexes.doclen.collect()}
+    assert got == oracle.doclen
+
+
+def test_positional_positions(indexes, oracle):
+    sample = indexes.positional.filter(F.col("term") == "index").collect()
+    for r in sample:
+        assert r["positions"] == oracle.positions["index"][r["doc_id"]]
+        assert r["tf"] == len(r["positions"])
+
+
+def test_trigram_generation(spark):
+    # reference fixture trigram_index.rs:341-348: hello -> $$h,$he,hel,ell,llo
+    vocab = spark.createDataFrame([("hello",)], "term string")
+    got = sorted(r["gram"] for r in ops.trigram_index(vocab).collect())
+    assert got == sorted(["$$h", "$he", "hel", "ell", "llo"])
+
+
+def test_permuterm_rotations(spark):
+    # permutation_index.rs:135-146: all cyclic rotations of term+'$'
+    vocab = spark.createDataFrame([("cat",)], "term string")
+    got = sorted(r["rotation"] for r in ops.permuterm_index(vocab).collect())
+    assert got == sorted(["cat$", "at$c", "t$ca", "$cat"])
+
+
+def test_wildcard_term_fixtures(spark):
+    """suffix_tree.rs:224-259 / permutation_index.rs:228-273 fixtures,
+    served by the trigram+permuterm router instead of a suffix trie."""
+    from kma_information_retrieval_spark.operators.boolean import IndexBundle, wildcard_terms
+
+    terms = ["cat", "car", "card", "test", "testing", "tester",
+             "hello", "help", "world", "wonderful", "running"]
+    vocab = spark.createDataFrame([(t,) for t in terms], "term string")
+    bundle = IndexBundle(
+        postings=None, all_docs=None, vocab=vocab,
+        trigrams=ops.trigram_index(vocab), permuterm=ops.permuterm_index(vocab),
+    )
+
+    def match(pattern):
+        return sorted(r["term"] for r in wildcard_terms(pattern, bundle).collect())
+
+    assert match("ca*") == ["car", "card", "cat"]
+    assert match("test*") == ["test", "tester", "testing"]
+    assert match("test??") == ["tester"]
+    assert match("*ing") == ["running", "testing"]
+    assert match("hel*") == ["hello", "help"]
+    assert match("w*l") == ["wonderful"]
+    assert match("*est*") == ["test", "tester", "testing"]
+
+
+def test_incidence_matrix_demo(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "dog bird"), (3, "cat")],
+        "doc_id long, content string",
+    )
+    post = ops.postings(ops.token_frame(docs))
+    m = ops.incidence_matrix(post)
+    rows = {r["term"]: r for r in m.collect()}
+    assert rows["cat"]["1"] == 1 and rows["cat"]["2"] == 0 and rows["cat"]["3"] == 1
+    assert rows["bird"]["2"] == 1 and rows["bird"]["1"] == 0
