@@ -1,0 +1,3 @@
+from .segments import build_index, load_index, verify_content_integrity, SegmentIndex
+
+__all__ = ["build_index", "load_index", "verify_content_integrity", "SegmentIndex"]

@@ -1,0 +1,416 @@
+"""Segment build pipeline — the north-star core (BASELINE.json).
+
+The reference's SPIMI (P1-P4, ``spimi.rs``) is a hand-rolled shuffle:
+accumulate term->docs in memory, spill sorted runs, k-way merge. Spark's
+shuffle machinery replaces it wholesale; what remains ours is the
+*layout policy*:
+
+1. one tokenize pass -> ``(term, doc_id, tf, dl)`` aggregated postings;
+2. **explicit salting for head-term skew**: terms whose document
+   frequency exceeds ``postings_per_group`` are split into
+   ``ceil(df / postings_per_group)`` disjoint sub-lists by a hash of
+   doc_id, so no reducer ever materializes a stop-word-sized posting
+   list (AQE skew handling is a safety net, not the plan);
+3. shuffle by ``part_id = H(term, salt) % num_segments``, sort within
+   partitions by ``(term, salt, doc_id)``;
+4. a streaming mapInPandas encoder walks each sorted partition,
+   delta+varbyte-compresses each (term, salt) group (doc gaps, tfs,
+   dls) in blocks of ``block_size`` docs, and computes **block-max
+   metadata**: per-block last doc_id, byte offsets, and the max BM25
+   impact ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` (idf excluded — it
+   is a query-time constant per term). Only the current group is ever
+   buffered, so executor memory is bounded by the salt target, not by
+   list length;
+5. segments land as parquet partitioned by ``part_id`` with a
+   **manifest** (per-partition lineage + metrics) enabling
+   **checkpoint resume**: a re-run skips committed part_ids and
+   dynamically overwrites only the missing ones.
+
+Hash choices are md5-based (not xxhash64) so the driver can compute a
+query term's candidate part_ids in pure Python and prune the parquet
+scan to those partitions.
+
+Per-row invariant: ``docmap`` carries ``sha256(content)`` for every
+doc; :func:`verify_content_integrity` re-checks it against any source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import vb_decode, vb_encode
+from ..operators.indexes import token_frame
+
+K1 = 1.2
+B = 0.75
+
+SEGMENT_SCHEMA = (
+    "part_id int, term string, salt int, df long, cf long, max_impact double, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "block_last array<long>, block_max_impact array<double>, "
+    "block_doc_off array<int>, block_tf_off array<int>, block_dl_off array<int>"
+)
+
+
+def _stable_hash(s: str) -> int:
+    """Python-side equivalent of the Spark-side md5 prefix hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _stable_hash_col(col) -> object:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def part_id_for(term: str, salt: int, num_segments: int) -> int:
+    return _stable_hash(f"{term}#{salt}") % num_segments
+
+
+def _part_id_col(term_col, salt_col, num_segments: int):
+    return (
+        _stable_hash_col(F.concat(term_col, F.lit("#"), salt_col.cast("string")))
+        % num_segments
+    ).cast("int")
+
+
+# ------------------------------------------------------------------ build
+
+
+def _encode_partition(avgdl: float, block_size: int):
+    """mapInPandas kernel: walk a partition sorted by (term, salt, doc_id)
+    and emit one encoded segment row per (term, salt) group. Only one
+    group is buffered at a time (bounded by the salt target)."""
+
+    def encode_group(part_id, term, salt, doc_ids, tfs, dls) -> dict:
+        docs = np.asarray(doc_ids, dtype=np.uint64)
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        tf = np.asarray(tfs, dtype=np.uint64)[order]
+        dl = np.asarray(dls, dtype=np.uint64)[order]
+        impact = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        n = docs.size
+        doc_chunks, tf_chunks, dl_chunks = [], [], []
+        block_last, block_max, d_off, t_off, l_off = [], [], [0], [0], [0]
+        prev_last = np.uint64(0)
+        for s in range(0, n, block_size):
+            e = min(s + block_size, n)
+            blk = docs[s:e]
+            gaps = np.empty(e - s, dtype=np.uint64)
+            gaps[0] = blk[0] - prev_last
+            np.subtract(blk[1:], blk[:-1], out=gaps[1:])
+            prev_last = blk[-1]
+            doc_chunks.append(vb_encode(gaps))
+            tf_chunks.append(vb_encode(tf[s:e]))
+            dl_chunks.append(vb_encode(dl[s:e]))
+            block_last.append(int(blk[-1]))
+            block_max.append(float(impact[s:e].max()))
+            d_off.append(d_off[-1] + len(doc_chunks[-1]))
+            t_off.append(t_off[-1] + len(tf_chunks[-1]))
+            l_off.append(l_off[-1] + len(dl_chunks[-1]))
+        return {
+            "part_id": int(part_id),
+            "term": term,
+            "salt": int(salt),
+            "df": int(n),
+            "cf": int(tf.sum()),
+            "max_impact": float(impact.max()),
+            "doc_bytes": b"".join(doc_chunks),
+            "tf_bytes": b"".join(tf_chunks),
+            "dl_bytes": b"".join(dl_chunks),
+            "block_last": block_last,
+            "block_max_impact": block_max,
+            "block_doc_off": d_off,
+            "block_tf_off": t_off,
+            "block_dl_off": l_off,
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        cur_pid = None
+        bufs: tuple[list, list, list] = ([], [], [])
+        out: list[dict] = []
+        for pdf in batches:
+            for pid, term, salt, doc_id, tf, dl in zip(
+                pdf["part_id"], pdf["term"], pdf["salt"], pdf["doc_id"], pdf["tf"], pdf["dl"]
+            ):
+                key = (term, salt)
+                if key != cur_key:
+                    if cur_key is not None:
+                        out.append(encode_group(cur_pid, *cur_key, *bufs))
+                    cur_key, cur_pid = key, pid
+                    bufs = ([], [], [])
+                bufs[0].append(doc_id)
+                bufs[1].append(tf)
+                bufs[2].append(dl)
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if cur_key is not None:
+            out.append(encode_group(cur_pid, *cur_key, *bufs))
+        if out:
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+    num_segments: int = 32,
+    postings_per_group: int = 50_000,
+    max_salt: int = 64,
+    block_size: int = 128,
+    resume: bool = False,
+    identity_cols: tuple[str, ...] = (),
+) -> dict:
+    """Build (or resume) the full index at ``out_dir``. Returns the manifest.
+
+    ``docs`` needs ``id_col`` (stable long) and ``text_col``; pass
+    ``identity_cols`` (e.g. repo/path/commit/lang) to carry lineage into
+    the docmap. Resume skips part_ids already committed in the manifest
+    and dynamically overwrites only missing partitions, so a rebuild
+    after partial failure converges to the identical index.
+    """
+    t0 = time.time()
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    committed: dict = {}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            committed = json.load(f).get("partitions", {})
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("content"),
+        *[F.col(c) for c in identity_cols],
+    )
+    toks = token_frame(base, "doc_id", "content", mode)
+    term_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+    # ---- docmap with per-row sha256 (lineage + integrity invariant)
+    docmap = (
+        base.join(doclen, "doc_id", "left")
+        .select(
+            "doc_id",
+            *identity_cols,
+            F.coalesce("dl", F.lit(0)).alias("dl"),
+            F.sha2("content", 256).alias("content_sha256"),
+            F.length("content").alias("n_chars"),
+        )
+    )
+    docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+    docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+
+    # ---- global stats (one agg pass; avgdl feeds block-max impacts)
+    stats = docmap.select(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_words"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    # ---- dictionary (term, df, cf) — also the saltmap source
+    dictionary = term_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
+    dictionary = spark.read.parquet(os.path.join(out_dir, "dictionary"))
+
+    # ---- explicit head-term salting (frequency sketch = exact df here)
+    saltmap = (
+        dictionary.filter(F.col("df") > postings_per_group)
+        .select(
+            "term",
+            F.least(
+                F.ceil(F.col("df") / F.lit(postings_per_group)), F.lit(max_salt)
+            ).cast("int").alias("salt_factor"),
+        )
+    )
+    saltmap.write.mode("overwrite").parquet(os.path.join(out_dir, "saltmap"))
+    saltmap = spark.read.parquet(os.path.join(out_dir, "saltmap"))
+
+    salted = (
+        term_doc.join(doclen, "doc_id")
+        .join(F.broadcast(saltmap), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("salt_factor").isNotNull(),
+                F.pmod(_stable_hash_col(F.col("doc_id").cast("string")), F.col("salt_factor")),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .withColumn("part_id", _part_id_col(F.col("term"), F.col("salt"), num_segments))
+        .select("part_id", "term", "salt", "doc_id", "tf", "dl")
+    )
+    if committed:
+        done = [int(p) for p in committed]
+        salted = salted.filter(~F.col("part_id").isin(done))
+
+    encoded = (
+        salted.repartition(num_segments, "part_id")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
+    )
+    # Dynamic overwrite touches only the part_ids present in `encoded`,
+    # so a resume replaces exactly the uncommitted partitions. A fresh
+    # build clears any stale segment dir first.
+    seg_dir = os.path.join(out_dir, "segments")
+    if not committed and os.path.exists(seg_dir):
+        import shutil
+
+        shutil.rmtree(seg_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
+
+    # ---- per-partition lineage + metrics -> manifest
+    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    metrics = (
+        seg.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+            F.sum(F.length("tf_bytes") + F.length("dl_bytes")).alias("aux_bytes"),
+        )
+        .collect()
+    )
+    elapsed = time.time() - t0
+    partitions = dict(committed)
+    for r in metrics:
+        pid = str(r["part_id"])
+        if pid in committed:
+            continue
+        partitions[pid] = {
+            "n_groups": int(r["n_groups"]),
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "doc_bytes": int(r["doc_bytes"]),
+            "aux_bytes": int(r["aux_bytes"]),
+        }
+    manifest = {
+        "version": 1,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_words": int(stats["total_words"]),
+        "num_segments": num_segments,
+        "postings_per_group": postings_per_group,
+        "max_salt": max_salt,
+        "block_size": block_size,
+        "mode": mode,
+        "k1": K1,
+        "b": B,
+        "build_secs": elapsed,
+        "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
+        "partitions": partitions,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+# ------------------------------------------------------------------ load / verify
+
+
+@dataclass
+class SegmentIndex:
+    spark: SparkSession
+    out_dir: str
+    meta: dict
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "segments"))
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "docmap"))
+
+    @property
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "dictionary"))
+
+    @property
+    def saltmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "saltmap"))
+
+    def salt_factors(self, terms: list[str]) -> dict[str, int]:
+        rows = self.saltmap.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: r["salt_factor"] for r in rows}
+
+    def candidate_part_ids(self, terms: list[str]) -> list[int]:
+        """Driver-side partition pruning: every (term, salt) of the query
+        maps to a known part_id (md5-based hash, Python-computable)."""
+        factors = self.salt_factors(terms)
+        pids = set()
+        for t in terms:
+            for s in range(factors.get(t, 1)):
+                pids.add(part_id_for(t, s, self.meta["num_segments"]))
+        return sorted(pids)
+
+    def query_segments(self, terms: list[str]) -> DataFrame:
+        pids = self.candidate_part_ids(terms)
+        return self.segments.filter(
+            F.col("part_id").isin(pids) & F.col("term").isin(list(terms))
+        )
+
+
+def load_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    return SegmentIndex(spark, out_dir, meta)
+
+
+def verify_content_integrity(index: SegmentIndex, source: DataFrame,
+                             id_col: str = "doc_id", text_col: str = "content") -> int:
+    """Per-row invariant (input_hint): sha256(content) in the source must
+    equal the docmap's recorded hash. Returns the number of mismatched or
+    missing rows (0 = intact)."""
+    src = source.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("src_sha"),
+    )
+    joined = src.join(index.docmap.select("doc_id", "content_sha256"), "doc_id", "full")
+    bad = joined.filter(
+        F.col("src_sha").isNull()
+        | F.col("content_sha256").isNull()
+        | (F.col("src_sha") != F.col("content_sha256"))
+    )
+    return bad.count()
+
+
+# ------------------------------------------------------------------ decode helpers (query side)
+
+
+def decode_group_blocks(row, blocks: list[int] | None = None):
+    """Decode selected blocks of a segment row -> (doc_ids, tfs, dls).
+    ``blocks=None`` decodes everything."""
+    n_blocks = len(row["block_last"])
+    sel = range(n_blocks) if blocks is None else blocks
+    docs_out, tf_out, dl_out = [], [], []
+    d_off, t_off, l_off = row["block_doc_off"], row["block_tf_off"], row["block_dl_off"]
+    for bi in sel:
+        gaps = vb_decode(bytes(row["doc_bytes"])[d_off[bi] : d_off[bi + 1]])
+        base = np.uint64(row["block_last"][bi - 1]) if bi > 0 else np.uint64(0)
+        docs = np.cumsum(gaps, dtype=np.uint64) + base
+        docs_out.append(docs)
+        tf_out.append(vb_decode(bytes(row["tf_bytes"])[t_off[bi] : t_off[bi + 1]]))
+        dl_out.append(vb_decode(bytes(row["dl_bytes"])[l_off[bi] : l_off[bi + 1]]))
+    if not docs_out:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z, z
+    return np.concatenate(docs_out), np.concatenate(tf_out), np.concatenate(dl_out)

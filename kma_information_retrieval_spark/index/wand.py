@@ -1,0 +1,284 @@
+"""BM25 top-k over compressed segments: exact kernel + block-max WAND.
+
+Two scorers over the segment layout built by ``segments.build_index``:
+
+* :func:`bm25_topk_exact` — decode every block of the query terms'
+  posting lists and score all candidates with a deterministic
+  term-ordered float64 reduction. The correctness baseline.
+* :func:`bm25_topk_wand` — Block-Max WAND (Ding & Suel, SIGIR'11 —
+  public algorithm): list-level upper bounds pick a pivot, block-level
+  max-impact bounds let whole compressed blocks be skipped without
+  decoding. Salted sub-lists of one term are simply extra cursors
+  (their doc sets are disjoint, so correctness is unaffected).
+
+Both run inside ``applyInPandas`` grouped by query_id, so a batch of
+queries fans out across executors while each query's merge stays local
+— the partition-pruned parquet read (see ``SegmentIndex.query_segments``)
+feeds only the needed (part_id, term) rows. Exactness contract matches
+the oracle: float64, per-doc contributions summed in lexicographic term
+order, tie-break (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codecs import vb_decode
+from .segments import K1, B, SegmentIndex
+
+RESULT_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def _idf(df: int, n_docs: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ------------------------------------------------------------------ cursors
+
+
+class _Cursor:
+    """Lazy block-decoding cursor over one (term, salt) segment row."""
+
+    __slots__ = (
+        "term", "idf", "ub", "block_last", "block_ub",
+        "_row", "_bi", "_docs", "_contrib", "_pos", "cur_doc", "n_blocks",
+    )
+
+    def __init__(self, row, idf: float, avgdl: float):
+        self.term = row["term"]
+        self.idf = idf
+        self.ub = idf * float(row["max_impact"])
+        self.block_last = row["block_last"]
+        self.block_ub = [idf * m for m in row["block_max_impact"]]
+        self._row = row
+        self.n_blocks = len(self.block_last)
+        self._bi = -1
+        self._docs = None
+        self._contrib = None
+        self._pos = 0
+        self.cur_doc = -1
+        self._load_block(0, avgdl)
+
+    def _load_block(self, bi: int, avgdl: float):
+        if bi >= self.n_blocks:
+            self.cur_doc = _EXHAUSTED
+            return
+        row = self._row
+        d_off, t_off, l_off = row["block_doc_off"], row["block_tf_off"], row["block_dl_off"]
+        gaps = vb_decode(bytes(row["doc_bytes"])[d_off[bi] : d_off[bi + 1]])
+        base = np.uint64(self.block_last[bi - 1]) if bi > 0 else np.uint64(0)
+        self._docs = (np.cumsum(gaps, dtype=np.uint64) + base).astype(np.int64)
+        tf = vb_decode(bytes(row["tf_bytes"])[t_off[bi] : t_off[bi + 1]]).astype(np.float64)
+        dl = vb_decode(bytes(row["dl_bytes"])[l_off[bi] : l_off[bi + 1]]).astype(np.float64)
+        self._contrib = self.idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        self._bi = bi
+        self._pos = 0
+        self.cur_doc = int(self._docs[0])
+
+    def contribution(self) -> float:
+        return float(self._contrib[self._pos])
+
+    def advance(self, avgdl: float):
+        self._pos += 1
+        if self._pos < self._docs.size:
+            self.cur_doc = int(self._docs[self._pos])
+        else:
+            self._load_block(self._bi + 1, avgdl)
+
+    def next_geq(self, target: int, threshold: float, avgdl: float):
+        """Skip to the first doc >= target; whole blocks whose last doc
+        < target are skipped WITHOUT decoding (this is the block-max
+        payoff: block_ub is also consulted by the caller)."""
+        if self.cur_doc >= target:
+            return
+        bi = self._bi
+        # skip blocks by metadata only
+        while bi < self.n_blocks and self.block_last[bi] < target:
+            bi += 1
+        if bi >= self.n_blocks:
+            self.cur_doc = _EXHAUSTED
+            return
+        if bi != self._bi:
+            self._load_block(bi, avgdl)
+        pos = int(np.searchsorted(self._docs, target, side="left"))
+        if pos >= self._docs.size:  # can't happen given block_last check
+            self._load_block(self._bi + 1, avgdl)
+            return
+        self._pos = pos
+        self.cur_doc = int(self._docs[pos])
+
+
+_EXHAUSTED = 2**62
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
+    """Full-decode scoring with deterministic term-ordered summation."""
+    terms = sorted(idf_by_term)
+    rank = {t: i for i, t in enumerate(terms)}
+    doc_parts, contrib_parts, rank_parts = [], [], []
+    for _, row in rows.iterrows():
+        idf = idf_by_term[row["term"]]
+        d_off, t_off, l_off = row["block_doc_off"], row["block_tf_off"], row["block_dl_off"]
+        gaps = vb_decode(bytes(row["doc_bytes"]))
+        # rebuild absolute ids block by block (first gap of each block is
+        # relative to the previous block's last doc)
+        docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+        # cumsum across block boundaries is already correct because the
+        # first gap of block i was encoded relative to block i-1's last id
+        tf = vb_decode(bytes(row["tf_bytes"])).astype(np.float64)
+        dl = vb_decode(bytes(row["dl_bytes"])).astype(np.float64)
+        contrib = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        doc_parts.append(docs)
+        contrib_parts.append(contrib)
+        rank_parts.append(np.full(docs.size, rank[row["term"]], dtype=np.int32))
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    contrib = np.concatenate(contrib_parts)
+    ranks = np.concatenate(rank_parts)
+    order = np.lexsort((ranks, docs))  # by doc, then term rank
+    docs, contrib = docs[order], contrib[order]
+    starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+    scores = np.add.reduceat(contrib, starts)
+    uniq = docs[starts]
+    sel = np.lexsort((uniq, -scores))[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in sel]
+
+
+def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
+    """Block-Max WAND. Exact top-k: pruning uses strict bounds, ties at
+    the threshold are still evaluated, final order (score DESC, doc ASC)."""
+    cursors = [
+        _Cursor(row, idf_by_term[row["term"]], avgdl) for _, row in rows.iterrows()
+    ]
+    cursors = [c for c in cursors if c.cur_doc != _EXHAUSTED]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    threshold = -math.inf
+
+    while True:
+        cursors = [c for c in cursors if c.cur_doc != _EXHAUSTED]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc)
+        # pivot: smallest prefix whose UB sum can reach the threshold.
+        # >= (not >) so equal-score ties are still evaluated — the
+        # tie-break (doc_id ASC) can prefer a tied newcomer.
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc >= threshold:
+                pivot = i
+                break
+        if pivot == -1:
+            break
+        pivot_doc = cursors[pivot].cur_doc
+        if pivot_doc == _EXHAUSTED:
+            break
+        if cursors[0].cur_doc == pivot_doc:
+            # block-max refinement: sum of *block* UBs at pivot_doc
+            if len(heap) >= k:
+                block_acc = 0.0
+                for c in cursors:
+                    if c.cur_doc > pivot_doc:
+                        break
+                    block_acc += c.block_ub[c._bi]
+                if block_acc < threshold:
+                    # no doc in these blocks can beat threshold: advance
+                    # the lowest cursor past pivot_doc and retry
+                    cursors[0].advance(avgdl)
+                    continue
+            contribs = []
+            for c in cursors:
+                if c.cur_doc != pivot_doc:
+                    break
+                contribs.append((c.term, c.contribution()))
+            contribs.sort(key=lambda tc: tc[0])
+            score = 0.0
+            for _, v in contribs:
+                score += v
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) >= k:
+                threshold = heap[0][0]
+            for c in cursors:
+                if c.cur_doc == pivot_doc:
+                    c.advance(avgdl)
+        else:
+            # advance the first non-aligned cursor to the pivot doc,
+            # skipping blocks via metadata
+            for c in cursors:
+                if c.cur_doc < pivot_doc:
+                    c.next_geq(pivot_doc, threshold, avgdl)
+                    break
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+# ------------------------------------------------------------------ public API
+
+
+def bm25_topk_batch(
+    index: SegmentIndex,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    use_wand: bool = True,
+) -> DataFrame:
+    """Batch top-k over the segment index: DataFrame
+    (query_id, doc_id, score), <= k rows per query, ordered by
+    (score DESC, doc_id ASC) within each query.
+
+    The parquet scan is pruned to the union of candidate part_ids and
+    query terms; each query's merge runs in one applyInPandas task, so
+    a query batch saturates the cluster while individual merges stay
+    local (per-shard index-server layout at cluster scale).
+    """
+    spark = index.spark
+    all_terms = sorted({t for ts in queries.values() for t in sorted(set(ts))})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs, avgdl = index.meta["n_docs"], index.meta["avgdl"]
+
+    df_rows = index.dictionary.filter(F.col("term").isin(all_terms)).collect()
+    global_df = {r["term"]: r["df"] for r in df_rows}
+
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in sorted(set(ts)) if t in global_df],
+        "query_id string, term string",
+    )
+    seg = index.query_segments(all_terms)
+    tagged = seg.join(F.broadcast(qmap), "term")
+
+    idf_all = {t: _idf(d, n_docs) for t, d in global_df.items()}
+    qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = key[0]
+        idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
+        kern = _wand_kernel if use_wand else _exact_kernel
+        top = kern(pdf, idf_by_term, avgdl, k)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    return tagged.groupBy("query_id").applyInPandas(run, schema=RESULT_SCHEMA)
+
+
+def bm25_topk_segments(
+    index: SegmentIndex, terms: list[str], k: int = 10, use_wand: bool = True
+) -> list[tuple[int, float]]:
+    """Single-query convenience: list of (doc_id, score)."""
+    out = bm25_topk_batch(index, {"q": terms}, k, use_wand).collect()
+    return sorted(((r["doc_id"], r["score"]) for r in out), key=lambda x: (-x[1], x[0]))

@@ -1,0 +1,159 @@
+"""Segment build pipeline: salting, compression, block-max WAND
+rank-identity, sha256 integrity invariant, checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from kma_information_retrieval_spark.index.segments import (
+    build_index,
+    load_index,
+    part_id_for,
+    verify_content_integrity,
+)
+from kma_information_retrieval_spark.index.wand import bm25_topk_batch, bm25_topk_segments
+
+QUERIES = {
+    "q_head": ["compute", "index"],
+    "q_mixed": ["index", "shard", "compute"],
+    "q_tail": ["wonderful", "contest"],
+    "q_single": ["merge"],
+    "q_missing": ["zzzmissing", "index"],
+    "q_four": ["token", "query", "score", "block"],
+}
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segidx"))
+    # postings_per_group=40 forces real salting of head terms at 200 docs
+    build_index(
+        spark, docs, out, num_segments=8, postings_per_group=40, block_size=16
+    )
+    return load_index(spark, out)
+
+
+def test_manifest_written(seg_index):
+    m = seg_index.meta
+    assert m["n_docs"] == 200
+    assert m["num_segments"] == 8
+    assert len(m["partitions"]) > 0
+    total_postings = sum(p["n_postings"] for p in m["partitions"].values())
+    assert total_postings == seg_index.dictionary.agg(F.sum("df")).collect()[0][0]
+
+
+def test_head_terms_salted(seg_index, oracle):
+    factors = {r["term"]: r["salt_factor"] for r in seg_index.saltmap.collect()}
+    assert factors, "expected head terms to be salted"
+    # the most frequent vocab word must be salted and split across salts
+    head = max(oracle.tf, key=lambda t: oracle.df(t))
+    assert head in factors and factors[head] > 1
+    salts = [
+        r["salt"]
+        for r in seg_index.segments.filter(F.col("term") == head).collect()
+    ]
+    assert len(salts) == len(set(salts)) and len(salts) > 1
+    # salted sub-lists are disjoint and their union is the full posting list
+    rows = seg_index.segments.filter(F.col("term") == head).collect()
+    assert sum(r["df"] for r in rows) == oracle.df(head)
+
+
+def test_segment_df_cf_match_oracle(seg_index, oracle):
+    got = (
+        seg_index.segments.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .collect()
+    )
+    assert len(got) == len(oracle.tf)
+    for r in got:
+        assert r["df"] == oracle.df(r["term"])
+        assert r["cf"] == oracle.cf(r["term"])
+
+
+def test_compression_ratio(seg_index):
+    row = (
+        seg_index.segments.select(
+            F.sum(F.length("doc_bytes")).alias("enc"), F.sum("df").alias("n")
+        ).collect()[0]
+    )
+    assert row["enc"] < 8 * row["n"]  # strictly better than raw int64
+
+
+def test_partition_pruning_matches_layout(seg_index):
+    """Driver-computed part_ids must agree with what the build wrote."""
+    rows = seg_index.segments.select("term", "salt", "part_id").limit(200).collect()
+    for r in rows:
+        assert part_id_for(r["term"], r["salt"], seg_index.meta["num_segments"]) == r["part_id"]
+
+
+@pytest.mark.parametrize("use_wand", [False, True], ids=["exact", "wand"])
+@pytest.mark.parametrize("qid", list(QUERIES), ids=list(QUERIES))
+def test_topk_rank_identity(seg_index, oracle, qid, use_wand):
+    terms = QUERIES[qid]
+    got = bm25_topk_segments(seg_index, terms, 10, use_wand=use_wand)
+    want = oracle.bm25_topk(terms, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (qid, use_wand)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (qid, gd, gs, ws)
+
+
+def test_topk_batch_all_queries(seg_index, oracle):
+    res = bm25_topk_batch(seg_index, QUERIES, 10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in QUERIES.items():
+        got = sorted(by_q.get(qid, []), key=lambda x: (-x[1], x[0]))
+        want = oracle.bm25_topk(terms, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+
+
+def test_content_integrity(seg_index, docs, spark):
+    assert verify_content_integrity(seg_index, docs) == 0
+    tampered = docs.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("content")),
+    )
+    assert verify_content_integrity(seg_index, tampered) == 1
+
+
+def test_checkpoint_resume(spark, docs, oracle, tmp_path_factory):
+    """Kill-and-resume: drop some committed partitions from the manifest
+    and segment dir, rebuild with resume=True, final index identical."""
+    out = str(tmp_path_factory.mktemp("resume"))
+    build_index(spark, docs, out, num_segments=8, postings_per_group=40, block_size=16)
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    full = {
+        (r["term"], r["salt"]): (r["df"], bytes(r["doc_bytes"]))
+        for r in load_index(spark, out).segments.collect()
+    }
+    # simulate a crash that lost partitions 0..2
+    lost = [p for p in list(manifest["partitions"]) if int(p) < 3]
+    assert lost, "expected some low part_ids in the manifest"
+    for p in lost:
+        del manifest["partitions"][p]
+        shutil.rmtree(os.path.join(out, "segments", f"part_id={p}"), ignore_errors=True)
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    m2 = build_index(
+        spark, docs, out, num_segments=8, postings_per_group=40, block_size=16,
+        resume=True,
+    )
+    assert set(m2["partitions"]) >= set(lost)
+    resumed = {
+        (r["term"], r["salt"]): (r["df"], bytes(r["doc_bytes"]))
+        for r in load_index(spark, out).segments.collect()
+    }
+    assert resumed == full
+    # ranks identical post-resume
+    got = bm25_topk_segments(load_index(spark, out), ["index", "compute"], 10)
+    want = oracle.bm25_topk(["index", "compute"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
