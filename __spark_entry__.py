@@ -1,38 +1,459 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
+                 the full segment pipeline (salted build -> block-max
+                 WAND), returned as a DataFrame.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); each callable is (spark, sf_dir)
+                 -> DataFrame.
+oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
+                 with the same column names/aliases. Tokenization,
+                 hashing (md5-prefix bigint), BM25 and all thresholds
+                 are expressed identically on both sides; float
+                 outputs are rounded identically.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark import operators as ops
+from kma_information_retrieval_spark.operators import ann, dedup, textstats
+from kma_information_retrieval_spark.operators.bm25 import bm25_topk
+from kma_information_retrieval_spark.operators.boolean import IndexBundle, compile_query
+
+# ---------------------------------------------------------------- helpers
+
+N_MINHASH = 16
+JACCARD_THR = 0.2
+NEARDUP_COS = 0.35
+MERSENNE_P = 4294967311
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _bundle(spark: SparkSession, sf_dir: str) -> IndexBundle:
+    docs = _docs(spark, sf_dir)
+    toks = ops.token_frame(docs)
+    post = ops.postings(toks)
+    dic = ops.dictionary(post)
+    vocab = dic.select("term")
+    b = IndexBundle(
+        postings=post,
+        all_docs=docs.select("doc_id"),
+        positional=ops.positional_index(toks),
+        vocab=vocab,
+        trigrams=ops.trigram_index(vocab),
+        permuterm=ops.permuterm_index(vocab),
+        bigrams=ops.bigram_index(docs),
+    )
+    b.tokens = toks
+    b.dictionary = dic
+    b.docs = docs
+    return b
+
+
+def _stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = ops.token_frame(docs)
+    r = ops.collection_stats(docs, toks).collect()[0]
+    return int(r["total_documents"]), float(r["avgdl"])
+
+
+# SQL fragments — the DuckDB mirror of the engine's tokenizer ("code"
+# mode: whitespace split, strip non-alnum, lower, len > 2) and the
+# derived token/position/shingle frames.
+SQL_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(
+           list_transform(regexp_split_to_array(text, '\\s+'),
+                          x -> lower(regexp_replace(x, '[^a-zA-Z0-9]+', '', 'g'))),
+           t -> length(t) > 2) AS toks
+  FROM documents
+)"""
+SQL_TF = """
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+)"""
+SQL_DL = """
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id)"""
+SQL_POS = """
+pos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+)"""
+SQL_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::bigint AS shingle_hash
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i) g
+  WHERE len(toks) >= 3
+)"""
+
+
+def _boolean_q(query: str):
+    def run(spark, sf_dir):
+        return compile_query(query, _bundle(spark, sf_dir)).select("doc_id")
+    return run
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: salted segment build + block-max WAND BM25 top-10 on
+    sf0.001 documents."""
+    from kma_information_retrieval_spark.index import build_index, load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="kma_ir_flagship_")
+    build_index(spark, docs, out, num_segments=8, postings_per_group=200, block_size=64)
+    idx = load_index(spark, out)
+    return bm25_topk_batch(idx, {"flagship": ["spark", "query", "join"]}, k=10)
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- dictionary & stats (A1-A5, S3)
+    q["q_dictionary"] = lambda s, d: ops.dictionary(
+        ops.postings(ops.token_frame(_docs(s, d)))
+    ).select("term", "df", "cf")
+
+    q["q_top_terms"] = lambda s, d: (
+        ops.dictionary(ops.postings(ops.token_frame(_docs(s, d))))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(10)
+        .select("term", "cf")
+    )
+
+    def q_stats(s, d):
+        docs = _docs(s, d)
+        toks = ops.token_frame(docs)
+        return ops.collection_stats(docs, toks).select(
+            "total_documents",
+            "collection_size_chars",
+            "total_words",
+            F.round("avgdl", 6).alias("avgdl"),
+        )
+    q["q_collection_stats"] = q_stats
+
+    q["q_doc_lengths"] = lambda s, d: ops.doc_lengths(
+        ops.token_frame(_docs(s, d))
+    ).select("doc_id", "dl")
+
+    # --- boolean algebra (J1-J5)
+    q["q_boolean_and"] = _boolean_q("spark and query")
+    q["q_boolean_or"] = _boolean_q("dup or merge")
+    q["q_boolean_not"] = _boolean_q("not dup")
+    q["q_boolean_complex"] = _boolean_q("(spark or query) and not dup")
+    q["q_boolean_missing"] = _boolean_q("zzzmissing or spark")
+
+    # --- phrase / proximity / bigram (J6-J8, T6, A7, A8)
+    q["q_phrase_2"] = _boolean_q('"hash join"')
+    q["q_phrase_3"] = _boolean_q('"small sort order"')
+    q["q_proximity"] = _boolean_q("near/3(table scan)")
+
+    def q_bigram(s, d):
+        from kma_information_retrieval_spark.operators.boolean import bigram_phrase_docs
+        return bigram_phrase_docs(["hash", "join"], _bundle(s, d)).select("doc_id")
+    q["q_bigram_phrase"] = q_bigram
+
+    # --- wildcards (T7/T8, A10/A11, J9-J13)
+    q["q_wildcard_prefix"] = _boolean_q("qu*")
+    q["q_wildcard_suffix"] = _boolean_q("*er")
+    q["q_wildcard_middle"] = _boolean_q("s*n")
+    q["q_wildcard_contains"] = _boolean_q("*ar*")
+    q["q_wildcard_qmark"] = _boolean_q("h?sh")
+
+    def q_wc_terms(s, d):
+        from kma_information_retrieval_spark.operators.boolean import wildcard_terms
+        return wildcard_terms("s*", _bundle(s, d)).select("term")
+    q["q_wildcard_terms"] = q_wc_terms
+
+    # --- BM25 (north star)
+    def _bm25(terms):
+        def run(s, d):
+            b = _bundle(s, d)
+            n_docs, avgdl = _stats(s, d)
+            return bm25_topk(
+                b.postings, b.dictionary, n_docs, avgdl, terms, 10,
+                doclen=ops.doc_lengths(b.tokens),
+            ).select("doc_id", F.round("score", 4).alias("score"))
+        return run
+    q["q_bm25_topk"] = _bm25(["spark", "query", "join"])
+    q["q_bm25_topk_tail"] = _bm25(["dup", "merge"])
+
+    # --- dedup suite
+    q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
+        "doc_id", "canonical_id", "group_size"
+    )
+
+    def q_minhash(s, d):
+        sig = dedup.minhash_signatures(dedup.shingle_frame(_docs(s, d), 3), N_MINHASH)
+        return sig.select("doc_id", *[f"mh_{i}" for i in range(N_MINHASH)])
+    q["q_minhash_signatures"] = q_minhash
+
+    def q_jaccard(s, d):
+        return dedup.ngram_jaccard_pairs(
+            dedup.shingle_frame(_docs(s, d), 3), JACCARD_THR
+        ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    q["q_ngram_jaccard_pairs"] = q_jaccard
+
+    q["q_simhash"] = lambda s, d: dedup.simhash(_docs(s, d)).select("doc_id", "simhash")
+
+    def q_neardup(s, d):
+        return dedup.embedding_neardup_pairs(_emb(s, d), NEARDUP_COS).select(
+            "a", "b", F.round("cosine", 4).alias("cosine")
+        )
+    q["q_embedding_neardup"] = q_neardup
+
+    # --- similarity search
+    def q_emb_topk(s, d):
+        emb = _emb(s, d)
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return ann.cosine_topk(emb, list(qv), 10).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+    q["q_embedding_topk"] = q_emb_topk
+
+    # --- text analysis
+    q["q_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_ish_tokens", "n_terms"
+    )
+
+    def q_quality(s, d):
+        t = textstats.quality_scores(_docs(s, d))
+        return t.select(
+            "doc_id", "n_chars",
+            F.round("alnum_ratio", 6).alias("alnum_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("mean_token_len", 6).alias("mean_token_len"),
+            F.round("quality", 6).alias("quality"),
+        )
+    q["q_quality_scores"] = q_quality
+
+    q["q_language_id"] = lambda s, d: textstats.language_id(_docs(s, d)).select(
+        "doc_id", "lang_pred", "stopword_hits"
+    )
+    q["q_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d)).select(
+        "doc_id", "fingerprint"
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    W = f"WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}"
+
+    o["q_dictionary"] = f"""{W}
+SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tf GROUP BY term"""
+
+    o["q_top_terms"] = f"""{W}
+SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY term
+ORDER BY cf DESC, term LIMIT 10"""
+
+    o["q_collection_stats"] = f"""{W}
+SELECT (SELECT count(*) FROM documents)::bigint AS total_documents,
+       (SELECT sum(length(text)) FROM documents)::bigint AS collection_size_chars,
+       (SELECT sum(dl) FROM dl)::bigint AS total_words,
+       round((SELECT avg(dl) FROM dl), 6) AS avgdl"""
+
+    o["q_doc_lengths"] = f"""{W}
+SELECT doc_id, dl::bigint AS dl FROM dl"""
+
+    def docs_of(term: str) -> str:
+        return f"SELECT DISTINCT doc_id FROM tf WHERE term = '{term}'"
+
+    o["q_boolean_and"] = f"""{W}
+SELECT doc_id FROM ({docs_of('spark')}) INTERSECT ({docs_of('query')})"""
+    o["q_boolean_or"] = f"""{W}
+SELECT doc_id FROM ({docs_of('dup')}) UNION SELECT doc_id FROM ({docs_of('merge')})"""
+    o["q_boolean_not"] = f"""{W}
+SELECT doc_id FROM documents WHERE doc_id NOT IN ({docs_of('dup')})"""
+    o["q_boolean_complex"] = f"""{W}
+SELECT doc_id FROM (
+  SELECT doc_id FROM ({docs_of('spark')}) UNION SELECT doc_id FROM ({docs_of('query')})
+) WHERE doc_id NOT IN ({docs_of('dup')})"""
+    o["q_boolean_missing"] = f"""{W}
+SELECT doc_id FROM ({docs_of('zzzmissing')}) UNION SELECT doc_id FROM ({docs_of('spark')})"""
+
+    WP = f"WITH {SQL_TOKS}, {SQL_POS}"
+    o["q_phrase_2"] = f"""{WP}
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.term = 'join'
+WHERE a.term = 'hash'"""
+    o["q_phrase_3"] = f"""{WP}
+SELECT DISTINCT a.doc_id FROM pos a
+JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.term = 'sort'
+JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 AND c.term = 'order'
+WHERE a.term = 'small'"""
+    o["q_proximity"] = f"""{WP}
+SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 3 AND b.term = 'scan'
+WHERE a.term = 'table'"""
+    o["q_bigram_phrase"] = o["q_phrase_2"]
+
+    def docs_of_like(pattern_sql: str) -> str:
+        # terms matching a regex -> union of their doc sets
+        return f"""{W}
+SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '{pattern_sql}')"""
+
+    o["q_wildcard_prefix"] = docs_of_like("^qu.*$")
+    o["q_wildcard_suffix"] = docs_of_like("^.*er$")
+    o["q_wildcard_middle"] = docs_of_like("^s.*n$")
+    o["q_wildcard_contains"] = docs_of_like("^.*ar.*$")
+    o["q_wildcard_qmark"] = docs_of_like("^h.sh$")
+    o["q_wildcard_terms"] = f"""{W}
+SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^s.*$')"""
+
+    def bm25_sql(terms: list[str]) -> str:
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+    o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
+    o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
+
+    o["q_dedup_exact"] = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT doc_id, content_hash,
+             min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+             count(*) OVER (PARTITION BY content_hash) AS group_size
+      FROM h)
+SELECT doc_id, canonical_id, group_size::bigint AS group_size FROM g WHERE group_size > 1"""
+
+    # minhash: same universal hashes (a, b seeded identically via numpy)
+    params = dedup._hash_params(N_MINHASH)
+    mh_exprs = ",\n       ".join(
+        f"min(({a} * (shingle_hash % 4294967296) + {b}) % {MERSENNE_P})::bigint AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    o["q_minhash_signatures"] = f"""WITH {SQL_TOKS}, {SQL_SHINGLES}
+SELECT doc_id,
+       {mh_exprs}
+FROM shingles GROUP BY doc_id"""
+
+    o["q_ngram_jaccard_pairs"] = f"""WITH {SQL_TOKS}, {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a, b, round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i::double / (sa.sz + sb.sz - i) >= {JACCARD_THR}"""
+
+    votes = ",\n       ".join(
+        f"sum(tf * ((((th >> {i}) & 1) * 2) - 1)) AS v_{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN v_{i} > 0 THEN (1::bigint << {i}) ELSE 0 END)" for i in range(60))
+    o["q_simhash"] = f"""{W},
+th AS (SELECT doc_id, term, tf, ('0x' || substr(md5(term), 1, 15))::bigint AS th FROM tf),
+v AS (SELECT doc_id,
+       {votes}
+      FROM th GROUP BY doc_id)
+SELECT doc_id, ({fp})::bigint AS simhash FROM v"""
+
+    cos = """list_dot_product(list_transform(a.embedding, x -> x::double),
+                              list_transform(b.embedding, x -> x::double))
+      / (sqrt(list_dot_product(list_transform(a.embedding, x -> x::double),
+                               list_transform(a.embedding, x -> x::double)))
+       * sqrt(list_dot_product(list_transform(b.embedding, x -> x::double),
+                               list_transform(b.embedding, x -> x::double))))"""
+    o["q_embedding_neardup"] = f"""
+SELECT a.vec_id AS a, b.vec_id AS b, round({cos}, 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {NEARDUP_COS}"""
+
+    o["q_embedding_topk"] = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id AS vec_id, round({cos}, 4) AS cosine
+FROM embeddings a CROSS JOIN q b
+ORDER BY {cos} DESC, a.vec_id LIMIT 10"""
+
+    o["q_token_counts"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\\s+'))::bigint AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint AS n_bpe_ish_tokens,
+         len(list_filter(list_transform(regexp_split_to_array(text, '\\s+'),
+             x -> lower(regexp_replace(x, '[^a-zA-Z0-9]+', '', 'g'))), x -> length(x) > 2))::bigint AS n_terms
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_ish_tokens, n_terms FROM t"""
+
+    sw = ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
+    o["q_quality_scores"] = f"""WITH {SQL_TOKS},
+m AS (
+  SELECT d.doc_id,
+         length(d.text)::bigint AS n_chars,
+         length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))::double / length(d.text) AS alnum_ratio,
+         len(list_filter(t.toks, x -> list_contains([{sw}], x)))::double / len(t.toks) AS stopword_ratio,
+         list_reduce(list_transform(t.toks, x -> length(x)::double), (a, b) -> a + b) / len(t.toks) AS mean_token_len
+  FROM documents d JOIN toks t USING (doc_id) WHERE len(t.toks) > 0)
+SELECT doc_id, n_chars, round(alnum_ratio, 6) AS alnum_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(greatest(0.0, least(1.0,
+         0.4 * alnum_ratio + 0.3 * least(stopword_ratio * 10.0, 1.0)
+         + 0.3 * (1.0 - abs(mean_token_len - 5.0) / 10.0))), 6) AS quality
+FROM m"""
+
+    lang_counts = {
+        lang: f"len(list_filter(toks, x -> list_contains([{', '.join(chr(39)+w+chr(39) for w in ws)}], x)))"
+        for lang, ws in textstats.STOPWORDS.items()
+    }
+    # replicate the engine's strict-> argmax with fixed order en,de,fr,es
+    o["q_language_id"] = f"""WITH {SQL_TOKS},
+c AS (SELECT doc_id,
+        {lang_counts['en']} AS c_en, {lang_counts['de']} AS c_de,
+        {lang_counts['fr']} AS c_fr, {lang_counts['es']} AS c_es
+      FROM toks)
+SELECT doc_id,
+  CASE
+    WHEN c_es > greatest(c_en, c_de, c_fr, 0) THEN 'es'
+    WHEN c_fr > greatest(c_en, c_de, 0) THEN 'fr'
+    WHEN c_de > greatest(c_en, 0) THEN 'de'
+    WHEN c_en > 0 THEN 'en'
+    ELSE 'und' END AS lang_pred,
+  greatest(c_en, c_de, c_fr, c_es, 0)::bigint AS stopword_hits
+FROM c"""
+
+    o["q_fingerprints"] = f"""WITH {SQL_TOKS}
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM toks"""
+
+    return o

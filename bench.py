@@ -1,0 +1,183 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+* headline query latencies over the documents corpus (boolean, phrase,
+  proximity, wildcard, BM25 DataFrame path, BM25 block-max WAND over
+  built segments, minhash dedup, ANN top-k);
+* index-build throughput (docs/sec) on a deterministic synthetic code
+  corpus at TWO parallelism levels — local[N] and local[4N] (sandbox
+  proxy for N vs 4N executors, per BASELINE.md) — and the scaling
+  efficiency between them. Each level runs in a fresh subprocess so the
+  JVM/core count is honest.
+
+Also rewrites BENCH.md with the scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("KMA_BENCH_DOCS", "40000"))
+
+BM25_QUERIES = {
+    "q1": ["spark", "query", "join"],
+    "q2": ["hash", "scan"],
+    "q3": ["dup", "merge"],
+    "q4": ["table", "window", "stream", "batch"],
+    "q5": ["customer", "order"],
+    "q6": ["filter"],
+    "q7": ["big", "data", "fast"],
+    "q8": ["sort", "group", "key"],
+}
+
+
+def _build_worker(cpus: int, corpus_path: str, out_dir: str) -> None:
+    """Subprocess body: time the segment build at a given parallelism."""
+    from kma_information_retrieval_spark.index import build_index
+    from kma_information_retrieval_spark.session import get_spark
+
+    spark = get_spark(f"bench_build_{cpus}", master=f"local[{cpus}]")
+    docs = spark.read.parquet(corpus_path)
+    n = docs.count()  # warm the scan; excluded from build timing
+    t0 = time.time()
+    build_index(spark, docs, out_dir, num_segments=max(cpus, 16),
+                postings_per_group=50_000, block_size=128)
+    secs = time.time() - t0
+    print(json.dumps({"cpus": cpus, "docs": n, "secs": secs,
+                      "docs_per_sec": n / secs}))
+    spark.stop()
+
+
+def _run_build_at(cpus: int, corpus_path: str) -> dict:
+    with tempfile.TemporaryDirectory(prefix=f"kma_bench_idx{cpus}_") as out:
+        res = subprocess.run(
+            [sys.executable, __file__, "--build-worker", str(cpus), corpus_path, out],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark import operators as ops
+    from kma_information_retrieval_spark.corpus import synthetic_corpus
+    from kma_information_retrieval_spark.index import build_index, load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+    from kma_information_retrieval_spark.operators import ann, dedup
+    from kma_information_retrieval_spark.operators.bm25 import bm25_topk
+    from kma_information_retrieval_spark.operators.boolean import IndexBundle, compile_query
+    from kma_information_retrieval_spark.session import get_spark
+
+    timings: dict[str, float] = {}
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+
+    # ---- corpus for the scaling experiment (generated once, on disk)
+    tmp = tempfile.mkdtemp(prefix="kma_bench_")
+    corpus_path = os.path.join(tmp, "corpus.parquet")
+    synthetic_corpus(spark, BENCH_DOCS, CPUS * 2).write.mode("overwrite").parquet(corpus_path)
+
+    # ---- query-side benchmarks on the sf documents corpus
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    ).cache()
+    docs.count()
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    toks = ops.token_frame(docs).cache()
+    post = timed("build_postings", lambda: ops.postings(toks).cache())
+    post.count()
+    dic = ops.dictionary(post).cache()
+    dic.count()
+    vocab = dic.select("term")
+    bundle = IndexBundle(
+        post, docs.select("doc_id"), ops.positional_index(toks).cache(),
+        vocab, ops.trigram_index(vocab).cache(), ops.permuterm_index(vocab).cache(),
+        ops.bigram_index(docs).cache(),
+    )
+    stats = ops.collection_stats(docs, toks).collect()[0]
+    doclen = ops.doc_lengths(toks).cache()
+
+    timed("boolean", lambda: compile_query("(spark or query) and not dup", bundle).count())
+    timed("phrase", lambda: compile_query('"hash join"', bundle).count())
+    timed("proximity", lambda: compile_query("near/3(table scan)", bundle).count())
+    timed("wildcard", lambda: compile_query("s*n or *er", bundle).count())
+    timed("bm25_dataframe", lambda: bm25_topk(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], 10, doclen=doclen).collect())
+
+    # segment build + WAND on the sf corpus
+    seg_dir = os.path.join(tmp, "segidx")
+    timed("segment_build_sf", lambda: build_index(
+        spark, docs, seg_dir, num_segments=CPUS, postings_per_group=50_000,
+        block_size=128))
+    idx = load_index(spark, seg_dir)
+    timed("bm25_wand_batch8", lambda: bm25_topk_batch(idx, BM25_QUERIES, 10).collect())
+
+    # dedup + ANN
+    timed("minhash_pairs", lambda: dedup.minhash_pairs(
+        dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    timed("ann_cosine_topk", lambda: ann.cosine_topk(emb, qv, 10).collect())
+
+    spark.stop()
+
+    # ---- scaling experiment: same input, local[N] vs local[4N]
+    lo_cpus, hi_cpus = max(2, CPUS // 4), CPUS
+    lo = _run_build_at(lo_cpus, corpus_path)
+    hi = _run_build_at(hi_cpus, corpus_path)
+    timings["index_build_lo"] = round(lo["secs"], 4)
+    timings["index_build_hi"] = round(hi["secs"], 4)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — measured numbers (bench.py)\n\n"
+            f"corpus: {BENCH_DOCS} synthetic docs (build), `{SF_DIR}` (queries)\n\n"
+            "| metric | value |\n|---|---|\n"
+            f"| build docs/sec @ local[{lo_cpus}] | {lo['docs_per_sec']:.1f} |\n"
+            f"| build docs/sec @ local[{hi_cpus}] | {hi['docs_per_sec']:.1f} |\n"
+            f"| scaling efficiency ({lo_cpus}->{hi_cpus} cores) | {eff:.3f} (target >= 0.8) |\n"
+            + "".join(f"| {k} (s) | {v:.3f} |\n" for k, v in sorted(timings.items()))
+        )
+
+    print(json.dumps({
+        "metric": "ir_engine_suite_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "build_docs_per_sec_lo": round(lo["docs_per_sec"], 2),
+        "build_docs_per_sec_hi": round(hi["docs_per_sec"], 2),
+        "scaling_cpus": [lo_cpus, hi_cpus],
+        "scaling_efficiency": round(eff, 4),
+        "bench_docs": BENCH_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
+        _build_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        main()

@@ -1,0 +1,179 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`cosine_topk` — brute-force cosine top-k for a query vector:
+  zip_with dot product + TakeOrdered. The exact baseline; scans every
+  row but never shuffles more than k rows per partition.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH scale path: vectors
+  are bucketed by an s-bit sign signature at build time; a query
+  probes its own bucket plus all buckets within ``probe_hamming`` bit
+  flips, so the scan touches a tunable fraction of the corpus.
+  Approximate (recall < 1) by design — benchmark against
+  :func:`cosine_topk` for the recall/cost trade-off.
+* :func:`ivf_topk` — IVF-style variant: k-means-lite centroids picked
+  deterministically (hash-sampled rows), vectors assigned to nearest
+  centroid at build; queries probe the ``n_probe`` nearest centroids.
+
+All math is float64 DataFrame expressions (no UDFs); the fold order of
+the dot product is fixed left-to-right in both the engine and the SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cosine) top-k by cosine similarity, ties by vec_id ASC."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return (
+        v.withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------ LSH
+
+
+def hyperplanes(dim: int, n_bits: int = 12) -> np.ndarray:
+    rng = np.random.default_rng(_SEED)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit signature as an int column — pure expressions."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_index(emb: DataFrame, n_bits: int = 12,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, v, bucket) — build-time bucketing; persist + bucket by
+    `bucket` at scale so probes become partition-pruned scans."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_signature_col(F.col("v"), planes))
+
+
+def _probe_buckets(sig: int, n_bits: int, probe_hamming: int) -> list[int]:
+    out = {sig}
+    if probe_hamming >= 1:
+        for i in range(n_bits):
+            out.add(sig ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_bits):
+            for j in range(i + 1, n_bits):
+                out.add(sig ^ (1 << i) ^ (1 << j))
+    return sorted(out)
+
+
+def lsh_bucket_topk(
+    index: DataFrame, query_vec: list[float], k: int = 10,
+    n_bits: int = 12, probe_hamming: int = 1,
+) -> DataFrame:
+    """Top-k among vectors in the query's bucket ± probe_hamming bits."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(q.size, n_bits)
+    sig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
+    buckets = _probe_buckets(sig, n_bits, probe_hamming)
+    qn = float(np.sqrt(q @ q))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        index.filter(F.col("bucket").isin(buckets))
+        .withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic centroid pick: the n rows with smallest md5-hash of
+    their id (a seeded sample without a full sort — TakeOrdered only)."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_index(emb: DataFrame, centroids: list[list[float]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, v, centroid_id): assign each vector to its nearest
+    centroid (max cosine) via a greatest-of chain — no shuffle."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    best_id, best_sim = F.lit(-1), F.lit(-2.0)
+    for ci, c in enumerate(centroids):
+        cn = float(np.sqrt(np.dot(c, c))) or 1.0
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        sim = _dot(F.col("v"), ccol) / (F.col("n") * F.lit(cn))
+        best_id = F.when(sim > best_sim, F.lit(ci)).otherwise(best_id)
+        best_sim = F.when(sim > best_sim, sim).otherwise(best_sim)
+    return v.select("vec_id", "v", best_id.alias("centroid_id"))
+
+
+def ivf_topk(index: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    sims = []
+    for ci, c in enumerate(centroids):
+        c = np.asarray(c)
+        cn = float(np.sqrt(c @ c)) or 1.0
+        sims.append((float(c @ q) / (cn * qn), ci))
+    probe = [ci for _, ci in sorted(sims, reverse=True)[:n_probe]]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        index.filter(F.col("centroid_id").isin(probe))
+        .withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash (+ LSH banding), SimHash (+ pigeonhole
+band join), and word-n-gram Jaccard — all expressed as DataFrame plans
+over a portable md5-based hash (identical in Spark and DuckDB, so the
+driver's SQL oracle can replay every step bit-for-bit).
+
+Scale notes (the point of each design):
+* exact dedup = one shuffle on the content hash; no content comparison.
+* MinHash signatures are ``n_hashes`` universal-hash mins computed as
+  aggregate expressions over exploded shingles — one shuffle, JVM-side.
+* candidate pairs come from an equi-join on (band, band-value), never a
+  cross join; with ``rows_per_band=1`` the candidate set provably
+  covers every pair with >= 1 equal minhash, so filtering candidates on
+  estimated Jaccard >= t (t >= 1/n) yields *exactly* the cross-join
+  answer at a tiny fraction of the cost.
+* SimHash near-dup (hamming <= 3 over a 60-bit fingerprint) joins on
+  one of 4 15-bit chunks (pigeonhole: <=3 differing bits leave >= 1 of
+  4 chunks identical) — again exact results without a cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 64-bit-safe universal hashing over a 32-bit reduced universe:
+# a*h32 + b with a,b < 2^31 and h32 < 2^32 stays below 2^63.
+_MERSENNE_P = 4294967311  # prime > 2^32
+_SEED = 42
+
+
+def md5_long(col) -> object:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+    Spark: conv(substr(md5(x),1,15),16,10); DuckDB: ('0x'||...)::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(_SEED)
+    a = rng.integers(1, 2**31 - 1, size=n)
+    b = rng.integers(0, 2**31 - 1, size=n)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, canonical_id, group_size) for every doc whose exact
+    content appears more than once; canonical = min doc_id of the group."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("content_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def shingle_frame(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """(doc_id, shingle_hash) distinct word-n-gram shingles, hashed to a
+    portable 60-bit long."""
+    from ..functions.tokenize import tokenize_expr
+
+    # materialize the token array as a column FIRST: referencing the raw
+    # tokenize expression inside a per-element lambda would make Catalyst
+    # re-evaluate the whole tokenizer per array element (O(len^2))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
+    )
+    toks = F.col("toks")
+    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - (n - 1)),
+            lambda x, i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        base.select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}) — each column is min((a*h32+b) mod p)
+    over the doc's shingle hashes. One hash-aggregate, JVM-side."""
+    h32 = F.pmod(F.col("shingle_hash"), F.lit(2**32)).alias("h32")
+    base = shingles.select("doc_id", h32)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h32") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_pairs(
+    signatures: DataFrame, n_hashes: int = 16, threshold: float = 0.5
+) -> DataFrame:
+    """(a, b, est_jaccard) for pairs with estimated Jaccard >= threshold.
+
+    LSH with rows_per_band=1: candidates = pairs sharing at least one
+    minhash — a union of n equi-self-joins (no cross join). For
+    threshold >= 1/n this is provably complete, so the output equals
+    the brute-force cross-join answer."""
+    mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    long_fmt = signatures.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(c) for c in mh_cols])).alias("band", "mh"),
+    )
+    left = long_fmt.select(
+        F.col("doc_id").alias("a"), "band", "mh"
+    )
+    right = long_fmt.select(F.col("doc_id").alias("b"), "band", "mh")
+    cand = (
+        left.join(right, ["band", "mh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = signatures.select(
+        F.col("doc_id").alias("a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols]
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols]
+    )
+    est = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------ n-gram jaccard (exact)
+
+
+def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle:
+    |A ∩ B| from a self-join on shingle_hash, |A ∪ B| = |A|+|B|-|A∩B|.
+    Pairs sharing nothing have Jaccard 0 and are (correctly) absent."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("a"), "shingle_hash")
+    b = shingles.select(F.col("doc_id").alias("b"), "shingle_hash")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+_SIMHASH_BITS = 60  # md5_long yields 60 bits
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content",
+            mode: str = "code") -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over tf-weighted token hashes.
+    Per-bit vote sums are plain aggregate expressions (one shuffle)."""
+    from ..functions.tokenize import tokenize_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(text_col, mode)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("th", md5_long(F.col("term")))
+    votes = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*votes)
+    fp = sum(
+        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Join on one of 4 15-bit chunks (pigeonhole over 60 bits: <= 3
+    differing bits leave at least one chunk equal), verify with
+    bit_count(xor) — exact cross-join semantics, equi-join cost."""
+    chunks = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+                for i in range(4)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk_id", "chunk")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk_id", "chunk")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------ embedding near-dup
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine >= threshold. Brute-force
+    pairwise (the correctness baseline; see ann.py for the LSH-bucketed
+    scale path). Norms precomputed once; dot product is a zip_with +
+    aggregate fold, JVM-side."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)),
+    )
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -85,10 +85,14 @@ def bigram_index(
 ) -> DataFrame:
     """(bigram, doc_id) distinct — T6/A8 (``bigram_index.rs:15-86``).
     Built from the token array with an index ``transform`` (no window
-    function, no extra shuffle beyond the final distinct)."""
-    toks = tokenize_expr(text_col, mode)
+    function, no extra shuffle beyond the final distinct). The token
+    array is projected to a column first so the per-element lambda
+    references a materialized array, not the tokenize expression."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
+    )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams_expr(toks)).alias("bigram"))
+        base.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bigram"))
         .select("bigram", "doc_id")
         .distinct()
     )

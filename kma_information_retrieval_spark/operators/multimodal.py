@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata; all
+Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing — is real and tested. The actual codec
+step is pluggable: the container has no image/audio libraries, so the
+default decoder raises ``NotImplementedError`` and tests inject
+:func:`fake_decoder`, a deterministic stand-in keyed on the payload
+hash (same shape of outputs a real Pillow/ffmpeg decoder would emit).
+
+Scale notes: decode is the classic CPU-heavy embarrassingly-parallel
+stage — ``mapInPandas`` keeps it one Arrow batch at a time per core,
+and ``media_repartition`` sizes partitions by *bytes*, not row count,
+so a 100 TB video table doesn't put 10 GB of payload in one task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA_DOC = """media table schema:
+  (media_id: long, kind: string in {image,audio,video},
+   payload: binary, mime: string, meta: map<string,string>)"""
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_frames int, duration_ms int, "
+    "feature array<float>"
+)
+
+
+def attach_metadata(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the raw bytes — pure expressions, no decode:
+    size, sha256, magic prefix (format sniffing)."""
+    p = F.col(payload_col)
+    return df.withColumns(
+        {
+            "n_bytes": F.length(p).cast("long"),
+            "sha256": F.sha2(p, 256),
+            "magic": F.hex(F.substring(p, 1, 4)),
+        }
+    )
+
+
+def default_decoder(kind: str, payload: bytes) -> dict:
+    """Real decoding needs Pillow / ffmpeg — not present in this
+    container. STUB (clearly marked per the build contract)."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def fake_decoder(kind: str, payload: bytes) -> dict:
+    """Deterministic stand-in decoder: derives plausible dimensions and
+    an 8-dim feature vector from the payload hash. Shape-compatible
+    with a real decoder so the plumbing test is meaningful."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    return {
+        "width": int(16 + h[0]) if kind in ("image", "video") else 0,
+        "height": int(16 + h[1]) if kind in ("image", "video") else 0,
+        "n_frames": int(1 + h[2]) if kind == "video" else (1 if kind == "image" else 0),
+        "duration_ms": int.from_bytes(h[3:5], "big") if kind in ("audio", "video") else 0,
+        "feature": (rng[:8] / 255.0).tolist(),
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[str, bytes], dict] = default_decoder,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batches; one batch
+    in memory per core). Decoder failures surface per-row as nulls in
+    width/height/... rather than failing the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf[id_col], pdf[kind_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": int(mid),
+                    "kind": kind,
+                    "n_bytes": len(raw),
+                    "sha256": hashlib.sha256(raw).hexdigest(),
+                }
+                try:
+                    row.update(decoder(kind, raw))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    row.update(
+                        {"width": None, "height": None, "n_frames": None,
+                         "duration_ms": None, "feature": None}
+                    )
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, kind_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(video: DataFrame, every_n: int = 30,
+                      id_col: str = "media_id", nframes_col: str = "n_frames") -> DataFrame:
+    """(media_id, frame_no) sampling plan — every_n-th frame per video.
+    The plan is pure expressions; the frame *extraction* plugs into
+    extract_features with a video decoder."""
+    return video.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(nframes_col) - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_no"),
+    )
+
+
+def media_repartition(media: DataFrame, target_bytes: int = 64 << 20,
+                      payload_col: str = "payload") -> DataFrame:
+    """Size partitions by payload bytes (not rows) before a decode stage:
+    totals bytes, derives the partition count, round-robins."""
+    total = media.select(F.sum(F.length(payload_col))).collect()[0][0] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return media.repartition(n)
+
+
+def synthetic_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic fake media table for tests (seeded bytes)."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(1000 + i)
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        kind = kinds[i % 3]
+        rows.append((i, kind, payload, f"application/x-fake-{kind}"))
+    return spark.createDataFrame(rows, "media_id long, kind string, payload binary, mime string")

@@ -1,0 +1,103 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Pure Catalyst expressions (whole-stage codegen; no Python in the hot
+path), each with an exact ANSI-SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_expr
+
+# Small stopword inventories for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "for", "that", "with", "this", "are", "was", "not", "you"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["les", "des", "est", "que", "une", "dans", "pour", "qui", "pas", "sur"],
+    "es": ["los", "las", "que", "por", "con", "una", "del", "para", "como", "más"],
+}
+
+
+def _count_in(toks, words: list[str]):
+    return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, lang_pred, stopword_hits) — argmax of stopword hits over
+    the candidate languages; 'und' when nothing matches. Deterministic
+    tie-break: language order en > de > fr > es (strict > comparison)."""
+    toks = tokenize_expr(text_col, "code")
+    counts = {lang: _count_in(toks, ws) for lang, ws in STOPWORDS.items()}
+    best_lang, best_n = F.lit("und"), F.lit(0)
+    for lang in ["en", "de", "fr", "es"]:
+        c = counts[lang]
+        best_lang = F.when(c > best_n, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(c > best_n, c).otherwise(best_n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best_lang.alias("lang_pred"),
+        best_n.cast("long").alias("stopword_hits"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_ish_tokens, n_terms) — whitespace
+    split count, a BPE-ish lexical count (letter runs / digit runs /
+    single symbols), and the engine-tokenizer term count."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    terms = F.size(tokenize_expr(text_col, "code"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_ish_tokens"),
+        terms.cast("long").alias("n_terms"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, n_chars, alnum_ratio, stopword_ratio, mean_token_len,
+    quality) — cheap heuristics a curation pipeline filters on.
+    quality = 0.4*alnum_ratio + 0.3*min(stopword_ratio*10, 1)
+            + 0.3*(1 - |mean_token_len - 5| / 10), clamped to [0, 1]."""
+    text = F.col(text_col)
+    toks = tokenize_expr(text_col, "code")
+    n_chars = F.length(text)
+    n_alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    alnum_ratio = F.when(n_chars > 0, n_alnum.cast("double") / n_chars).otherwise(0.0)
+    n_toks = F.size(toks)
+    sw = _count_in(toks, STOPWORDS["en"])
+    stop_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    mean_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda s, x: s + F.length(x)).cast("double") / n_toks,
+    ).otherwise(0.0)
+    quality = (
+        F.lit(0.4) * alnum_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(mean_len - 5.0) / 10.0)
+    )
+    quality = F.greatest(F.lit(0.0), F.least(F.lit(1.0), quality))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        alnum_ratio.alias("alnum_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, fingerprint) — the classic sorted-distinct-token
+    fingerprint (md5 of the canonicalized token set): robust to token
+    reordering and duplication, the first-pass near-dup key."""
+    toks = tokenize_expr(text_col, "code")
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(canon).alias("fingerprint"),
+    )

@@ -1,0 +1,3 @@
+from .loader import discover_columns, read_corpus, read_raw_files, inspect_schema
+
+__all__ = ["discover_columns", "read_corpus", "read_raw_files", "inspect_schema"]

@@ -1,0 +1,120 @@
+"""Corpus sources — reference S1-S4 re-expressed on Spark readers.
+
+* S3 parquet scan + dynamic column discovery: the reference picks the
+  text/id/metadata columns by name heuristics with fallback to the
+  first string columns and synthesizes ``doc_{row}`` ids for null ids
+  (``parquet_loader.rs:52-147``). Here the same heuristics run against
+  the DataFrame schema (driver-side, no data read), and the scan stays
+  lazy/columnar — Catalyst prunes to exactly the chosen columns.
+* S1 directory scan of raw files -> ``binaryFile`` source (the FB2/XML
+  body extraction S2 collapses to a projection, since our corpora carry
+  text columns already; an XML-ish body stripper is provided for
+  parity).
+* S4 schema inspect -> ``printSchema`` + sample, returned as a string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TEXT_HINTS = ("text", "content", "body")
+ID_HINTS = ("id",)
+META_HINTS = ("title", "subject", "category", "metadata")
+
+
+def discover_columns(schema: T.StructType) -> dict[str, str | None]:
+    """Name-heuristic column discovery (``parquet_loader.rs:61-83``):
+    text = first column whose name contains text|content|body; id =
+    first containing 'id'; meta = first of title|subject|category;
+    fallback: first/second string columns."""
+    names = [f.name for f in schema.fields]
+    strings = [f.name for f in schema.fields if isinstance(f.dataType, T.StringType)]
+
+    def pick(hints, pool):
+        for n in pool:
+            if any(h in n.lower() for h in hints):
+                return n
+        return None
+
+    text = pick(TEXT_HINTS, strings) or (strings[0] if strings else None)
+    id_ = pick(ID_HINTS, names)
+    rest = [s for s in strings if s not in (text,)]
+    meta = pick(META_HINTS, rest)
+    return {"text": text, "id": id_, "meta": meta}
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    explicit: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read any tabular corpus into the engine shape
+    ``(doc_id: long, doc_name: string, content: string[, meta])``.
+
+    Null/missing ids become ``doc_{row}`` names (reference semantics);
+    the stable numeric doc_id is the md5-prefix hash of the name, so
+    ids survive re-reads and repartitioning (no zipWithIndex, no global
+    sort — required at 10^12-file scale)."""
+    reader = spark.read.format(fmt)
+    if fmt == "json":
+        reader = reader.option("multiLine", "false")
+    df = reader.load(path)
+    cols = dict(discover_columns(df.schema))
+    if explicit:
+        cols.update(explicit)
+    if cols["text"] is None:
+        raise ValueError(f"no text column discovered in {df.columns}")
+    name = (
+        F.coalesce(F.col(cols["id"]).cast("string"),
+                   F.concat(F.lit("doc_"), F.monotonically_increasing_id().cast("string")))
+        if cols["id"]
+        else F.concat(F.lit("doc_"), F.monotonically_increasing_id().cast("string"))
+    )
+    out = df.select(
+        name.alias("doc_name"),
+        F.col(cols["text"]).alias("content"),
+        *([F.col(cols["meta"]).alias("meta")] if cols["meta"] else []),
+    )
+    return out.withColumn(
+        "doc_id", F.conv(F.substring(F.md5("doc_name"), 1, 15), 16, 10).cast("long")
+    )
+
+
+def read_raw_files(
+    spark: SparkSession, dir_glob: str, min_bytes: int = 0, suffix: str | None = None
+) -> DataFrame:
+    """S1/T11: directory scan via the binaryFile source, with the
+    reference's min-size filter (``lib.rs:98-107``) as a pushed filter.
+    Returns (doc_name, content, n_bytes)."""
+    df = spark.read.format("binaryFile").load(dir_glob)
+    if suffix:
+        df = df.filter(F.col("path").endswith(suffix))
+    if min_bytes:
+        df = df.filter(F.col("length") >= min_bytes)
+    return df.select(
+        F.col("path").alias("doc_name"),
+        F.col("content").cast("string").alias("content"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
+def strip_xml_body(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """S2 parity: keep text inside <body>...</body> and drop tags —
+    a pure regex projection (the reference streams XML events,
+    ``parser.rs:19-63``; same observable effect for well-formed input)."""
+    body = F.regexp_extract(F.col(content_col), r"(?s)<body[^>]*>(.*)</body>", 1)
+    return df.withColumn(
+        content_col,
+        F.regexp_replace(F.when(body != "", body).otherwise(F.col(content_col)), r"<[^>]*>", " "),
+    )
+
+
+def inspect_schema(df: DataFrame, n: int = 3) -> str:
+    """S4: schema + n sample rows as a string report."""
+    lines = [df.schema.simpleString()]
+    for row in df.take(n):
+        lines.append(str(row.asDict()))
+    return "\n".join(lines)

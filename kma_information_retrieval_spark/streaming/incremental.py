@@ -1,0 +1,124 @@
+"""Incremental (streaming) index maintenance — generation-based.
+
+The reference is batch-only; this is a north-star-adjacent extension
+for corpora that keep growing (the realistic mode for a source-code
+corpus). Structured Streaming micro-batches append **immutable
+generations**: each ``foreachBatch`` runs the exact same salted segment
+build (``index.segments.build_index``) into
+``out_dir/generations/gen=<epoch>/``, Lucene-style. Nothing is ever
+rewritten, so:
+
+* exactly-once per generation comes from the streaming checkpoint +
+  the per-generation manifest;
+* query-time merge is free: every generation contributes extra
+  (term, salt) segment rows, and the WAND kernel already treats any
+  number of rows per term as independent doc-disjoint cursors;
+* global df/idf per term = sum of per-generation dictionary rows.
+
+A compaction job (merge small generations into one) is the same build
+re-run over the union of their docmaps — not implemented separately.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.segments import build_index
+
+
+def incremental_index_stream(
+    stream_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    **build_kwargs,
+):
+    """Attach the generation-append sink to a streaming docs DataFrame
+    ((doc_id, content, ...)). Returns the StreamingQuery (caller awaits)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gen_dir = os.path.join(out_dir, "generations", f"gen={epoch_id:010d}")
+        build_index(batch_df.sparkSession, batch_df, gen_dir, **build_kwargs)
+
+    writer = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_checkpoint"))
+    )
+    return writer.start()
+
+
+@dataclass
+class GenerationIndex:
+    """Query view over all committed generations."""
+
+    spark: SparkSession
+    out_dir: str
+    gen_dirs: list[str]
+    metas: list[dict]
+
+    @property
+    def n_docs(self) -> int:
+        return sum(m["n_docs"] for m in self.metas)
+
+    @property
+    def avgdl(self) -> float:
+        tw = sum(m["total_words"] for m in self.metas)
+        return tw / self.n_docs if self.n_docs else 0.0
+
+    @property
+    def segments(self) -> DataFrame:
+        dfs = [self.spark.read.parquet(os.path.join(g, "segments")) for g in self.gen_dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    @property
+    def dictionary(self) -> DataFrame:
+        dfs = [self.spark.read.parquet(os.path.join(g, "dictionary")) for g in self.gen_dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+
+    def bm25_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Merged-generation BM25 top-k (exact kernel; global stats are
+        the cross-generation sums; avgdl/impacts use the merged avgdl, so
+        per-generation block_max_impact columns are recomputed here —
+        correctness first, block skipping is per-generation territory)."""
+        from ..index.wand import _exact_kernel, _idf
+
+        terms = sorted(set(terms))
+        seg = self.segments.filter(F.col("term").isin(terms))
+        rows = seg.toPandas()
+        if rows.empty:
+            return []
+        gdf = {
+            r["term"]: r["df"]
+            for r in self.dictionary.filter(F.col("term").isin(terms)).collect()
+        }
+        idf = {t: _idf(d, self.n_docs) for t, d in gdf.items()}
+        return _exact_kernel(rows, idf, self.avgdl, k)
+
+
+def load_generations(spark: SparkSession, out_dir: str) -> GenerationIndex:
+    gen_dirs = sorted(glob.glob(os.path.join(out_dir, "generations", "gen=*")))
+    metas = []
+    dirs = []
+    for g in gen_dirs:
+        mp = os.path.join(g, "manifest.json")
+        if os.path.exists(mp):  # only committed generations
+            with open(mp) as f:
+                metas.append(json.load(f))
+            dirs.append(g)
+    if not dirs:
+        raise FileNotFoundError(f"no committed generations under {out_dir}")
+    return GenerationIndex(spark, out_dir, dirs, metas)

@@ -1,0 +1,88 @@
+"""Simulate the driver's correctness gate: run every queries() entry on
+Spark at sf0.01 and its oracle_sql() twin on DuckDB, compare row count,
+schema (column names), and order-insensitive values.
+
+Usage: python scripts/check_entry.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry
+from kma_information_retrieval_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_entry")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in os_:
+            print(f"okay {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            res = con.sql(os_[name])
+            ocols = [c for c in res.columns]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: schema spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        a, b = rowset(scols, srows), rowset(ocols, orows)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount spark={len(a)} oracle={len(b)}")
+            failures += 1
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: values differ, e.g. {diff}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(a)} rows")
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

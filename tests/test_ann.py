@@ -1,0 +1,72 @@
+"""ANN similarity search: brute-force exactness, LSH/IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kma_information_retrieval_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    return {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+
+
+def brute_topk(vecs: dict, q: np.ndarray, k: int) -> list[int]:
+    qn = np.linalg.norm(q)
+    sims = [
+        (float(v @ q / (np.linalg.norm(v) * qn)), vid) for vid, v in vecs.items()
+    ]
+    sims.sort(key=lambda sv: (-sv[0], sv[1]))
+    return [vid for _, vid in sims[:k]]
+
+
+def test_cosine_topk_exact(emb, vecs):
+    q = vecs[0]
+    got = ann.cosine_topk(emb, list(q), 10).collect()
+    assert [r["vec_id"] for r in got] == brute_topk(vecs, q, 10)
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_recall(emb, vecs):
+    # random (structureless) embeddings are the worst case for LSH —
+    # 6 bits + 2-bit probing scans ~1/3 of the corpus; recall must
+    # clearly beat that scan fraction to show the buckets correlate
+    # with cosine.
+    idx = ann.lsh_index(emb, n_bits=6).cache()
+    # every vector is in exactly one bucket
+    assert idx.count() == len(vecs)
+    recalls = []
+    for qid in [0, 7, 42]:
+        q = vecs[qid]
+        got = [r["vec_id"] for r in ann.lsh_bucket_topk(idx, list(q), 10, n_bits=6, probe_hamming=2).collect()]
+        want = brute_topk(vecs, q, 10)
+        recalls.append(len(set(got) & set(want)) / 10)
+        assert got[0] == qid  # the vector itself always lands in its own bucket
+    assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_lsh_results_subset_of_bruteforce_order(emb, vecs):
+    """Whatever LSH returns must be correctly ordered by cosine."""
+    idx = ann.lsh_index(emb, n_bits=10)
+    q = vecs[3]
+    got = ann.lsh_bucket_topk(idx, list(q), 10, n_bits=10, probe_hamming=1).collect()
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall(emb, vecs):
+    cents = ann.ivf_centroids(emb, 8)
+    idx = ann.ivf_index(emb, cents).cache()
+    assert idx.count() == len(vecs)
+    q = vecs[11]
+    got = [r["vec_id"] for r in ann.ivf_topk(idx, cents, list(q), 10, n_probe=4).collect()]
+    want = brute_topk(vecs, q, 10)
+    assert 11 in got
+    assert len(set(got) & set(want)) >= 3

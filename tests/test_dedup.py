@@ -1,0 +1,150 @@
+"""Dedup operators vs pure-Python/numpy oracles (same portable md5 hash)."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from kma_information_retrieval_spark.corpus import local_corpus
+from kma_information_retrieval_spark.oracle import tokenize
+from kma_information_retrieval_spark.operators import dedup
+
+N = 200
+P = dedup._MERSENNE_P
+
+
+def md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_shingles(text: str, n: int = 3) -> set[int]:
+    toks = tokenize(text, "code")
+    return {md5_long(" ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return local_corpus(N)
+
+
+@pytest.fixture(scope="module")
+def shingle_sets(corpus_rows):
+    return {r["doc_id"]: py_shingles(r["content"]) for r in corpus_rows}
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "other text"), (3, "same text"), (4, "same text"), (5, "unique")],
+        "doc_id long, content string",
+    )
+    got = {(r["doc_id"], r["canonical_id"], r["group_size"])
+           for r in dedup.exact_duplicates(df).collect()}
+    assert got == {(1, 1, 3), (3, 1, 3), (4, 1, 3)}
+
+
+def test_shingle_frame_matches_python(spark, docs, shingle_sets):
+    sf = dedup.shingle_frame(docs, 3)
+    got: dict[int, set] = {}
+    for r in sf.collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle_hash"])
+    assert got == {d: s for d, s in shingle_sets.items() if s}
+
+
+def test_minhash_and_pairs_match_bruteforce(spark, docs, shingle_sets):
+    n_hashes, thr = 16, 0.25
+    sf = dedup.shingle_frame(docs, 3)
+    sig = dedup.minhash_signatures(sf, n_hashes)
+    params = dedup._hash_params(n_hashes)
+
+    def py_sig(hs: set[int]) -> list[int]:
+        h32 = np.array([h % 2**32 for h in hs], dtype=np.int64)
+        return [int(((a * h32 + b) % P).min()) for a, b in params]
+
+    want_sigs = {d: py_sig(s) for d, s in shingle_sets.items() if s}
+    got_sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(n_hashes)] for r in sig.collect()
+    }
+    assert got_sigs == want_sigs
+
+    got_pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in dedup.minhash_pairs(sig, n_hashes, thr).collect()
+    }
+    want_pairs = {}
+    for a, b in combinations(sorted(want_sigs), 2):
+        est = sum(x == y for x, y in zip(want_sigs[a], want_sigs[b])) / n_hashes
+        if est >= thr:
+            want_pairs[(a, b)] = est
+    assert got_pairs == pytest.approx(want_pairs)
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs, shingle_sets):
+    thr = 0.12
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), thr).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(shingle_sets), 2):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= thr:
+            want[(a, b)] = j
+    assert got == pytest.approx(want)
+
+
+def test_simhash_matches_python(spark, docs, corpus_rows):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+
+    def py_simhash(text: str) -> int:
+        votes = [0] * 60
+        tf: dict[str, int] = {}
+        for t in tokenize(text, "code"):
+            tf[t] = tf.get(t, 0) + 1
+        for t, c in tf.items():
+            h = md5_long(t)
+            for i in range(60):
+                votes[i] += c if (h >> i) & 1 else -c
+        return sum(1 << i for i in range(60) if votes[i] > 0)
+
+    for r in corpus_rows[:40]:
+        assert got[r["doc_id"]] == py_simhash(r["content"]), r["doc_id"]
+
+
+def test_simhash_pairs_exactness(spark):
+    """Pigeonhole band join returns exactly the cross-join answer."""
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [
+        (0, base),
+        (1, base ^ 0b1),            # hamming 1
+        (2, base ^ 0b11),           # hamming 2
+        (3, base ^ (1 << 59) ^ (1 << 30) ^ 1),  # hamming 3, spread chunks
+        (4, base ^ 0b1111),         # hamming 4 (excluded)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["a"], r["b"]): r["hamming"] for r in dedup.simhash_pairs(df, 3).collect()}
+    want = {}
+    for (a, ha), (b, hb) in combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want
+
+
+def test_embedding_neardup(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    thr = 0.8
+    got = {(r["a"], r["b"]) for r in dedup.embedding_neardup_pairs(emb, thr).collect()}
+    want = set()
+    for a, b in combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        if va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= thr:
+            want.add((a, b))
+    assert got == want

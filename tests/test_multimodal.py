@@ -1,0 +1,78 @@
+"""Multimodal plumbing: schemas, metadata, mapInPandas feature
+extraction with an injected deterministic decoder (real codecs are
+stubbed per the build contract — no media libs in this container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kma_information_retrieval_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthetic_media(spark, 30).cache()
+
+
+def test_attach_metadata(media):
+    rows = mm.attach_metadata(media).collect()
+    for r in rows:
+        raw = bytes(r["payload"])
+        assert r["n_bytes"] == len(raw)
+        assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert len(r["magic"]) == 8  # 4 bytes hex
+
+
+def test_default_decoder_is_stub(media):
+    # executor-side NotImplementedError arrives wrapped in PythonException
+    with pytest.raises(Exception, match="media decode requires"):
+        mm.extract_features(media).collect()
+
+
+def test_fake_decoder_plumbing(media):
+    feats = mm.extract_features(media, decoder=mm.fake_decoder).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, r in by_id.items():
+        raw = bytes(src[mid]["payload"])
+        want = mm.fake_decoder(src[mid]["kind"], raw)
+        assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert r["width"] == want["width"] and r["height"] == want["height"]
+        assert r["feature"] == pytest.approx(want["feature"])
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1 and r["duration_ms"] == 0
+        if r["kind"] == "audio":
+            assert r["width"] == 0 and r["duration_ms"] >= 0
+
+
+def test_decoder_failure_yields_nulls(spark, media):
+    def flaky(kind: str, payload: bytes) -> dict:
+        if len(payload) % 2 == 0:
+            raise ValueError("corrupt payload")
+        return mm.fake_decoder(kind, payload)
+
+    feats = mm.extract_features(media, decoder=flaky).collect()
+    assert len(feats) == 30
+    assert any(r["width"] is None for r in feats) or all(
+        len(bytes(s["payload"])) % 2 == 1 for s in media.collect()
+    )
+    # metadata still present on failed rows
+    for r in feats:
+        assert r["sha256"] is not None
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame([(1, 95), (2, 10), (3, 1)], "media_id long, n_frames int")
+    got = {}
+    for r in mm.frame_sample_plan(vids, 30).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert got == {1: [0, 30, 60, 90], 2: [0], 3: [0]}
+
+
+def test_media_repartition(media):
+    out = mm.media_repartition(media, target_bytes=16 << 10)
+    assert out.count() == 30
+    assert out.rdd.getNumPartitions() >= 2

@@ -1,0 +1,83 @@
+"""Corpus sources: column discovery (reference S3), raw-file scan (S1),
+XML body strip (S2), schema inspect (S4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from kma_information_retrieval_spark.sources import (
+    discover_columns,
+    inspect_schema,
+    read_corpus,
+    read_raw_files,
+)
+from kma_information_retrieval_spark.sources.loader import strip_xml_body
+
+
+def test_discover_by_hints():
+    schema = T.StructType([
+        T.StructField("post_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body_text", T.StringType()),
+    ])
+    got = discover_columns(schema)
+    assert got == {"text": "body_text", "id": "post_id", "meta": "title"}
+
+
+def test_discover_fallback_first_string():
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.StringType()),
+    ])
+    got = discover_columns(schema)
+    assert got["text"] == "b" and got["id"] is None
+
+
+def test_read_corpus_null_ids(spark, tmp_path):
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [("x1", "hello world text"), (None, "null id text")],
+        "my_id string, the_content string",
+    ).write.parquet(p)
+    out = read_corpus(spark, p).collect()
+    by_name = {r["doc_name"]: r for r in out}
+    assert "x1" in by_name
+    assert any(n.startswith("doc_") for n in by_name)
+    assert all(r["doc_id"] is not None for r in out)
+    assert by_name["x1"]["content"] == "hello world text"
+
+
+def test_read_corpus_stable_ids(spark, tmp_path):
+    p = str(tmp_path / "c2.parquet")
+    spark.createDataFrame([("a", "t1"), ("b", "t2")], "id string, text string").write.parquet(p)
+    ids1 = {r["doc_name"]: r["doc_id"] for r in read_corpus(spark, p).collect()}
+    ids2 = {r["doc_name"]: r["doc_id"] for r in read_corpus(spark, p).repartition(7).collect()}
+    assert ids1 == ids2  # hash-stable, not positional
+
+
+def test_read_raw_files(spark, tmp_path):
+    d = tmp_path / "files"
+    os.makedirs(d)
+    (d / "a.fb2").write_text("x" * 100)
+    (d / "b.fb2").write_text("y" * 10)
+    (d / "c.txt").write_text("z" * 100)
+    got = read_raw_files(spark, str(d), min_bytes=50, suffix=".fb2").collect()
+    assert len(got) == 1 and got[0]["doc_name"].endswith("a.fb2")
+
+
+def test_strip_xml_body(spark):
+    df = spark.createDataFrame(
+        [("<doc><head>skip</head><body>keep <b>this</b> text</body></doc>",)],
+        "content string",
+    )
+    out = strip_xml_body(df).collect()[0]["content"]
+    assert "keep" in out and "this" in out and "skip" not in out and "<" not in out
+
+
+def test_inspect_schema(docs):
+    rep = inspect_schema(docs, 2)
+    assert "doc_id" in rep and "content" in rep
+    assert rep.count("{") == 2

@@ -1,0 +1,65 @@
+"""Streaming incremental index: generation append via foreachBatch,
+cross-generation merge rank-identity vs the oracle on the full corpus."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from kma_information_retrieval_spark.corpus import CORPUS_SCHEMA, local_corpus
+from kma_information_retrieval_spark.oracle import OracleIndex
+from kma_information_retrieval_spark.streaming import (
+    incremental_index_stream,
+    load_generations,
+)
+
+
+@pytest.fixture(scope="module")
+def gen_index(spark, tmp_path_factory):
+    """Stream the 200-doc corpus in two file batches -> two generations."""
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "incoming")
+    out = str(base / "index")
+    os.makedirs(src)
+    rows = local_corpus(200)
+
+    def write_batch(batch_rows, name):
+        spark.createDataFrame(batch_rows, CORPUS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([tuple(r.values()) for r in rows[:120]], "b0")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).option("maxFilesPerTrigger", "100").parquet(src)
+    q = incremental_index_stream(
+        stream, out, num_segments=4, postings_per_group=40, block_size=16
+    )
+    q.processAllAvailable()
+    write_batch([tuple(r.values()) for r in rows[120:]], "b1")
+    q.processAllAvailable()
+    q.stop()
+    return load_generations(spark, out)
+
+
+def test_two_generations(gen_index):
+    assert len(gen_index.gen_dirs) >= 2
+    assert gen_index.n_docs == 200
+
+
+def test_merged_dictionary(gen_index, oracle):
+    got = {r["term"]: (r["df"], r["cf"]) for r in gen_index.dictionary.collect()}
+    assert len(got) == len(oracle.tf)
+    for t, (df, cf) in got.items():
+        assert df == oracle.df(t) and cf == oracle.cf(t)
+
+
+@pytest.mark.parametrize(
+    "terms", [["index", "compute"], ["shard", "merge", "token"], ["wonderful"]]
+)
+def test_merged_topk_rank_identity(gen_index, oracle, terms):
+    got = gen_index.bm25_topk(terms, 10)
+    want = oracle.bm25_topk(terms, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)

@@ -1,0 +1,62 @@
+"""Text-analysis operators vs pure-Python recomputation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from kma_information_retrieval_spark.oracle import tokenize
+from kma_information_retrieval_spark.operators import textstats
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are not here for you"),
+            (2, "der hund und die katze ist nicht ein problem"),
+            (3, "les chats sont dans une maison pour qui"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark, docs):
+    rows = textstats.token_counts(docs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    sample = docs.limit(20).collect()
+    for d in sample:
+        r = by_id[d["doc_id"]]
+        assert r["n_ws_tokens"] == len(d["content"].split())
+        assert r["n_terms"] == len(tokenize(d["content"], "code"))
+        assert r["n_bpe_ish_tokens"] >= r["n_ws_tokens"]
+
+
+def test_quality_scores_bounds_and_values(spark, docs):
+    rows = textstats.quality_scores(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["alnum_ratio"] <= 1.0
+        assert r["n_chars"] > 0
+
+    d = docs.limit(5).collect()[0]
+    r = next(x for x in rows if x["doc_id"] == d["doc_id"])
+    toks = tokenize(d["content"], "code")
+    assert r["mean_token_len"] == sum(map(len, toks)) / len(toks)
+
+
+def test_fingerprints_detect_reordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma alpha beta alpha"),   # same token set
+            (3, "alpha beta delta"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df).collect()}
+    assert got[1] == got[2] != got[3]
+    want = hashlib.md5("alpha beta gamma".encode()).hexdigest()
+    assert got[1] == want
