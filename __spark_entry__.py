@@ -236,6 +236,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embedding_topk"] = q_emb_topk
 
     # --- text analysis
+    # --- index-construction parity (postings / bigram / trigram / permuterm)
+    q["q_postings"] = lambda s, d: ops.postings(ops.token_frame(_docs(s, d))).select(
+        "term", "doc_id", "tf"
+    )
+    q["q_bigram_index"] = lambda s, d: ops.bigram_index(_docs(s, d)).select(
+        "bigram", "doc_id"
+    )
+
+    def q_trigram(s, d):
+        vocab = ops.dictionary(ops.postings(ops.token_frame(_docs(s, d)))).select("term")
+        return ops.trigram_index(vocab).select("gram", "term")
+    q["q_trigram_index"] = q_trigram
+
+    def q_permuterm(s, d):
+        vocab = ops.dictionary(ops.postings(ops.token_frame(_docs(s, d)))).select("term")
+        return ops.permuterm_index(vocab).select("rotation", "term")
+    q["q_permuterm_index"] = q_permuterm
+
+    # --- pair-generating dedup (LSH band join == cross-join answer)
+    def q_mh_pairs(s, d):
+        sig = dedup.minhash_signatures(dedup.shingle_frame(_docs(s, d), 3), N_MINHASH)
+        return dedup.minhash_pairs(sig, N_MINHASH, 0.25).select("a", "b", "est_jaccard")
+    q["q_minhash_pairs"] = q_mh_pairs
+
+    def q_sh_pairs(s, d):
+        return dedup.simhash_pairs(dedup.simhash(_docs(s, d)), 6).select("a", "b", "hamming")
+    q["q_simhash_pairs"] = q_sh_pairs
+
     q["q_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d)).select(
         "doc_id", "n_ws_tokens", "n_bpe_ish_tokens", "n_terms"
     )
@@ -404,6 +432,47 @@ WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id AS vec_id, round({cos}, 4) AS cosine
 FROM embeddings a CROSS JOIN q b
 ORDER BY {cos} DESC, a.vec_id LIMIT 10"""
+
+    o["q_postings"] = f"""{W}
+SELECT term, doc_id, tf::bigint AS tf FROM tf"""
+
+    o["q_bigram_index"] = f"""WITH {SQL_TOKS}
+SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS bigram, doc_id
+FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g"""
+
+    o["q_trigram_index"] = f"""{W},
+vocab AS (SELECT DISTINCT term, '$$' || term AS p FROM tf)
+SELECT DISTINCT substr(p, i, 3) AS gram, term
+FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(p) - 2)) AS i) g"""
+
+    o["q_permuterm_index"] = f"""{W},
+vocab AS (SELECT DISTINCT term, term || '$' AS p FROM tf)
+SELECT DISTINCT substr(p, i + 1) || substr(p, 1, i) AS rotation, term
+FROM vocab, LATERAL (SELECT unnest(generate_series(0, length(p) - 1)) AS i) g"""
+
+    eq_cases = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    o["q_minhash_pairs"] = f"""WITH {SQL_TOKS}, {SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+       {mh_exprs}
+  FROM shingles GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ({eq_cases}) / {float(N_MINHASH)} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({eq_cases}) / {float(N_MINHASH)} >= 0.25"""
+
+    o["q_simhash_pairs"] = f"""{W},
+th AS (SELECT doc_id, term, tf, ('0x' || substr(md5(term), 1, 15))::bigint AS th FROM tf),
+v AS (SELECT doc_id,
+       {votes}
+      FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, ({fp})::bigint AS simhash FROM v)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
 
     o["q_token_counts"] = """
 WITH t AS (

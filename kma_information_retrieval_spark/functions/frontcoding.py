@@ -1,0 +1,92 @@
+"""Front coding (C4/C5) — sorted-vocabulary prefix compression.
+
+Reference semantics (``dictionary.rs:8-120``): greedy blocks of up to
+16 consecutive sorted terms sharing a common prefix, chosen while the
+shared prefix keeps saving bytes; each term stored as (prefix ref,
+suffix). Lookup is binary search (C5, ``dictionary.rs:281-362``).
+
+In the Spark engine this is a per-segment storage detail: the segment
+build can pack its sorted term column with :func:`front_code` into a
+``(prefixes, suffix blob, offsets)`` triple stored in the segment
+footer. SURVEY.md §4 flags it *optional* — Parquet dictionary+ZSTD
+encoding often wins — so :func:`pack_ratio` records the measured ratio
+and the default build keeps plain term columns.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+MAX_BLOCK = 16
+
+
+def _lcp(a: str, b: str) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def front_code(sorted_terms: list[str]) -> list[tuple[str, list[str]]]:
+    """Greedy block packing: [(shared_prefix, [suffix, ...]), ...].
+    A block grows while it stays under MAX_BLOCK terms and narrowing the
+    shared prefix still saves bytes overall."""
+    blocks: list[tuple[str, list[str]]] = []
+    i = 0
+    n = len(sorted_terms)
+    while i < n:
+        prefix = sorted_terms[i]
+        block = [sorted_terms[i]]
+        j = i + 1
+        while j < n and len(block) < MAX_BLOCK:
+            p = _lcp(prefix, sorted_terms[j])
+            # saving with narrowed prefix p over len(block)+1 terms must
+            # beat the current saving (prefix chars are stored once)
+            if p == 0 or p * len(block) <= 0 or p * (len(block) + 1) <= len(prefix) * len(block):
+                break
+            prefix = prefix[:p]
+            block.append(sorted_terms[j])
+            j += 1
+        blocks.append((prefix, [t[len(prefix):] for t in block]))
+        i = j
+    return blocks
+
+
+def decode_all(blocks: list[tuple[str, list[str]]]) -> list[str]:
+    return [prefix + s for prefix, suffixes in blocks for s in suffixes]
+
+
+def packed_bytes(blocks: list[tuple[str, list[str]]]) -> int:
+    """Storage estimate: prefix bytes once per block + suffix bytes +
+    ~2 bytes/term offsets (the reference stores 4 offsets/term; we count
+    a realistic varint layout)."""
+    return sum(
+        len(p.encode()) + sum(len(s.encode()) for s in sfx) + 2 * len(sfx)
+        for p, sfx in blocks
+    )
+
+
+def pack_ratio(sorted_terms: list[str]) -> float:
+    """packed bytes / raw concatenated bytes (< 1 = compression)."""
+    raw = sum(len(t.encode()) for t in sorted_terms)
+    return packed_bytes(front_code(sorted_terms)) / raw if raw else 1.0
+
+
+def lookup(term: str, blocks: list[tuple[str, list[str]]]) -> tuple[int, int] | None:
+    """C5 lookup without full decode: binary search block heads (the
+    head term = prefix + first suffix), then scan within the block.
+    Returns (block_idx, idx_in_block) or None."""
+    heads = [p + sfx[0] for p, sfx in blocks]
+    bi = bisect.bisect_right(heads, term) - 1
+    if bi < 0:
+        return None
+    prefix, sfx = blocks[bi]
+    if not term.startswith(prefix):
+        # term sorts inside this block's range only if it shares the prefix
+        return (bi, 0) if term == heads[bi] else None
+    rest = term[len(prefix):]
+    for k, s in enumerate(sfx):
+        if s == rest:
+            return (bi, k)
+    return None

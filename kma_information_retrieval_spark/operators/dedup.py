@@ -212,15 +212,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content",
 def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(a, b, hamming) pairs with hamming(simhash) <= max_hamming.
 
-    Join on one of 4 15-bit chunks (pigeonhole over 60 bits: <= 3
-    differing bits leave at least one chunk equal), verify with
-    bit_count(xor) — exact cross-join semantics, equi-join cost."""
+    Join on one of (max_hamming + 1) bit-chunks (pigeonhole over the
+    60-bit fingerprint: <= k differing bits leave at least one of k+1
+    chunks equal), verify with bit_count(xor) — exact cross-join
+    semantics at equi-join cost."""
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(_SIMHASH_BITS, n_chunks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_chunks)]
+    offs = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = sim.select(
         "doc_id", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
-                for i in range(4)
+                F.shiftright(F.col("simhash"), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+                for i in range(n_chunks)
             ])
         ).alias("chunk_id", "chunk"),
     )

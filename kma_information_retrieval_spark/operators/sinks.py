@@ -1,0 +1,61 @@
+"""Index sinks + size accounting — reference S5/S6/A14.
+
+The reference bincode-serializes five structures and writes the
+dictionary in three formats, comparing sizes (``main.rs:267-393``,
+``dictionary.rs:234-278,420-473``). Here every structure is a DataFrame,
+so "serialize" = a columnar write; the format comparison and the
+per-structure size report come from FileStatus, mirroring the
+reference's runtime printouts (A14 ``memory_size()`` walks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def write_dictionary_formats(dictionary: DataFrame, out_dir: str) -> dict[str, int]:
+    """S6: persist the dictionary as parquet / json / csv and return the
+    size comparison (the reference's binary/json/text trio)."""
+    sizes = {}
+    for fmt in ("parquet", "json", "csv"):
+        path = os.path.join(out_dir, f"dictionary_{fmt}")
+        w = dictionary.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(path)
+        sizes[fmt] = _dir_bytes(path)
+    return sizes
+
+
+def index_size_report(index_dir: str) -> dict[str, int]:
+    """A14: on-disk bytes per index structure (segments, docmap,
+    dictionary, saltmap) — the engine's answer to the reference's
+    per-structure ``memory_size()`` printouts."""
+    report = {}
+    for name in ("segments", "docmap", "dictionary", "saltmap"):
+        p = os.path.join(index_dir, name)
+        if os.path.isdir(p):
+            report[name] = _dir_bytes(p)
+    report["total"] = sum(report.values())
+    return report
+
+
+def write_structure(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:
+    """S5: persist any index DataFrame as a parquet segment table;
+    returns bytes written."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return _dir_bytes(path)

@@ -1,0 +1,57 @@
+"""Front coding (C4/C5) — reference fixtures from dictionary.rs:476-595."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kma_information_retrieval_spark.functions.frontcoding import (
+    decode_all,
+    front_code,
+    lookup,
+    pack_ratio,
+)
+
+# dictionary.rs:486-497 fixture
+VOCAB = sorted([
+    "computer", "computing", "computational", "compile", "compression",
+    "information", "inform", "informed", "retrieval", "retrieve",
+])
+
+
+def test_roundtrip_fixture():
+    blocks = front_code(VOCAB)
+    assert decode_all(blocks) == VOCAB
+
+
+def test_compresses_fixture():
+    # dictionary.rs test: compression ratio < 1 on the prefix-heavy vocab
+    assert pack_ratio(VOCAB) < 1.0
+
+
+def test_lookup_roundtrip():
+    blocks = front_code(VOCAB)
+    for t in VOCAB:
+        assert lookup(t, blocks) is not None, t
+    assert lookup("compzzz", blocks) is None
+    assert lookup("aaa", blocks) is None
+    assert lookup("zzz", blocks) is None
+
+
+def test_bulk_vocab_sorted_blocks():
+    # dictionary.rs:571-573 bulk shape: term0000..term1999
+    terms = [f"term{i:04d}" for i in range(2000)]
+    blocks = front_code(terms)
+    assert decode_all(blocks) == terms
+    assert pack_ratio(terms) < 0.8  # long shared prefixes compress well
+    assert all(len(sfx) <= 16 for _, sfx in blocks)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.text(alphabet="abcdef", min_size=1, max_size=12), min_size=1, max_size=200))
+def test_roundtrip_property(terms):
+    ordered = sorted(terms)
+    blocks = front_code(ordered)
+    assert decode_all(blocks) == ordered
+    for t in list(ordered)[:20]:
+        assert lookup(t, blocks) is not None

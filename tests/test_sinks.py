@@ -1,0 +1,32 @@
+"""Sinks + size accounting (S5/S6/A14)."""
+
+from __future__ import annotations
+
+from kma_information_retrieval_spark.operators.sinks import (
+    index_size_report,
+    write_dictionary_formats,
+    write_structure,
+)
+
+
+def test_dictionary_format_sizes(indexes, tmp_path):
+    sizes = write_dictionary_formats(indexes.dictionary, str(tmp_path))
+    assert set(sizes) == {"parquet", "json", "csv"}
+    assert all(v > 0 for v in sizes.values())
+    # columnar beats row-text on this shape (reference's binary<json<text)
+    assert sizes["parquet"] < sizes["json"]
+
+
+def test_write_structure_and_report(spark, docs, tmp_path):
+    from kma_information_retrieval_spark.index import build_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, num_segments=4, postings_per_group=1000, block_size=32)
+    report = index_size_report(out)
+    assert report["segments"] > 0 and report["docmap"] > 0 and report["dictionary"] > 0
+    assert report["total"] == sum(v for k, v in report.items() if k != "total")
+
+    n = write_structure(
+        spark.read.parquet(f"{out}/segments"), str(tmp_path / "copy"), ["part_id"]
+    )
+    assert n > 0
