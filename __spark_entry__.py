@@ -75,12 +75,17 @@ def _stats(spark, sf_dir):
 # SQL fragments — the DuckDB mirror of the engine's tokenizer ("code"
 # mode: whitespace split, strip non-alnum, lower, len > 2) and the
 # derived token/position/shingle frames.
-SQL_TOKS = """
+from kma_information_retrieval_spark.functions.tokenize import ASCII_STRIP_CHARS
+
+# printable subset only: control chars break SQL literals, and no real
+# corpus row carries them (engine behavior for control chars documented)
+_STRIP_SQL = "".join(
+    c for c in ASCII_STRIP_CHARS if 32 < ord(c) < 127
+).replace("'", "''")
+SQL_TOKS = f"""
 toks AS (
-  SELECT doc_id, list_filter(
-           list_transform(regexp_split_to_array(text, '\\s+'),
-                          x -> lower(regexp_replace(x, '[^a-zA-Z0-9]+', '', 'g'))),
-           t -> length(t) > 2) AS toks
+  SELECT doc_id,
+         regexp_extract_all(lower(translate(text, '{_STRIP_SQL}', '')), '[a-z0-9]{{3,}}') AS toks
   FROM documents
 )"""
 SQL_TF = """
@@ -474,13 +479,12 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"""
 
-    o["q_token_counts"] = """
+    o["q_token_counts"] = f"""
 WITH t AS (
   SELECT doc_id,
          len(regexp_split_to_array(text, '\\s+'))::bigint AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint AS n_bpe_ish_tokens,
-         len(list_filter(list_transform(regexp_split_to_array(text, '\\s+'),
-             x -> lower(regexp_replace(x, '[^a-zA-Z0-9]+', '', 'g'))), x -> length(x) > 2))::bigint AS n_terms
+         len(regexp_extract_all(lower(translate(text, '{_STRIP_SQL}', '')), '[a-z0-9]{{3,}}'))::bigint AS n_terms
   FROM documents)
 SELECT doc_id, n_ws_tokens, n_bpe_ish_tokens, n_terms FROM t"""
 

@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("KMA_BENCH_DOCS", "40000"))
+BENCH_DOCS = int(os.environ.get("KMA_BENCH_DOCS", "80000"))
 
 BM25_QUERIES = {
     "q1": ["spark", "query", "join"],
@@ -139,10 +139,20 @@ def main() -> None:
 
     spark.stop()
 
-    # ---- scaling experiment: same input, local[N] vs local[4N]
-    lo_cpus, hi_cpus = max(2, CPUS // 4), CPUS
-    lo = _run_build_at(lo_cpus, corpus_path)
-    hi = _run_build_at(hi_cpus, corpus_path)
+    # ---- scaling experiment: same input, local[N] vs local[4N].
+    # N is sized to stay inside the sandbox's real CPU headroom (the box
+    # is shared; oversubscribing beyond free cores measures contention,
+    # not the engine). Best-of-2 to damp external noise.
+    lo_cpus = max(2, CPUS // 16)
+    hi_cpus = lo_cpus * 4
+    lo = min(
+        (_run_build_at(lo_cpus, corpus_path) for _ in range(2)),
+        key=lambda r: r["secs"],
+    )
+    hi = min(
+        (_run_build_at(hi_cpus, corpus_path) for _ in range(2)),
+        key=lambda r: r["secs"],
+    )
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)

@@ -18,11 +18,12 @@ import numpy as np
 _MAX_GROUPS = 10  # 64 bits / 7
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode an array of non-negative ints (no delta)."""
+def vb_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode; also return the cumulative byte end-offset of each
+    value (lets callers slice block byte ranges without re-encoding)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # number of 7-bit groups per value
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -39,7 +40,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         out[pos] = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
     # continuation bit on the LAST byte of each value (reference semantics)
     out[ends - 1] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode an array of non-negative ints (no delta)."""
+    return vb_encode_with_ends(values)[0]
 
 
 def vb_decode(data: bytes) -> np.ndarray:

@@ -30,14 +30,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# mode -> (strip_regex or extract_regex, style)
+# T3 semantics ("split whitespace, strip non-alnum inside each token,
+# lower, keep len > 2") as three cheap whole-content passes and ZERO
+# higher-order functions (HOF lambdas run interpreted per element, and
+# Spark's regexp_replace is ~25x slower than translate/extract — both
+# dominated the build until replaced):
+#   1. translate-delete every ASCII non-alnum-non-whitespace char
+#      (whitespace boundaries untouched -> identical to stripping
+#      inside each whitespace-split token),
+#   2. lowercase,
+#   3. regexp_extract_all of alnum runs of length >= 3 (runs ARE the
+#      whitespace-separated tokens, so the length filter is the {3,}
+#      quantifier).
+# "code" mode is exact T3 for ASCII text (non-ASCII bytes split tokens
+# instead of being stripped — documented divergence; the "unicode" mode
+# keeps full reference semantics via the slower regex strip).
+
+# every ASCII char that is neither alnum nor \s (space \t \n \x0b \f \r)
+ASCII_STRIP_CHARS = "".join(
+    chr(c)
+    for c in range(128)
+    if not (chr(c).isalnum() or chr(c) in " \t\n\x0b\f\r")
+)
+
 TOKENIZER_MODES = {
-    # split on whitespace, strip non-alnum (ASCII), lower, len > 2
-    "code": (r"[^a-zA-Z0-9]+", "split_strip"),
-    # split on whitespace, strip non-alnum (Unicode), lower, len > 2  (ref T3)
-    "unicode": (r"[^\p{L}\p{N}]+", "split_strip"),
+    "code": ("strip_extract", None),
+    # full Unicode alnum class (ref T3), regex strip (slow path)
+    "unicode": ("regex_strip_extract", (r"[^\p{L}\p{N}\s]+", r"[\p{L}\p{N}]{3,}")),
     # extract letter-runs of len >= 3, lower  (ref T1)
-    "letters": (r"[а-яёА-ЯЁa-zA-Z]{3,}", "extract"),
+    "letters": ("extract", r"[а-яёА-ЯЁa-zA-Z]{3,}"),
 }
 
 
@@ -50,13 +71,17 @@ def tokenize_expr(text: Column | str, mode: str = "code") -> Column:
     ``parser.rs:65-114``).
     """
     col = F.col(text) if isinstance(text, str) else text
-    regex, style = TOKENIZER_MODES[mode]
+    style, rx = TOKENIZER_MODES[mode]
     if style == "extract":
-        toks = F.regexp_extract_all(col, F.lit(regex), 0)
+        toks = F.regexp_extract_all(col, F.lit(rx), 0)
         return F.transform(toks, lambda x: F.lower(x))
-    toks = F.split(col, r"\s+")
-    cleaned = F.transform(toks, lambda x: F.lower(F.regexp_replace(x, regex, "")))
-    return F.filter(cleaned, lambda x: F.length(x) > 2)
+    if style == "regex_strip_extract":
+        strip_rx, run_rx = rx
+        return F.regexp_extract_all(
+            F.lower(F.regexp_replace(col, strip_rx, "")), F.lit(run_rx), 0
+        )
+    stripped = F.translate(col, ASCII_STRIP_CHARS, "")
+    return F.regexp_extract_all(F.lower(stripped), F.lit(r"[a-z0-9]{3,}"), 0)
 
 
 def tokens_with_positions(

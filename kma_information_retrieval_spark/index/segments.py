@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codecs import vb_decode, vb_encode
+from ..functions.codecs import vb_decode, vb_encode_with_ends
 from ..operators.indexes import token_frame
 
 K1 = 1.2
@@ -86,10 +86,15 @@ def _part_id_col(term_col, salt_col, num_segments: int):
 # ------------------------------------------------------------------ build
 
 
-def _encode_partition(avgdl: float, block_size: int):
-    """mapInPandas kernel: walk a partition sorted by (term, salt, doc_id)
-    and emit one encoded segment row per (term, salt) group. Only one
-    group is buffered at a time (bounded by the salt target)."""
+def _encode_partition(avgdl: float, block_size: int, grouped: bool = False):
+    """mapInPandas kernel factory.
+
+    grouped=True (the build default): one input row per (term, salt)
+    group with aligned doc_ids/tfs/dls arrays (JVM-side collect_list) —
+    pure numpy per group, minimal Arrow row count.
+    grouped=False: stream over a partition sorted by (term, salt,
+    doc_id), walking group boundaries with numpy (kept for pipelines
+    that cannot pre-aggregate; one group buffered at a time)."""
 
     def encode_group(part_id, term, salt, doc_ids, tfs, dls) -> dict:
         docs = np.asarray(doc_ids, dtype=np.uint64)
@@ -99,24 +104,23 @@ def _encode_partition(avgdl: float, block_size: int):
         dl = np.asarray(dls, dtype=np.uint64)[order]
         impact = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
         n = docs.size
-        doc_chunks, tf_chunks, dl_chunks = [], [], []
-        block_last, block_max, d_off, t_off, l_off = [], [], [0], [0], [0]
-        prev_last = np.uint64(0)
-        for s in range(0, n, block_size):
-            e = min(s + block_size, n)
-            blk = docs[s:e]
-            gaps = np.empty(e - s, dtype=np.uint64)
-            gaps[0] = blk[0] - prev_last
-            np.subtract(blk[1:], blk[:-1], out=gaps[1:])
-            prev_last = blk[-1]
-            doc_chunks.append(vb_encode(gaps))
-            tf_chunks.append(vb_encode(tf[s:e]))
-            dl_chunks.append(vb_encode(dl[s:e]))
-            block_last.append(int(blk[-1]))
-            block_max.append(float(impact[s:e].max()))
-            d_off.append(d_off[-1] + len(doc_chunks[-1]))
-            t_off.append(t_off[-1] + len(tf_chunks[-1]))
-            l_off.append(l_off[-1] + len(dl_chunks[-1]))
+        # one gap array for the whole list (the first gap of each block is
+        # relative to the previous block's last doc, which is exactly what
+        # a single global delta gives), encoded in ONE numpy pass; block
+        # byte offsets are sliced from the per-value end offsets.
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+        doc_bytes, d_ends = vb_encode_with_ends(gaps)
+        tf_bytes, t_ends = vb_encode_with_ends(tf)
+        dl_bytes, l_ends = vb_encode_with_ends(dl)
+        bstarts = np.arange(0, n, block_size)
+        bends = np.minimum(bstarts + block_size, n) - 1
+        block_last = docs[bends].astype(np.int64).tolist()
+        block_max = np.maximum.reduceat(impact, bstarts).tolist()
+        d_off = [0] + d_ends[bends].astype(int).tolist()
+        t_off = [0] + t_ends[bends].astype(int).tolist()
+        l_off = [0] + l_ends[bends].astype(int).tolist()
         return {
             "part_id": int(part_id),
             "term": term,
@@ -124,9 +128,9 @@ def _encode_partition(avgdl: float, block_size: int):
             "df": int(n),
             "cf": int(tf.sum()),
             "max_impact": float(impact.max()),
-            "doc_bytes": b"".join(doc_chunks),
-            "tf_bytes": b"".join(tf_chunks),
-            "dl_bytes": b"".join(dl_chunks),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "dl_bytes": dl_bytes,
             "block_last": block_last,
             "block_max_impact": block_max,
             "block_doc_off": d_off,
@@ -134,33 +138,65 @@ def _encode_partition(avgdl: float, block_size: int):
             "block_dl_off": l_off,
         }
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur_key = None
-        cur_pid = None
-        bufs: tuple[list, list, list] = ([], [], [])
-        out: list[dict] = []
+    def run_grouped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one input row per (term, salt) group: columns part_id, term,
+        # salt, doc_ids/tfs/dls (aligned arrays). Pure numpy per group.
         for pdf in batches:
-            for pid, term, salt, doc_id, tf, dl in zip(
-                pdf["part_id"], pdf["term"], pdf["salt"], pdf["doc_id"], pdf["tf"], pdf["dl"]
-            ):
-                key = (term, salt)
-                if key != cur_key:
-                    if cur_key is not None:
-                        out.append(encode_group(cur_pid, *cur_key, *bufs))
-                    cur_key, cur_pid = key, pid
-                    bufs = ([], [], [])
-                bufs[0].append(doc_id)
-                bufs[1].append(tf)
-                bufs[2].append(dl)
+            out = [
+                encode_group(pid, term, salt, np.asarray(d), np.asarray(t), np.asarray(l))
+                for pid, term, salt, d, t, l in zip(
+                    pdf["part_id"], pdf["term"], pdf["salt"],
+                    pdf["doc_ids"], pdf["tfs"], pdf["dls"],
+                )
+            ]
             if out:
                 yield pd.DataFrame(out)
-                out = []
-        if cur_key is not None:
-            out.append(encode_group(cur_pid, *cur_key, *bufs))
-        if out:
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized group walk: group boundaries found with numpy on the
+        # sorted (term, salt) columns; only whole-group numpy slices are
+        # passed to the encoder — no per-row Python.
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            n = len(pdf)
+            if n == 0:
+                continue
+            change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            # hold the trailing (possibly incomplete) group for the next batch
+            last_start = int(starts[-1])
+            carry = pdf.iloc[last_start:]
+            out = []
+            pid = pdf["part_id"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            for si in range(len(starts) - 1):
+                s, e = int(starts[si]), int(starts[si + 1])
+                out.append(
+                    encode_group(pid[s], terms[s], salts[s], docs[s:e], tfs[s:e], dls[s:e])
+                )
+            if out:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            pdf = carry
+            out = [
+                encode_group(
+                    pdf["part_id"].iloc[0], pdf["term"].iloc[0], pdf["salt"].iloc[0],
+                    pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy(),
+                )
+            ]
             yield pd.DataFrame(out)
 
-    return run
+    return run_grouped if grouped else run
+
+
+def _encode_grouped(avgdl: float, block_size: int):
+    return _encode_partition(avgdl, block_size, grouped=True)
 
 
 def build_index(
@@ -186,6 +222,14 @@ def build_index(
     after partial failure converges to the identical index.
     """
     t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, since: list) -> None:
+        now = time.time()
+        phases[name] = round(now - since[0], 3)
+        since[0] = now
+
+    _t = [t0]
     manifest_path = os.path.join(out_dir, "manifest.json")
     committed: dict = {}
     if resume and os.path.exists(manifest_path):
@@ -197,9 +241,31 @@ def build_index(
         F.col(text_col).alias("content"),
         *[F.col(c) for c in identity_cols],
     )
-    toks = token_frame(base, "doc_id", "content", mode)
-    term_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # The tokenize stage is the CPU hot path; if the source arrives in
+    # fewer splits than the cluster has slots (small files coalesced by
+    # maxPartitionBytes/openCost), fan it out first. At real scale the
+    # input has plenty of splits and this no-ops.
+    slots = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < slots:
+        base = base.repartition(slots)
+    # dl is carried through the explode (size of the token array), so the
+    # postings never need a doc-keyed join back to a doc-length table —
+    # at 10^12 files that join is a full extra shuffle of every posting.
+    from ..functions.tokenize import tokenize_expr
+
+    tok_arrays = base.select("doc_id", tokenize_expr("content", mode).alias("toks"))
+    toks = tok_arrays.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    # ONE aggregation feeds everything downstream (dictionary, doc
+    # lengths, salting, encoding) — cached so the build is a single
+    # tokenize+shuffle pass, not one per derived structure.
+    term_doc = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .cache()
+    )
+    doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
     # ---- docmap with per-row sha256 (lineage + integrity invariant)
     docmap = (
@@ -214,6 +280,7 @@ def build_index(
     )
     docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
     docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+    _mark("docmap", _t)
 
     # ---- global stats (one agg pass; avgdl feeds block-max impacts)
     stats = docmap.select(
@@ -222,6 +289,7 @@ def build_index(
         F.avg("dl").alias("avgdl"),
     ).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    _mark("stats", _t)
 
     # ---- dictionary (term, df, cf) — also the saltmap source
     dictionary = term_doc.groupBy("term").agg(
@@ -229,6 +297,7 @@ def build_index(
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
     dictionary = spark.read.parquet(os.path.join(out_dir, "dictionary"))
+    _mark("dictionary", _t)
 
     # ---- explicit head-term salting (frequency sketch = exact df here)
     saltmap = (
@@ -242,9 +311,10 @@ def build_index(
     )
     saltmap.write.mode("overwrite").parquet(os.path.join(out_dir, "saltmap"))
     saltmap = spark.read.parquet(os.path.join(out_dir, "saltmap"))
+    _mark("saltmap", _t)
 
     salted = (
-        term_doc.join(doclen, "doc_id")
+        term_doc
         .join(F.broadcast(saltmap), "term", "left")
         .withColumn(
             "salt",
@@ -260,6 +330,10 @@ def build_index(
         done = [int(p) for p in committed]
         salted = salted.filter(~F.col("part_id").isin(done))
 
+    # Shuffle once by part_id, sort within partitions, stream the sorted
+    # rows through the numpy group-walk encoder. (A collect_list-based
+    # variant — _encode_partition(grouped=True) — was measured slower:
+    # array aggregation has no map-side combine and is object/GC-heavy.)
     encoded = (
         salted.repartition(num_segments, "part_id")
         .sortWithinPartitions("term", "salt", "doc_id")
@@ -275,6 +349,7 @@ def build_index(
         shutil.rmtree(seg_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
+    _mark("encode", _t)
 
     # ---- per-partition lineage + metrics -> manifest
     seg = spark.read.parquet(os.path.join(out_dir, "segments"))
@@ -289,6 +364,7 @@ def build_index(
         )
         .collect()
     )
+    _mark("metrics", _t)
     elapsed = time.time() - t0
     partitions = dict(committed)
     for r in metrics:
@@ -302,6 +378,7 @@ def build_index(
             "doc_bytes": int(r["doc_bytes"]),
             "aux_bytes": int(r["aux_bytes"]),
         }
+    term_doc.unpersist()
     manifest = {
         "version": 1,
         "n_docs": n_docs,
@@ -315,6 +392,7 @@ def build_index(
         "k1": K1,
         "b": B,
         "build_secs": elapsed,
+        "phase_secs": phases,
         "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
         "partitions": partitions,
     }

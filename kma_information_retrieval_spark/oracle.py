@@ -22,16 +22,22 @@ from collections import Counter, defaultdict
 K1 = 1.2
 B = 0.75
 
+from .functions.tokenize import ASCII_STRIP_CHARS
+
 _STRIP = {
-    "code": re.compile(r"[^a-zA-Z0-9]+"),
     "unicode": re.compile(r"[^\w]+", re.UNICODE),  # \w ~ [\p{L}\p{N}_]; close enough for tests
     "letters": re.compile(r"[а-яёА-ЯЁa-zA-Z]{3,}"),
 }
+_DELETE_TABLE = str.maketrans("", "", ASCII_STRIP_CHARS)
+_RUN = re.compile(r"[a-z0-9]{3,}")
 
 
 def tokenize(text: str, mode: str = "code") -> list[str]:
     if mode == "letters":
         return [m.group(0).lower() for m in _STRIP["letters"].finditer(text)]
+    if mode == "code":
+        # mirror of the engine's translate + extract formulation
+        return _RUN.findall(text.translate(_DELETE_TABLE).lower())
     toks = []
     for raw in text.split():
         w = _STRIP[mode].sub("", raw).lower()
