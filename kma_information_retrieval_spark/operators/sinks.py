@@ -51,6 +51,34 @@ def index_size_report(index_dir: str) -> dict[str, int]:
     return report
 
 
+def compression_report(index) -> dict:
+    """C3/C4 parity — the reference prints posting delta-VB and
+    vocabulary front-packing ratios (``inverted_index.rs:319-330``,
+    ``dictionary.rs:305-316``); we report the measured equivalents:
+    encoded bytes per posting (vs 8-byte raw ids), and the front-coding
+    ratio of the sorted vocabulary."""
+    from pyspark.sql import functions as F
+
+    from ..functions.frontcoding import pack_ratio
+
+    seg = index.segments.select(
+        F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+        F.sum(F.length("tf_bytes") + F.length("dl_bytes")).alias("aux_bytes"),
+        F.sum("df").alias("n_postings"),
+    ).collect()[0]
+    terms = sorted(r["term"] for r in index.dictionary.select("term").collect())
+    n = int(seg["n_postings"])
+    return {
+        "n_postings": n,
+        "doc_bytes": int(seg["doc_bytes"]),
+        "bytes_per_posting": seg["doc_bytes"] / n if n else 0.0,
+        "posting_ratio_vs_raw64": seg["doc_bytes"] / (8 * n) if n else 0.0,
+        "aux_bytes": int(seg["aux_bytes"]),
+        "vocab_terms": len(terms),
+        "vocab_frontcoding_ratio": pack_ratio(terms),
+    }
+
+
 def write_structure(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:
     """S5: persist any index DataFrame as a parquet segment table;
     returns bytes written."""

@@ -1,0 +1,24 @@
+"""SPIMI-parity wrapper + compression report."""
+
+from __future__ import annotations
+
+from kma_information_retrieval_spark.index import load_index
+from kma_information_retrieval_spark.operators.sinks import compression_report
+from kma_information_retrieval_spark.operators.spimi import spimi_build
+from kma_information_retrieval_spark.oracle import tokenize
+
+
+def test_spimi_build_matches_dictionary(spark, docs, oracle, tmp_path):
+    out = str(tmp_path / "spimi_idx")
+    manifest = spimi_build(spark, docs, out, memory_limit_mb=1, num_segments=4)
+    # 1 MB limit -> ~41k postings per group bound recorded
+    assert manifest["postings_per_group"] == max(10_000, 1_000_000 // 24)
+    idx = load_index(spark, out)
+    got = {r["term"]: r["df"] for r in idx.dictionary.collect()}
+    assert got == {t: oracle.df(t) for t in oracle.tf}
+
+    rep = compression_report(idx)
+    assert rep["n_postings"] == sum(oracle.df(t) for t in oracle.tf)
+    assert rep["posting_ratio_vs_raw64"] < 1.0
+    assert 0 < rep["vocab_frontcoding_ratio"] < 1.2
+    assert rep["vocab_terms"] == len(oracle.tf)
