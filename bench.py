@@ -140,19 +140,19 @@ def main() -> None:
     spark.stop()
 
     # ---- scaling experiment: same input, local[N] vs local[4N].
-    # N is sized to stay inside the sandbox's real CPU headroom (the box
-    # is shared; oversubscribing beyond free cores measures contention,
-    # not the engine). Best-of-2 to damp external noise.
+    # N is sized to stay inside the sandbox's real CPU headroom (the VM
+    # throttles burst CPU invisibly — run-to-run wall time varies ±50%,
+    # see BENCH.md). Attempts are interleaved lo/hi so throttling
+    # penalizes both levels equally; best-of-3 per level.
     lo_cpus = max(2, CPUS // 16)
     hi_cpus = lo_cpus * 4
-    lo = min(
-        (_run_build_at(lo_cpus, corpus_path) for _ in range(2)),
-        key=lambda r: r["secs"],
-    )
-    hi = min(
-        (_run_build_at(hi_cpus, corpus_path) for _ in range(2)),
-        key=lambda r: r["secs"],
-    )
+    attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(attempts):
+        lo_runs.append(_run_build_at(lo_cpus, corpus_path))
+        hi_runs.append(_run_build_at(hi_cpus, corpus_path))
+    lo = min(lo_runs, key=lambda r: r["secs"])
+    hi = min(hi_runs, key=lambda r: r["secs"])
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
@@ -166,10 +166,18 @@ def main() -> None:
             "# BENCH — measured numbers (bench.py)\n\n"
             f"corpus: {BENCH_DOCS} synthetic docs (build), `{SF_DIR}` (queries)\n\n"
             "| metric | value |\n|---|---|\n"
-            f"| build docs/sec @ local[{lo_cpus}] | {lo['docs_per_sec']:.1f} |\n"
-            f"| build docs/sec @ local[{hi_cpus}] | {hi['docs_per_sec']:.1f} |\n"
+            f"| build docs/sec @ local[{lo_cpus}] (best of {attempts}) | {lo['docs_per_sec']:.1f} |\n"
+            f"| build docs/sec @ local[{hi_cpus}] (best of {attempts}) | {hi['docs_per_sec']:.1f} |\n"
             f"| scaling efficiency ({lo_cpus}->{hi_cpus} cores) | {eff:.3f} (target >= 0.8) |\n"
-            + "".join(f"| {k} (s) | {v:.3f} |\n" for k, v in sorted(timings.items()))
+            f"| all lo runs (docs/sec) | {', '.join(str(round(r['docs_per_sec'])) for r in lo_runs)} |\n"
+            f"| all hi runs (docs/sec) | {', '.join(str(round(r['docs_per_sec'])) for r in hi_runs)} |\n"
+            "\nNote: this sandbox VM throttles burst CPU (user CPU caps well\n"
+            "below the thread count; wall times vary up to ±50% run-to-run),\n"
+            "so per-level best-of-N is reported. On a real multi-executor\n"
+            "cluster the same job's scaling is governed by the shuffle\n"
+            "design (explicit salting, map-side combine, one wide shuffle).\n\n"
+            "| query | seconds |\n|---|---|\n"
+            + "".join(f"| {k} | {v:.3f} |\n" for k, v in sorted(timings.items()))
         )
 
     print(json.dumps({

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # shuffle/spill on tmpfs when available — the sandbox block device is
+    # throttled and makes shuffle-heavy stages IO-bound regardless of
+    # cores; on a real cluster executors use their own local SSDs anyway
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
