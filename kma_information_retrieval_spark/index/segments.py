@@ -313,6 +313,15 @@ def build_index(
     saltmap = spark.read.parquet(os.path.join(out_dir, "saltmap"))
     _mark("saltmap", _t)
 
+    # wildcard prefilter tables over the vocabulary (T7/T8) — tiny
+    # relative to postings; lets a loaded index serve wildcard queries
+    from ..operators.indexes import permuterm_index, trigram_index
+
+    vocab = dictionary.select("term")
+    trigram_index(vocab).write.mode("overwrite").parquet(os.path.join(out_dir, "trigrams"))
+    permuterm_index(vocab).write.mode("overwrite").parquet(os.path.join(out_dir, "permuterm"))
+    _mark("gram_tables", _t)
+
     salted = (
         term_doc
         .join(F.broadcast(saltmap), "term", "left")
@@ -425,6 +434,39 @@ class SegmentIndex:
     @property
     def saltmap(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, "saltmap"))
+
+    @property
+    def trigrams(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "trigrams"))
+
+    @property
+    def permuterm(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "permuterm"))
+
+    def wildcard_terms(self, pattern: str) -> DataFrame:
+        """Wildcard -> matching vocabulary terms via the persisted gram
+        tables (same router as the in-memory path, J10-J13)."""
+        from ..operators.boolean import IndexBundle, wildcard_terms
+
+        bundle = IndexBundle(
+            postings=None,
+            all_docs=None,
+            vocab=self.dictionary.select("term"),
+            trigrams=self.trigrams,
+            permuterm=self.permuterm,
+        )
+        return wildcard_terms(pattern, bundle)
+
+    def wildcard_topk(self, pattern: str, k: int = 10,
+                      use_wand: bool = True) -> list[tuple[int, float]]:
+        """Wildcard BM25: expand the pattern to matching terms, score the
+        union as a bag-of-terms query over the segments."""
+        from .wand import bm25_topk_segments
+
+        terms = [r["term"] for r in self.wildcard_terms(pattern).collect()]
+        if not terms:
+            return []
+        return bm25_topk_segments(self, terms, k, use_wand=use_wand)
 
     def salt_factors(self, terms: list[str]) -> dict[str, int]:
         rows = self.saltmap.filter(F.col("term").isin(list(terms))).collect()

@@ -1,0 +1,70 @@
+"""Driver-contract smoke: entry() with a vanilla SparkSession (the
+driver builds its own session, not ours) and a sampled queries() vs
+oracle_sql() cross-check via DuckDB at sf0.001 (the full 36-query gate
+runs in scripts/check_entry.py at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+
+TABLES = "documents embeddings".split()
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "q_dictionary",
+    "q_boolean_complex",
+    "q_phrase_2",
+    "q_wildcard_middle",
+    "q_bm25_topk",
+    "q_simhash",
+    "q_embedding_topk",
+    "q_fingerprints",
+]
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"query_id", "doc_id", "score"} <= set(df.columns)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_queries_have_oracles():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    missing = [k for k in qs if k not in os_]
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_duckdb(spark, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sdf = entry_mod.queries()[name](spark, SF)
+    res = con.sql(entry_mod.oracle_sql()[name])
+    ocols = list(res.columns)
+    orows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(ocols)
+
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            out.append(tuple(
+                round(v, 9) if isinstance(v, float) else v for v in (r[i] for i in order)
+            ))
+        return sorted(out)
+
+    assert norm(scols, srows) == norm(ocols, orows), name

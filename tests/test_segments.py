@@ -157,3 +157,17 @@ def test_checkpoint_resume(spark, docs, oracle, tmp_path_factory):
     got = bm25_topk_segments(load_index(spark, out), ["index", "compute"], 10)
     want = oracle.bm25_topk(["index", "compute"], 10)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_persisted_wildcard_tables(seg_index, oracle):
+    got = sorted(r["term"] for r in seg_index.wildcard_terms("comput*").collect())
+    assert got == sorted(oracle.wildcard_terms("comput*"))
+    got2 = sorted(r["term"] for r in seg_index.wildcard_terms("c?t").collect())
+    assert got2 == sorted(oracle.wildcard_terms("c?t"))
+
+
+def test_wildcard_topk(seg_index, oracle):
+    terms = sorted(oracle.wildcard_terms("test*"))
+    got = seg_index.wildcard_topk("test*", 10)
+    want = oracle.bm25_topk(terms, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
