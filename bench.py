@@ -144,7 +144,10 @@ def main() -> None:
     # throttles burst CPU invisibly — run-to-run wall time varies ±50%,
     # see BENCH.md). Attempts are interleaved lo/hi so throttling
     # penalizes both levels equally; best-of-3 per level.
-    lo_cpus = max(2, CPUS // 16)
+    # measured: this VM caps *effective* CPU at ~4 cores (user CPU never
+    # exceeds ~4 cores' worth during an 8/32-thread stage), so N=1 vs
+    # 4N=4 is the largest pair that both fit under the cap.
+    lo_cpus = int(os.environ.get("KMA_BENCH_LO_CPUS", "1"))
     hi_cpus = lo_cpus * 4
     attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "3"))
     lo_runs, hi_runs = [], []

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
 import time
 from collections.abc import Iterator
@@ -50,7 +49,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codecs import vb_decode, vb_encode_with_ends
-from ..operators.indexes import token_frame
 
 K1 = 1.2
 B = 0.75

@@ -171,3 +171,21 @@ def test_wildcard_topk(seg_index, oracle):
     got = seg_index.wildcard_topk("test*", 10)
     want = oracle.bm25_topk(terms, 10)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_decode_group_blocks_roundtrip(seg_index, oracle):
+    from kma_information_retrieval_spark.index.segments import decode_group_blocks
+
+    rows = seg_index.segments.filter(F.col("term") == "wonderful").collect()
+    assert rows
+    all_docs, all_tfs = [], []
+    for r in rows:
+        docs, tfs, dls = decode_group_blocks(r)
+        assert list(docs) == sorted(docs)
+        # partial decode: first block only must prefix the full decode
+        d0, t0, l0 = decode_group_blocks(r, blocks=[0])
+        assert list(d0) == list(docs[: len(d0)])
+        all_docs.extend(int(d) for d in docs)
+        all_tfs.extend(int(t) for t in tfs)
+    want = oracle.tf["wonderful"]
+    assert dict(zip(all_docs, all_tfs)) == want
