@@ -125,6 +125,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from kma_information_retrieval_spark.index import build_index, load_index
     from kma_information_retrieval_spark.index.wand import bm25_topk_batch
 
+    # runtime-settable; the driver's vanilla session defaults to 200
+    # shuffle partitions, absurd for the smoke corpus
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     docs = _docs(spark, "/root/testdata/sf0.001")
     out = tempfile.mkdtemp(prefix="kma_ir_flagship_")
     build_index(spark, docs, out, num_segments=8, postings_per_group=200, block_size=64)
