@@ -58,11 +58,29 @@ def _bundle(spark: SparkSession, sf_dir: str) -> IndexBundle:
         trigrams=ops.trigram_index(vocab),
         permuterm=ops.permuterm_index(vocab),
         bigrams=ops.bigram_index(docs),
+        grams2=ops.gram2_index(vocab),
     )
     b.tokens = toks
     b.dictionary = dic
     b.docs = docs
     return b
+
+
+# Persisted-index cache: the q_*_persisted queries exercise the
+# restart-survivable path (build once per sf_dir, then every query
+# compiles against the on-disk tables — no corpus re-tokenize).
+_PERSISTED: dict[str, object] = {}
+
+
+def _persisted_index(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PERSISTED:
+        from kma_information_retrieval_spark.index import build_index, load_index
+
+        out = tempfile.mkdtemp(prefix="kma_ir_persisted_")
+        build_index(spark, _docs(spark, sf_dir), out, num_segments=16,
+                    with_bigrams=True)
+        _PERSISTED[sf_dir] = load_index(spark, out)
+    return _PERSISTED[sf_dir]
 
 
 def _stats(spark, sf_dir):
@@ -209,6 +227,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
     q["q_bm25_topk"] = _bm25(["spark", "query", "join"])
     q["q_bm25_topk_tail"] = _bm25(["dup", "merge"])
+
+    # --- persisted-index query surface (build once, query from disk —
+    # no token_frame in any of these paths; ref main.rs:408-423)
+    def _persisted_q(query: str):
+        def run(s, d):
+            return _persisted_index(s, d).query(query).select("doc_id")
+        return run
+    q["q_boolean_persisted"] = _persisted_q("(spark or query) and not dup")
+    q["q_phrase_persisted"] = _persisted_q('"hash join"')
+    q["q_proximity_persisted"] = _persisted_q("near/3(table scan)")
+    q["q_wildcard_persisted"] = _persisted_q("*ar*")
+
+    def q_bigram_persisted(s, d):
+        from kma_information_retrieval_spark.operators.boolean import bigram_phrase_docs
+        return bigram_phrase_docs(["hash", "join"], _persisted_index(s, d).bundle()).select("doc_id")
+    q["q_bigram_persisted"] = q_bigram_persisted
+
+    def q_bm25_wand(s, d):
+        from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+        idx = _persisted_index(s, d)
+        return bm25_topk_batch(idx, {"q": ["spark", "query", "join"]}, 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    q["q_bm25_wand_persisted"] = q_bm25_wand
 
     # --- dedup suite
     q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
@@ -383,6 +425,16 @@ ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
     o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
+
+    # persisted-index paths compute the same results as the in-memory
+    # ones — the oracle is shared (the engine side differs: it reads the
+    # built parquet tables instead of re-tokenizing)
+    o["q_boolean_persisted"] = o["q_boolean_complex"]
+    o["q_phrase_persisted"] = o["q_phrase_2"]
+    o["q_proximity_persisted"] = o["q_proximity"]
+    o["q_wildcard_persisted"] = o["q_wildcard_contains"]
+    o["q_bigram_persisted"] = o["q_phrase_2"]
+    o["q_bm25_wand_persisted"] = o["q_bm25_topk"]
 
     o["q_dedup_exact"] = """
 WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),

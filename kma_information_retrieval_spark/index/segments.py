@@ -5,14 +5,15 @@ accumulate term->docs in memory, spill sorted runs, k-way merge. Spark's
 shuffle machinery replaces it wholesale; what remains ours is the
 *layout policy*:
 
-1. one tokenize pass -> ``(term, doc_id, tf, dl)`` aggregated postings;
-2. **explicit salting for head-term skew**: terms whose document
-   frequency exceeds ``postings_per_group`` are split into
+1. one tokenize pass -> ``(term, doc_id, tf, dl[, positions])``
+   aggregated postings, cached once and feeding every structure below;
+2. **explicit salting for head-term skew** (term layout): terms whose
+   document frequency exceeds ``postings_per_group`` are split into
    ``ceil(df / postings_per_group)`` disjoint sub-lists by a hash of
    doc_id, so no reducer ever materializes a stop-word-sized posting
    list (AQE skew handling is a safety net, not the plan);
-3. shuffle by ``part_id = H(term, salt) % num_segments``, sort within
-   partitions by ``(term, salt, doc_id)``;
+3. shuffle by ``part_id``, sort within partitions by
+   ``(term, salt, doc_id)``;
 4. a streaming mapInPandas encoder walks each sorted partition,
    delta+varbyte-compresses each (term, salt) group (doc gaps, tfs,
    dls) in blocks of ``block_size`` docs, and computes **block-max
@@ -25,6 +26,40 @@ shuffle machinery replaces it wholesale; what remains ours is the
    **manifest** (per-partition lineage + metrics) enabling
    **checkpoint resume**: a re-run skips committed part_ids and
    dynamically overwrites only the missing ones.
+
+Two segment layouts (classic IR trade-off, cf. "term-partitioned vs
+document-partitioned indexes", IIR §20.3 / ES-Lucene shards):
+
+* ``partition_by="term"`` (default): ``part_id = H(term, salt) %
+  num_segments``. Query-time partition pruning — a term lookup touches
+  exactly its candidate part_ids — but one top-k query's merge is a
+  single task (``index/wand.py``).
+* ``partition_by="doc"``: ``part_id = H(doc_id) % num_segments``; every
+  partition holds *all* terms for a disjoint doc subset, so BM25 top-k
+  fans out as per-partition exact WAND + a <= parts*k global merge
+  (no single-task straggler at 10^12 docs). No term pruning — every
+  query touches every partition (mitigated by term-sorted row groups).
+
+Beyond the compressed segments, the build persists the **full query
+surface** (the reference deserializes all five structures and serves
+every query type from them, ``main.rs:408-423``,
+``coordinate_index.rs:145-208``):
+
+* ``positional`` — (term, doc_id, tf, positions) parquet partitioned
+  by a term-hash ``part_id`` (boolean/phrase/proximity after restart;
+  boolean term lookups column-prune ``positions`` away at scan time);
+* ``dictionary``/``saltmap`` — stats + salting metadata;
+* ``trigrams``/``permuterm``/``grams2`` — wildcard prefilters
+  (``grams2`` covers short-infix patterns like ``*ar*`` that yield no
+  trigram — the reference serves those from its suffix tree,
+  ``suffix_tree.rs:159-195``);
+* ``bigrams`` (optional) — word-pair doc lists (J8).
+
+The serial driver tail is collapsed by submitting independent write
+jobs from concurrent threads (Spark schedules concurrently-submitted
+jobs onto free slots): the encode (dominant) runs alongside docmap,
+dictionary/saltmap, gram tables and positional writes, all reading the
+one cached aggregation.
 
 Hash choices are md5-based (not xxhash64) so the driver can compute a
 query term's candidate part_ids in pure Python and prune the parquet
@@ -41,6 +76,7 @@ import json
 import os
 import time
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -72,6 +108,11 @@ def _stable_hash_col(col) -> object:
 
 def part_id_for(term: str, salt: int, num_segments: int) -> int:
     return _stable_hash(f"{term}#{salt}") % num_segments
+
+
+def term_part_for(term: str, num_segments: int) -> int:
+    """Partition of a term in the positional table (no salt)."""
+    return _stable_hash(term) % num_segments
 
 
 def _part_id_col(term_col, salt_col, num_segments: int):
@@ -197,6 +238,10 @@ def _encode_grouped(avgdl: float, block_size: int):
     return _encode_partition(avgdl, block_size, grouped=True)
 
 
+def _written(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -210,15 +255,27 @@ def build_index(
     block_size: int = 128,
     resume: bool = False,
     identity_cols: tuple[str, ...] = (),
+    partition_by: str = "term",
+    with_positions: bool = True,
+    with_bigrams: bool = False,
 ) -> dict:
     """Build (or resume) the full index at ``out_dir``. Returns the manifest.
 
     ``docs`` needs ``id_col`` (stable long) and ``text_col``; pass
     ``identity_cols`` (e.g. repo/path/commit/lang) to carry lineage into
     the docmap. Resume skips part_ids already committed in the manifest
-    and dynamically overwrites only missing partitions, so a rebuild
+    (and side tables that already have a ``_SUCCESS`` marker) and
+    dynamically overwrites only missing segment partitions, so a rebuild
     after partial failure converges to the identical index.
+
+    ``partition_by``: "term" (pruned lookups) or "doc" (distributed
+    top-k merge) — see the module docstring for the trade-off.
+    ``with_positions=False`` skips the positional table (BM25/wildcard
+    only — phrase/proximity then need :meth:`SegmentIndex.bundle`'s
+    decoded-postings fallback for boolean, and no phrase path).
     """
+    if partition_by not in ("term", "doc"):
+        raise ValueError(f"partition_by must be 'term' or 'doc', got {partition_by!r}")
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -241,125 +298,202 @@ def build_index(
     )
     # The tokenize stage is the CPU hot path; if the source arrives in
     # fewer splits than the cluster has slots (small files coalesced by
-    # maxPartitionBytes/openCost), fan it out first. At real scale the
+    # maxPartitionBytes/openCost), fan it out first. File count is read
+    # from the scan metadata — no RDD materialization. At real scale the
     # input has plenty of splits and this no-ops.
     slots = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < slots:
+    try:
+        n_in = len(docs.inputFiles())
+    except Exception:
+        n_in = 0
+    if 0 < n_in < slots:
         base = base.repartition(slots)
-    # dl is carried through the explode (size of the token array), so the
-    # postings never need a doc-keyed join back to a doc-length table —
-    # at 10^12 files that join is a full extra shuffle of every posting.
     from ..functions.tokenize import tokenize_expr
 
     tok_arrays = base.select("doc_id", tokenize_expr("content", mode).alias("toks"))
+    if with_bigrams:
+        # reused by the bigram table write below — avoid a second tokenize
+        from pyspark import StorageLevel
+
+        tok_arrays = tok_arrays.persist(StorageLevel.MEMORY_AND_DISK)
+    # dl is carried through the explode (size of the token array), so the
+    # postings never need a doc-keyed join back to a doc-length table —
+    # at 10^12 files that join is a full extra shuffle of every posting.
     toks = tok_arrays.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
     )
-    # ONE aggregation feeds everything downstream (dictionary, doc
-    # lengths, salting, encoding) — cached so the build is a single
-    # tokenize+shuffle pass, not one per derived structure.
-    term_doc = (
-        toks.groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-        .cache()
-    )
+    # ONE aggregation feeds everything downstream (positional table,
+    # dictionary, doc lengths, salting, encoding) — cached so the build
+    # is a single tokenize+shuffle pass, not one per derived structure.
+    aggs = [F.count("*").alias("tf"), F.max("dl").alias("dl")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs).cache()
+    term_doc = term_doc_full.select("term", "doc_id", "tf", "dl")
     doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
-    # ---- docmap with per-row sha256 (lineage + integrity invariant)
-    docmap = (
-        base.join(doclen, "doc_id", "left")
-        .select(
-            "doc_id",
-            *identity_cols,
-            F.coalesce("dl", F.lit(0)).alias("dl"),
-            F.sha2("content", 256).alias("content_sha256"),
-            F.length("content").alias("n_chars"),
-        )
-    )
-    docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
-    docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
-    _mark("docmap", _t)
-
-    # ---- global stats (one agg pass; avgdl feeds block-max impacts)
-    stats = docmap.select(
-        F.count("*").alias("n_docs"),
+    # ---- global stats FIRST: the one blocking job that materializes the
+    # cache; everything after runs as concurrent jobs off that cache.
+    # avgdl is defined over token-bearing docs (matches collection_stats
+    # and the SQL oracle; recorded in the manifest).
+    stats = doclen.select(
+        F.count("*").alias("n_docs_tokened"),
         F.sum("dl").alias("total_words"),
-        F.avg("dl").alias("avgdl"),
     ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_docs_tokened = int(stats["n_docs_tokened"])
+    total_words = int(stats["total_words"] or 0)
+    avgdl = (total_words / n_docs_tokened) if n_docs_tokened else 1.0
     _mark("stats", _t)
 
-    # ---- dictionary (term, df, cf) — also the saltmap source
+    # ---- lazy frames shared by the concurrent write jobs
     dictionary = term_doc.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
-    dictionary = spark.read.parquet(os.path.join(out_dir, "dictionary"))
-    _mark("dictionary", _t)
-
-    # ---- explicit head-term salting (frequency sketch = exact df here)
-    saltmap = (
-        dictionary.filter(F.col("df") > postings_per_group)
-        .select(
-            "term",
-            F.least(
-                F.ceil(F.col("df") / F.lit(postings_per_group)), F.lit(max_salt)
-            ).cast("int").alias("salt_factor"),
+    if partition_by == "term":
+        # explicit head-term salting (frequency sketch = exact df here)
+        saltmap = (
+            dictionary.filter(F.col("df") > postings_per_group)
+            .select(
+                "term",
+                F.least(
+                    F.ceil(F.col("df") / F.lit(postings_per_group)), F.lit(max_salt)
+                ).cast("int").alias("salt_factor"),
+            )
         )
-    )
-    saltmap.write.mode("overwrite").parquet(os.path.join(out_dir, "saltmap"))
-    saltmap = spark.read.parquet(os.path.join(out_dir, "saltmap"))
-    _mark("saltmap", _t)
-
-    # wildcard prefilter tables over the vocabulary (T7/T8) — tiny
-    # relative to postings; lets a loaded index serve wildcard queries
-    from ..operators.indexes import permuterm_index, trigram_index
-
-    vocab = dictionary.select("term")
-    trigram_index(vocab).write.mode("overwrite").parquet(os.path.join(out_dir, "trigrams"))
-    permuterm_index(vocab).write.mode("overwrite").parquet(os.path.join(out_dir, "permuterm"))
-    _mark("gram_tables", _t)
-
-    salted = (
-        term_doc
-        .join(F.broadcast(saltmap), "term", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("salt_factor").isNotNull(),
-                F.pmod(_stable_hash_col(F.col("doc_id").cast("string")), F.col("salt_factor")),
-            ).otherwise(F.lit(0)).cast("int"),
+        salted = (
+            term_doc
+            .join(F.broadcast(saltmap), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("salt_factor").isNotNull(),
+                    F.pmod(_stable_hash_col(F.col("doc_id").cast("string")), F.col("salt_factor")),
+                ).otherwise(F.lit(0)).cast("int"),
+            )
+            .withColumn("part_id", _part_id_col(F.col("term"), F.col("salt"), num_segments))
+            .select("part_id", "term", "salt", "doc_id", "tf", "dl")
         )
-        .withColumn("part_id", _part_id_col(F.col("term"), F.col("salt"), num_segments))
-        .select("part_id", "term", "salt", "doc_id", "tf", "dl")
-    )
+    else:
+        # doc layout: hash every posting by doc_id; salt == part_id keeps
+        # the encoder's (term, salt) group keys doc-disjoint per part.
+        saltmap = None
+        pid = F.pmod(
+            _stable_hash_col(F.col("doc_id").cast("string")), F.lit(num_segments)
+        ).cast("int")
+        salted = term_doc.select(
+            pid.alias("part_id"), "term", pid.alias("salt"), "doc_id", "tf", "dl"
+        )
     if committed:
         done = [int(p) for p in committed]
         salted = salted.filter(~F.col("part_id").isin(done))
 
-    # Shuffle once by part_id, sort within partitions, stream the sorted
-    # rows through the numpy group-walk encoder. (A collect_list-based
-    # variant — _encode_partition(grouped=True) — was measured slower:
-    # array aggregation has no map-side combine and is object/GC-heavy.)
-    encoded = (
-        salted.repartition(num_segments, "part_id")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
-    )
-    # Dynamic overwrite touches only the part_ids present in `encoded`,
-    # so a resume replaces exactly the uncommitted partitions. A fresh
-    # build clears any stale segment dir first.
     seg_dir = os.path.join(out_dir, "segments")
     if not committed and os.path.exists(seg_dir):
         import shutil
 
         shutil.rmtree(seg_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
-    _mark("encode", _t)
 
-    # ---- per-partition lineage + metrics -> manifest
-    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    # ---- concurrent write jobs (independent DAGs off the shared cache).
+    # Spark's scheduler runs concurrently-submitted jobs on free slots;
+    # the encode dominates, the side tables fill its stragglers' idle
+    # slots instead of running as a serial driver-side chain afterwards.
+    def _skip(name: str) -> bool:
+        return resume and _written(os.path.join(out_dir, name))
+
+    def w_encode():
+        # Shuffle once by part_id, sort within partitions, stream the
+        # sorted rows through the numpy group-walk encoder. (A
+        # collect_list-based variant — _encode_partition(grouped=True) —
+        # was measured slower: no map-side combine, object/GC-heavy.)
+        encoded = (
+            salted.repartition(num_segments, "part_id")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
+        )
+        # Dynamic overwrite touches only part_ids present in `encoded`,
+        # so a resume replaces exactly the uncommitted partitions.
+        encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
+
+    def w_docmap():
+        if _skip("docmap"):
+            return
+        dm = (
+            base.join(doclen, "doc_id", "left")
+            .select(
+                "doc_id",
+                *identity_cols,
+                F.coalesce("dl", F.lit(0)).alias("dl"),
+                F.sha2("content", 256).alias("content_sha256"),
+                F.length("content").alias("n_chars"),
+            )
+        )
+        dm.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+
+    def w_dictionary():
+        if not _skip("dictionary"):
+            dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
+        if saltmap is not None and not _skip("saltmap"):
+            saltmap.write.mode("overwrite").parquet(os.path.join(out_dir, "saltmap"))
+
+    def w_grams():
+        # wildcard prefilter tables over the vocabulary (T7/T8 + the
+        # 2-gram infix table) — tiny relative to postings; lets a loaded
+        # index serve every wildcard shape without a vocab regex scan
+        from ..operators.indexes import gram2_index, permuterm_index, trigram_index
+
+        vocab = dictionary.select("term")
+        if not _skip("trigrams"):
+            trigram_index(vocab).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "trigrams"))
+        if not _skip("permuterm"):
+            permuterm_index(vocab).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "permuterm"))
+        if not _skip("grams2"):
+            gram2_index(vocab).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "grams2"))
+
+    def w_positional():
+        if not with_positions or _skip("positional"):
+            return
+        pos = term_doc_full.withColumn(
+            "part_id",
+            F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+        ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
+        # term-hash partitioning + term-sorted row groups: a term lookup
+        # prunes to one partition, then row-group stats skip within it;
+        # boolean reads column-prune `positions` away entirely.
+        (
+            pos.repartition(num_segments, "part_id")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite").partitionBy("part_id")
+            .parquet(os.path.join(out_dir, "positional"))
+        )
+
+    def w_bigrams():
+        if not with_bigrams or _skip("bigrams"):
+            return
+        from ..functions.tokenize import bigrams_expr
+
+        bg = (
+            tok_arrays.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bigram"))
+            .distinct()
+            .select("bigram", "doc_id")
+        )
+        bg.write.mode("overwrite").parquet(os.path.join(out_dir, "bigrams"))
+
+    jobs = [w_encode, w_docmap, w_dictionary, w_grams, w_positional, w_bigrams]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()  # re-raise the first failure
+    _mark("write_all", _t)
+
+    # ---- per-partition lineage + metrics -> manifest (n_docs counts
+    # every doc including token-free ones — parquet-footer count)
+    n_docs = spark.read.parquet(os.path.join(out_dir, "docmap")).count()
+    seg = spark.read.parquet(seg_dir)
     metrics = (
         seg.groupBy("part_id")
         .agg(
@@ -385,13 +519,20 @@ def build_index(
             "doc_bytes": int(r["doc_bytes"]),
             "aux_bytes": int(r["aux_bytes"]),
         }
-    term_doc.unpersist()
+    term_doc_full.unpersist()
+    if with_bigrams:
+        tok_arrays.unpersist()
     manifest = {
-        "version": 1,
+        "version": 2,
         "n_docs": n_docs,
+        "n_docs_tokened": n_docs_tokened,
         "avgdl": avgdl,
-        "total_words": int(stats["total_words"]),
+        "avgdl_definition": "total_words / token-bearing docs",
+        "total_words": total_words,
         "num_segments": num_segments,
+        "partition_by": partition_by,
+        "with_positions": with_positions,
+        "with_bigrams": with_bigrams,
         "postings_per_group": postings_per_group,
         "max_salt": max_salt,
         "block_size": block_size,
@@ -417,29 +558,110 @@ class SegmentIndex:
     out_dir: str
     meta: dict
 
+    def _table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, name))
+
+    def _has(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.out_dir, name))
+
     @property
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "segments"))
+        return self._table("segments")
 
     @property
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "docmap"))
+        return self._table("docmap")
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "dictionary"))
+        return self._table("dictionary")
 
     @property
-    def saltmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "saltmap"))
+    def saltmap(self) -> DataFrame | None:
+        return self._table("saltmap") if self._has("saltmap") else None
 
     @property
     def trigrams(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "trigrams"))
+        return self._table("trigrams")
 
     @property
     def permuterm(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "permuterm"))
+        return self._table("permuterm")
+
+    @property
+    def grams2(self) -> DataFrame | None:
+        return self._table("grams2") if self._has("grams2") else None
+
+    @property
+    def positional(self) -> DataFrame | None:
+        return self._table("positional") if self._has("positional") else None
+
+    @property
+    def bigrams(self) -> DataFrame | None:
+        return self._table("bigrams") if self._has("bigrams") else None
+
+    # -------------------------------------------------- query surface
+
+    def bundle(self):
+        """The persisted query surface as an :class:`IndexBundle` — every
+        query type (boolean/phrase/proximity/wildcard) compiles against
+        on-disk tables; nothing re-tokenizes the corpus. Matches the
+        reference's deserialize-then-search loop (``main.rs:408-423``).
+
+        Boolean term lookups read the positional table with ``positions``
+        column-pruned away; if the index was built ``with_positions=
+        False``, postings are decoded from the compressed segments
+        instead (and phrase/proximity are unavailable)."""
+        from ..operators.boolean import IndexBundle
+
+        pos = self.positional
+        if pos is not None:
+            postings = pos.select("part_id", "term", "doc_id", "tf")
+            positional = pos.select("part_id", "term", "doc_id", "positions", "tf")
+        else:
+            postings = self.decoded_postings()
+            positional = None
+        n_seg = self.meta["num_segments"]
+        return IndexBundle(
+            postings=postings,
+            all_docs=self.docmap.select("doc_id"),
+            positional=positional,
+            vocab=self.dictionary.select("term"),
+            trigrams=self.trigrams,
+            permuterm=self.permuterm,
+            grams2=self.grams2,
+            bigrams=self.bigrams,
+            term_part=(lambda t: term_part_for(t, n_seg)) if pos is not None else None,
+        )
+
+    def query(self, query_str: str, strict: bool = False) -> DataFrame:
+        """Compile a boolean/phrase/proximity/wildcard query against the
+        persisted tables -> DataFrame of matching doc_ids."""
+        from ..operators.boolean import compile_query
+
+        return compile_query(query_str, self.bundle(), strict=strict)
+
+    def decoded_postings(self) -> DataFrame:
+        """(term, doc_id, tf) decoded from the compressed segments — a
+        distributed mapInPandas decode (numpy varbyte + cumsum per
+        group); the boolean fallback when no positional table exists."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for _, row in pdf.iterrows():
+                    gaps = vb_decode(bytes(row["doc_bytes"]))
+                    docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                    tf = vb_decode(bytes(row["tf_bytes"])).astype(np.int64)
+                    outs.append(pd.DataFrame({
+                        "term": row["term"], "doc_id": docs, "tf": tf,
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self.segments.select(
+            "term", "doc_bytes", "tf_bytes"
+        ).mapInPandas(run, schema="term string, doc_id long, tf long")
 
     def wildcard_terms(self, pattern: str) -> DataFrame:
         """Wildcard -> matching vocabulary terms via the persisted gram
@@ -452,6 +674,7 @@ class SegmentIndex:
             vocab=self.dictionary.select("term"),
             trigrams=self.trigrams,
             permuterm=self.permuterm,
+            grams2=self.grams2,
         )
         return wildcard_terms(pattern, bundle)
 
@@ -467,12 +690,18 @@ class SegmentIndex:
         return bm25_topk_segments(self, terms, k, use_wand=use_wand)
 
     def salt_factors(self, terms: list[str]) -> dict[str, int]:
-        rows = self.saltmap.filter(F.col("term").isin(list(terms))).collect()
+        sm = self.saltmap
+        if sm is None:
+            return {}
+        rows = sm.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: r["salt_factor"] for r in rows}
 
     def candidate_part_ids(self, terms: list[str]) -> list[int]:
         """Driver-side partition pruning: every (term, salt) of the query
-        maps to a known part_id (md5-based hash, Python-computable)."""
+        maps to a known part_id (md5-based hash, Python-computable).
+        Doc-partitioned layout has no term locality — all parts."""
+        if self.meta.get("partition_by") == "doc":
+            return sorted(int(p) for p in self.meta["partitions"])
         factors = self.salt_factors(terms)
         pids = set()
         for t in terms:

@@ -240,10 +240,20 @@ def bm25_topk_batch(
     (query_id, doc_id, score), <= k rows per query, ordered by
     (score DESC, doc_id ASC) within each query.
 
-    The parquet scan is pruned to the union of candidate part_ids and
-    query terms; each query's merge runs in one applyInPandas task, so
-    a query batch saturates the cluster while individual merges stay
-    local (per-shard index-server layout at cluster scale).
+    Term-partitioned index: the parquet scan is pruned to the union of
+    candidate part_ids and query terms; each query's merge runs in one
+    applyInPandas task, so a query batch saturates the cluster while
+    individual merges stay local. A stop-word query at 10^12 docs would
+    make that one task a straggler — which is exactly what the doc
+    layout exists for.
+
+    Doc-partitioned index (``build_index(partition_by="doc")``): every
+    partition holds all query terms for a disjoint doc subset, so the
+    kernel runs per (query_id, part_id) — an *exact* local top-k
+    (scores complete within the partition) — and a global merge keeps
+    the best k of <= parts*k candidate rows per query. Scores are
+    bit-identical to the single-task path: each doc's score is summed
+    in lexicographic term order inside exactly one local kernel.
     """
     spark = index.spark
     all_terms = sorted({t for ts in queries.values() for t in sorted(set(ts))})
@@ -273,6 +283,18 @@ def bm25_topk_batch(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
 
+    if index.meta.get("partition_by") == "doc":
+        from pyspark.sql import Window
+
+        local = tagged.groupBy("query_id", "part_id").applyInPandas(
+            run, schema=RESULT_SCHEMA
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
     return tagged.groupBy("query_id").applyInPandas(run, schema=RESULT_SCHEMA)
 
 

@@ -7,6 +7,7 @@ from .indexes import (
     collection_stats,
     bigram_index,
     trigram_index,
+    gram2_index,
     permuterm_index,
     incidence_matrix,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "collection_stats",
     "bigram_index",
     "trigram_index",
+    "gram2_index",
     "permuterm_index",
     "incidence_matrix",
     "parse_query",

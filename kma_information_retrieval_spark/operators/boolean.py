@@ -129,7 +129,13 @@ def glob_to_regex(pattern: str) -> str:
 
 @dataclass
 class IndexBundle:
-    """The index DataFrames a query compiles against."""
+    """The index DataFrames a query compiles against.
+
+    ``term_part`` (optional): a Python callable term -> partition id.
+    When set and a frame carries a ``part_id`` column (the persisted
+    positional table, ``index/segments.py``), every exact-term lookup
+    adds a ``part_id`` equality filter so the parquet scan prunes to one
+    partition — the on-disk analogue of the reference's hash lookup."""
 
     postings: DataFrame                 # (term, doc_id, tf)
     all_docs: DataFrame                 # (doc_id)
@@ -138,11 +144,56 @@ class IndexBundle:
     trigrams: DataFrame | None = None    # (gram, term)
     permuterm: DataFrame | None = None   # (rotation, term)
     bigrams: DataFrame | None = None     # (bigram, doc_id)
+    grams2: DataFrame | None = None      # (gram, term) char 2-grams
+    term_part: object | None = None      # Callable[[str], int] | None
 
 
-def compile_query(query: str, idx: IndexBundle) -> DataFrame:
-    """Compile a query string to a DataFrame of matching (doc_id) rows."""
-    return _compile(parse_query(query), idx)
+def _term_rows(df: DataFrame, term: str, idx: IndexBundle) -> DataFrame:
+    """Exact-term row lookup with partition pruning when available."""
+    cond = F.col("term") == term
+    if idx.term_part is not None and "part_id" in df.columns:
+        cond = (F.col("part_id") == idx.term_part(term)) & cond
+    return df.filter(cond)
+
+
+def _query_terms(node: Ast) -> set[str]:
+    """Exact terms a query requires (wildcards excluded — an empty
+    expansion is a legitimate result, not a missing term)."""
+    op = node[0]
+    if op == "term":
+        return {node[1]}
+    if op == "phrase":
+        return set(node[1])
+    if op == "near":
+        return set(node[2])
+    if op in ("and", "or"):
+        return _query_terms(node[1]) | _query_terms(node[2])
+    if op == "not":
+        return _query_terms(node[1])
+    return set()
+
+
+def compile_query(query: str, idx: IndexBundle, strict: bool = False) -> DataFrame:
+    """Compile a query string to a DataFrame of matching (doc_id) rows.
+
+    ``strict=True`` restores the reference's missing-term-is-an-error
+    behavior (J5, ``inverted_index.rs:243-249``): any exact query term
+    absent from the vocabulary raises ``KeyError`` before execution.
+    The default keeps the documented divergence (missing term = empty
+    set), which composes correctly under OR/NOT."""
+    ast = parse_query(query)
+    if strict:
+        wanted = _query_terms(ast)
+        if wanted:
+            vocab = idx.vocab if idx.vocab is not None else idx.postings.select("term")
+            present = {
+                r["term"]
+                for r in vocab.filter(F.col("term").isin(sorted(wanted))).distinct().collect()
+            }
+            missing = sorted(wanted - present)
+            if missing:
+                raise KeyError(f"terms not in index: {missing}")
+    return _compile(ast, idx)
 
 
 def _docs_of_terms(terms_df: DataFrame, idx: IndexBundle) -> DataFrame:
@@ -161,8 +212,13 @@ def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
 
     * single ``*``, no ``?``  -> permuterm rotation prefix scan (J11)
     * otherwise               -> trigram candidate intersection (J10)
-    * no usable trigram       -> full vocabulary scan (reference
-      fallback, ``trigram_index.rs:165-172``)
+    * no usable trigram       -> char-2-gram prefilter (replaces the
+      reference's suffix-tree path for short infixes like ``*ar*``,
+      ``suffix_tree.rs:159-195`` — a ``*ar*`` query at a 10^9-term
+      vocabulary must not regex-scan all of vocab)
+    * no usable 2-gram either -> full vocabulary scan (reference
+      fallback, ``trigram_index.rs:165-172``; only reachable for
+      patterns whose literals are all single chars, e.g. ``*a*``)
     """
     rx = glob_to_regex(pattern)
     n_star, n_q = pattern.count("*"), pattern.count("?")
@@ -179,6 +235,17 @@ def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
         grams = _query_trigrams(pattern)
         if grams:
             g = idx.trigrams.filter(F.col("gram").isin(grams))
+            cands = (
+                g.groupBy("term")
+                .agg(F.countDistinct("gram").alias("n"))
+                .filter(F.col("n") == len(grams))
+                .select("term")
+            )
+            return cands.filter(F.col("term").rlike(rx))
+    if idx.grams2 is not None:
+        grams = _query_2grams(pattern)
+        if grams:
+            g = idx.grams2.filter(F.col("gram").isin(grams))
             cands = (
                 g.groupBy("term")
                 .agg(F.countDistinct("gram").alias("n"))
@@ -203,6 +270,15 @@ def _query_trigrams(pattern: str) -> list[str]:
     return sorted(set(grams))
 
 
+def _query_2grams(pattern: str) -> list[str]:
+    """Literal char 2-grams implied by the glob (no padding — interior
+    grams only; prefix/suffix shapes are served by the permuterm and
+    trigram routes before this one is consulted)."""
+    segs = re.split(r"[*?]+", pattern)
+    grams = {s[i : i + 2] for s in segs for i in range(len(s) - 1)}
+    return sorted(grams)
+
+
 def _phrase_docs(words: list[str], idx: IndexBundle) -> DataFrame:
     """J6 with correct ``p + i``: anchor on the first word's positions,
     progressively narrow the anchor set with array HOFs — one join per
@@ -210,15 +286,13 @@ def _phrase_docs(words: list[str], idx: IndexBundle) -> DataFrame:
     if idx.positional is None:
         raise ValueError("phrase query needs a positional index")
     if len(words) == 1:
-        return (
-            idx.positional.filter(F.col("term") == words[0]).select("doc_id").distinct()
-        )
+        return _term_rows(idx.positional, words[0], idx).select("doc_id").distinct()
     cur = (
-        idx.positional.filter(F.col("term") == words[0])
+        _term_rows(idx.positional, words[0], idx)
         .select("doc_id", F.col("positions").alias("anchor"))
     )
     for i, w in enumerate(words[1:], start=1):
-        nxt = idx.positional.filter(F.col("term") == w).select(
+        nxt = _term_rows(idx.positional, w, idx).select(
             "doc_id", F.col("positions").alias(f"p{i}")
         )
         cur = (
@@ -244,11 +318,11 @@ def _near_docs(k: int, words: list[str], idx: IndexBundle) -> DataFrame:
         raise ValueError("near query needs a positional index")
     if not words:
         return idx.all_docs.limit(0)
-    cur = idx.positional.filter(F.col("term") == words[0]).select(
+    cur = _term_rows(idx.positional, words[0], idx).select(
         "doc_id", F.col("positions").alias("p0")
     )
     for i, w in enumerate(words[1:], start=1):
-        nxt = idx.positional.filter(F.col("term") == w).select(
+        nxt = _term_rows(idx.positional, w, idx).select(
             "doc_id", F.col("positions").alias(f"p{i}")
         )
         cur = cur.join(nxt, "doc_id")
@@ -283,9 +357,7 @@ def bigram_phrase_docs(words: list[str], idx: IndexBundle) -> DataFrame:
 def _compile(node: Ast, idx: IndexBundle) -> DataFrame:
     op = node[0]
     if op == "term":
-        return (
-            idx.postings.filter(F.col("term") == node[1]).select("doc_id").distinct()
-        )
+        return _term_rows(idx.postings, node[1], idx).select("doc_id").distinct()
     if op == "wildcard":
         return _docs_of_terms(wildcard_terms(node[1], idx), idx)
     if op == "phrase":

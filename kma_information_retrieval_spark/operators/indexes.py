@@ -115,6 +115,28 @@ def trigram_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
     )
 
 
+def gram2_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
+    """(gram, term) — all char 2-grams of the raw term (no padding).
+
+    The short-infix wildcard prefilter: patterns like ``*ar*`` yield no
+    literal trigram, and the reference serves them from its suffix tree
+    (``suffix_tree.rs:159-195``); a (2-gram, term) table is the
+    relational equivalent — candidates come from an equi-lookup instead
+    of a full-vocabulary regex scan. ~(len-1) rows per term, smaller
+    than the trigram table."""
+    base = vocab.select(F.col(term_col).alias("term"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("term") - F.lit(1)),
+        lambda i: F.col("term").substr(i, F.lit(2)),
+    )
+    return (
+        base.filter(F.length("term") >= 2)
+        .select("term", F.explode(grams).alias("gram"))
+        .select("gram", "term")
+        .distinct()
+    )
+
+
 def permuterm_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
     """(rotation, term) — T8/A11 (``permutation_index.rs:135-146``):
     all cyclic rotations of term + '$'."""

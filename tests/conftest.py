@@ -44,6 +44,7 @@ def indexes(spark, docs):
         trigrams=ops.trigram_index(vocab).cache(),
         permuterm=ops.permuterm_index(vocab).cache(),
         bigrams=ops.bigram_index(docs).cache(),
+        grams2=ops.gram2_index(vocab).cache(),
     )
     stats = ops.collection_stats(docs, toks).collect()[0]
     bundle.stats = {

@@ -1,0 +1,161 @@
+"""Persisted query surface: every query type served from the on-disk
+index (the reference deserializes all structures and searches them,
+``main.rs:408-423``, ``coordinate_index.rs:145-208`` — round-1 gap #1).
+
+Covers: boolean/phrase/proximity/wildcard parity between the persisted
+path and the in-memory compile, no-retokenize plan assertion, partition
+pruning, the grams2 short-infix route, strict missing-term mode, the
+doc-partitioned layout's two-stage WAND merge, and the decoded-postings
+fallback for positionless indexes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.index import build_index, load_index
+from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+from kma_information_retrieval_spark.operators.boolean import compile_query
+
+QUERIES = [
+    "compute and test",
+    "(compute or test) and not cat",
+    '"hello world"',
+    "near/2(test compute)",
+    "comp*",
+    "*ing",
+    "c*t",
+    "*ar*",  # short infix — no literal trigram
+    "t?st",
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("persisted_idx"))
+    build_index(spark, docs, out, num_segments=8, postings_per_group=500,
+                block_size=32, with_bigrams=True)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def docidx(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("doc_idx"))
+    build_index(spark, docs, out, num_segments=8, partition_by="doc",
+                with_positions=False)
+    return load_index(spark, out)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_persisted_matches_inmemory(pidx, indexes, q):
+    assert _ids(pidx.query(q)) == _ids(compile_query(q, indexes))
+
+
+def test_persisted_plan_does_not_retokenize(pidx):
+    # the whole point: no tokenizer in the compiled plan — it reads the
+    # positional parquet, not the corpus
+    plan = pidx.query("compute and test")._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract" not in plan
+    assert "positional" in plan
+
+
+def test_persisted_term_lookup_prunes_partitions(pidx):
+    from kma_information_retrieval_spark.index.segments import term_part_for
+
+    pid = term_part_for("compute", pidx.meta["num_segments"])
+    plan = pidx.query("compute")._jdf.queryExecution().toString()
+    assert f"part_id = {pid}" in plan or f"part_id#" in plan  # filter present
+    # the optimized plan must carry the part_id equality into the scan
+    assert f"= {pid}" in plan
+
+
+def test_infix_wildcard_uses_grams2_not_vocab_scan(pidx):
+    wt = pidx.wildcard_terms("*ar*")
+    plan = wt._jdf.queryExecution().optimizedPlan().toString()
+    assert "gram" in plan  # candidate generation from the 2-gram table
+    # and the result is still exact (rlike verify)
+    vocab_rx = pidx.dictionary.filter(F.col("term").rlike("^.*ar.*$"))
+    assert sorted(r["term"] for r in wt.collect()) == sorted(
+        r["term"] for r in vocab_rx.select("term").collect()
+    )
+
+
+def test_strict_mode_raises_on_missing_term(pidx):
+    with pytest.raises(KeyError, match="zzzmissing"):
+        pidx.query("zzzmissing or compute", strict=True)
+    # default divergent mode: missing term = empty set, composes under OR
+    assert _ids(pidx.query("zzzmissing or compute")) == _ids(pidx.query("compute"))
+
+
+def test_doc_partitioned_wand_matches_term_partitioned(pidx, docidx, oracle):
+    queries = {
+        "q1": ["compute", "test"],
+        "q2": ["hello", "world", "index"],
+        "q3": ["cat"],
+    }
+    a = sorted(map(tuple, bm25_topk_batch(pidx, queries, 10).collect()))
+    b = sorted(map(tuple, bm25_topk_batch(docidx, queries, 10).collect()))
+    assert a == b
+    # and both rank-match the single-node oracle
+    for qid, terms in queries.items():
+        want = oracle.bm25_topk(terms, 10)
+        got = sorted(
+            ((r["doc_id"], r["score"]) for r in bm25_topk_batch(docidx, {qid: terms}, 10).collect()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_doc_layout_metadata(docidx):
+    assert docidx.meta["partition_by"] == "doc"
+    assert docidx.candidate_part_ids(["compute"]) == sorted(
+        int(p) for p in docidx.meta["partitions"]
+    )
+
+
+def test_decoded_postings_fallback(docidx, indexes):
+    # index built with_positions=False: boolean still served, decoded
+    # from the compressed segments
+    bundle = docidx.bundle()
+    assert bundle.positional is None
+    got = _ids(compile_query("compute and test", bundle))
+    want = _ids(compile_query("compute and test", indexes))
+    assert got == want
+
+
+def test_gram2_index_contents(spark):
+    from kma_information_retrieval_spark.operators.indexes import gram2_index
+
+    vocab = spark.createDataFrame([("cat",), ("arc",)], "term string")
+    rows = {(r["gram"], r["term"]) for r in gram2_index(vocab).collect()}
+    assert rows == {("ca", "cat"), ("at", "cat"), ("ar", "arc"), ("rc", "arc")}
+
+
+def test_resume_skips_side_tables(spark, docs, tmp_path_factory):
+    import json
+    import os
+
+    out = str(tmp_path_factory.mktemp("resume_idx"))
+    build_index(spark, docs, out, num_segments=4)
+    # corrupt the manifest to simulate a partial run, keep side tables
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    kept = {k: v for i, (k, v) in enumerate(sorted(m["partitions"].items())) if i < 2}
+    m["partitions"] = kept
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t_dict = os.path.getmtime(os.path.join(out, "dictionary", "_SUCCESS"))
+    m2 = build_index(spark, docs, out, num_segments=4, resume=True)
+    # side tables untouched, all segment partitions present again
+    assert os.path.getmtime(os.path.join(out, "dictionary", "_SUCCESS")) == t_dict
+    assert len(m2["partitions"]) == 4
+    idx = load_index(spark, out)
+    assert idx.query("compute").count() > 0
