@@ -31,6 +31,9 @@ from kma_information_retrieval_spark.operators.boolean import IndexBundle, compi
 N_MINHASH = 16
 JACCARD_THR = 0.2
 NEARDUP_COS = 0.35
+N_LSH_BANDS = 10
+LSH_BAND_BITS = 6
+EMB_DIM = 64  # testdata embeddings.parquet dimension (all SFs)
 MERSENNE_P = 4294967311
 
 
@@ -271,9 +274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_simhash"] = lambda s, d: dedup.simhash(_docs(s, d)).select("doc_id", "simhash")
 
     def q_neardup(s, d):
-        return dedup.embedding_neardup_pairs(_emb(s, d), NEARDUP_COS).select(
-            "a", "b", F.round("cosine", 4).alias("cosine")
-        )
+        # LSH band-join candidates + exact cosine verify (no cross join;
+        # the oracle mirrors the same >=1-shared-band AND cosine>=t
+        # contract, so the comparison is exact, not sampled)
+        return dedup.embedding_neardup_pairs_lsh(
+            _emb(s, d), NEARDUP_COS, N_LSH_BANDS, LSH_BAND_BITS
+        ).select("a", "b", F.round("cosine", 4).alias("cosine"))
     q["q_embedding_neardup"] = q_neardup
 
     # --- similarity search
@@ -482,10 +488,33 @@ SELECT doc_id, ({fp})::bigint AS simhash FROM v"""
                                list_transform(a.embedding, x -> x::double)))
        * sqrt(list_dot_product(list_transform(b.embedding, x -> x::double),
                                list_transform(b.embedding, x -> x::double))))"""
+    # LSH near-dup: the oracle computes the SAME sign-hyperplane band
+    # signatures (plane constants embedded as literals — rounded to 6
+    # decimals on both sides) and applies the same ">=1 shared band AND
+    # cosine >= t" contract, brute-force (oracle cost is irrelevant).
+    planes = dedup.lsh_band_planes(EMB_DIM, N_LSH_BANDS, LSH_BAND_BITS)
+    band_exprs = []
+    for bi in range(N_LSH_BANDS):
+        bits = []
+        for j in range(LSH_BAND_BITS):
+            p = planes[bi * LSH_BAND_BITS + j]
+            lits = ", ".join(repr(float(x)) for x in p)
+            bits.append(
+                f"(CASE WHEN list_dot_product(e, [{lits}]) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(bits) + f" AS band_{bi}")
+    band_eq = " OR ".join(f"a.band_{i} = b.band_{i}" for i in range(N_LSH_BANDS))
+    bands_sql = ",\n       ".join(band_exprs)
+    ecos = """list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"""
     o["q_embedding_neardup"] = f"""
-SELECT a.vec_id AS a, b.vec_id AS b, round({cos}, 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= {NEARDUP_COS}"""
+WITH s AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings),
+sig AS (SELECT vec_id, e,
+       {bands_sql}
+       FROM s)
+SELECT a.vec_id AS a, b.vec_id AS b, round({ecos}, 4) AS cosine
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+WHERE ({band_eq}) AND {ecos} >= {NEARDUP_COS}"""
 
     o["q_embedding_topk"] = f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

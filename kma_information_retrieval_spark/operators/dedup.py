@@ -243,13 +243,97 @@ def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ------------------------------------------------------------------ embedding near-dup
 
 
+def lsh_band_planes(dim: int, n_bands: int = 10, band_bits: int = 6) -> np.ndarray:
+    """Seeded random hyperplanes, one row per sign bit, rounded to 6
+    decimals so the SQL oracle can embed the exact same constants as
+    literals. Shape (n_bands*band_bits, dim)."""
+    rng = np.random.default_rng(_SEED)
+    return rng.standard_normal((n_bands * band_bits, dim)).round(6)
+
+
+def embedding_band_signatures(
+    emb: DataFrame, planes: np.ndarray, band_bits: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, band values array) — sign-bit band signatures via ONE
+    vectorized Arrow batch matmul (no per-row Python, no per-plane
+    Catalyst fold: at 10^12 rows the matmul is the only sane shape)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_bands = planes.shape[0] // band_bits
+    pt = planes.T.copy()
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    def _sig(col):
+        e = np.stack(col.to_numpy())  # (rows, dim) float64
+        bits = (e.astype(np.float64) @ pt) > 0.0  # (rows, n_bands*band_bits)
+        vals = bits.reshape(len(e), n_bands, band_bits) @ weights  # (rows, n_bands)
+        return pd.Series(list(vals.astype(np.int64)))
+
+    # explicit evaluated hints: `from __future__ import annotations`
+    # would stringify in-function hints, which pandas_udf rejects
+    _sig.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    sig = pandas_udf(_sig, "array<long>")
+
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sig(F.col(vec_col).cast("array<double>")).alias("bands"),
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.35,
+    n_bands: int = 10, band_bits: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) — LSH-bucketed near-duplicate pairs: the scale
+    path (round-1 verdict flagged the cross-join baseline as the wired
+    variant; this replaces it with the minhash_pairs band-join shape).
+
+    Contract (mirrored exactly by the SQL oracle, so results are
+    deterministic, not sampled): a pair qualifies iff it shares at
+    least one of ``n_bands`` sign-hyperplane band values AND exact
+    cosine >= threshold. Candidate generation is an equi-self-join on
+    (band index, band value) — never a cross join; recall vs the
+    brute-force baseline is 1-(1-(1-theta/pi)^band_bits)^n_bands
+    (~0.43 at cosine 0.35, ~0.9998 at 0.9 with the defaults) and is
+    measured in tests. Banding is the knob: more bands -> higher
+    recall, more candidates."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = lsh_band_planes(dim, n_bands, band_bits)
+    sigs = embedding_band_signatures(emb, planes, band_bits, id_col, vec_col)
+    sigs = sigs.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)),
+    )
+    bands = sigs.select("id", F.posexplode("bands").alias("band", "val"))
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    va = sigs.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    vb = sigs.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= threshold. Brute-force
-    pairwise (the correctness baseline; see ann.py for the LSH-bucketed
-    scale path). Norms precomputed once; dot product is a zip_with +
+    pairwise — kept ONLY as the recall baseline for
+    :func:`embedding_neardup_pairs_lsh` (O(n^2); not exported as a
+    driver query). Norms precomputed once; dot product is a zip_with +
     aggregate fold, JVM-side."""
     v = emb.select(
         F.col(id_col).alias("id"),

