@@ -573,14 +573,23 @@ WITH t AS (
 SELECT doc_id, n_ws_tokens, n_bpe_ish_tokens, n_terms FROM t"""
 
     sw = ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
+    # zero-token / empty docs get the same 0.0 fallbacks as the engine
+    # (quality_scores emits a row for EVERY doc) — no filtering, guarded
+    # divisions on both sides
     o["q_quality_scores"] = f"""WITH {SQL_TOKS},
 m AS (
   SELECT d.doc_id,
          length(d.text)::bigint AS n_chars,
-         length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))::double / length(d.text) AS alnum_ratio,
-         len(list_filter(t.toks, x -> list_contains([{sw}], x)))::double / len(t.toks) AS stopword_ratio,
-         list_reduce(list_transform(t.toks, x -> length(x)::double), (a, b) -> a + b) / len(t.toks) AS mean_token_len
-  FROM documents d JOIN toks t USING (doc_id) WHERE len(t.toks) > 0)
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))::double / length(d.text)
+              ELSE 0.0 END AS alnum_ratio,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_filter(t.toks, x -> list_contains([{sw}], x)))::double / len(t.toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(t.toks) > 0
+              THEN list_reduce(list_transform(t.toks, x -> length(x)::double), (a, b) -> a + b) / len(t.toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM documents d JOIN toks t USING (doc_id))
 SELECT doc_id, n_chars, round(alnum_ratio, 6) AS alnum_ratio,
        round(stopword_ratio, 6) AS stopword_ratio,
        round(mean_token_len, 6) AS mean_token_len,

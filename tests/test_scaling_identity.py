@@ -1,0 +1,58 @@
+"""North-rule invariant: the SAME corpus built at two parallelism
+levels (local[1] vs local[4] — the sandbox proxy for N vs 4N executors)
+must yield byte-identical BM25 top-k (doc ids AND float64 scores).
+
+Each level runs in its own subprocess so the JVM core count is honest;
+the corpus is written once by the parent. Determinism is by design:
+stable md5 doc ids, exact-integer avgdl (sum(dl)/count), per-group
+numpy encoding, and score summation in lexicographic term order inside
+one kernel per doc — none of which depend on partition order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import sys, json, struct
+from kma_information_retrieval_spark.session import get_spark
+from kma_information_retrieval_spark.index import build_index, load_index
+from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+cpus, corpus, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = get_spark(f"ident_{cpus}", master=f"local[{cpus}]")
+docs = spark.read.parquet(corpus)
+build_index(spark, docs, out, num_segments=8, postings_per_group=500, block_size=32)
+idx = load_index(spark, out)
+queries = {"q1": ["compute", "test"], "q2": ["hello", "world", "index"],
+           "q3": ["cat", "car", "card"], "q4": ["merge"]}
+rows = bm25_topk_batch(idx, queries, 10).collect()
+out_rows = sorted((r["query_id"], r["doc_id"], struct.pack("<d", r["score"]).hex()) for r in rows)
+print("RESULT " + json.dumps({"rows": out_rows, "avgdl": struct.pack("<d", idx.meta["avgdl"]).hex()}))
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_rank_identity_across_parallelism(spark, docs, tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("ident") / "corpus.parquet")
+    docs.write.mode("overwrite").parquet(corpus)
+    results = {}
+    for cpus in (1, 4):
+        out = str(tmp_path_factory.mktemp(f"ident_idx{cpus}"))
+        env = dict(os.environ)
+        r = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cpus), corpus, out],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"worker at local[{cpus}] produced no result: {r.stderr[-2000:]}"
+        results[cpus] = json.loads(lines[-1][len("RESULT "):])
+    assert results[1]["avgdl"] == results[4]["avgdl"]
+    assert results[1]["rows"] == results[4]["rows"]  # byte-identical scores
+    assert len(results[1]["rows"]) > 0

@@ -30,3 +30,24 @@ def test_write_structure_and_report(spark, docs, tmp_path):
         spark.read.parquet(f"{out}/segments"), str(tmp_path / "copy"), ["part_id"]
     )
     assert n > 0
+
+
+def test_frontcoding_stats_distributed_matches_local(indexes):
+    """The distributive front-coding measurement must agree with the
+    single-node computation (boundary blocks aside) and never collect
+    the vocabulary to the driver."""
+    from kma_information_retrieval_spark.functions.frontcoding import (
+        front_code,
+        packed_bytes,
+    )
+    from kma_information_retrieval_spark.operators.sinks import frontcoding_stats
+
+    stats = frontcoding_stats(indexes.dictionary, n_parts=8)
+    terms = sorted(r["term"] for r in indexes.dictionary.select("term").collect())
+    raw = sum(len(t.encode()) for t in terms)
+    packed = packed_bytes(front_code(terms))
+    assert stats["vocab_terms"] == len(terms)
+    assert stats["vocab_raw_bytes"] == raw
+    # partition boundaries restart at most n_parts blocks
+    assert abs(stats["vocab_frontcoded_bytes"] - packed) <= 8 * 16
+    assert 0 < stats["vocab_frontcoding_ratio"] < 1.2
