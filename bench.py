@@ -5,14 +5,21 @@ local[$SPARK_GRAFT_CPUS]:
 
 * headline query latencies over the documents corpus (boolean, phrase,
   proximity, wildcard, BM25 DataFrame path, BM25 block-max WAND over
-  built segments, minhash dedup, ANN top-k);
+  built segments — term- AND doc-partitioned layouts, persisted-index
+  boolean/phrase, minhash dedup, LSH embedding near-dup, ANN top-k);
 * index-build throughput (docs/sec) on a deterministic synthetic code
   corpus at TWO parallelism levels — local[N] and local[4N] (sandbox
-  proxy for N vs 4N executors, per BASELINE.md) — and the scaling
-  efficiency between them. Each level runs in a fresh subprocess so the
-  JVM/core count is honest.
+  proxy for N vs 4N executors, per BASELINE.md) — with BOTH wall-clock
+  and JVM-CPU-seconds per level, and the scaling efficiency between
+  them. Each level runs in a fresh subprocess (honest core count), does
+  a small warm-up build first (JIT/codegen), and sizes the JVM to the
+  simulated executor (-XX:ActiveProcessorCount=N, ParallelGC, 8g heap
+  — GC on the default 48g heap burned ~40% extra CPU at 4 threads, the
+  single biggest measured scaling loss; see BENCH.md);
+* the front-coding decision table (C4): front-coded vocabulary bytes
+  vs the parquet dictionary encoding actually used by the index.
 
-Also rewrites BENCH.md with the scaling table.
+Also rewrites BENCH.md with the scaling/phase/front-coding tables.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("KMA_BENCH_DOCS", "80000"))
+WARM_DOCS = 4000
 
 BM25_QUERIES = {
     "q1": ["spark", "query", "join"],
@@ -40,27 +48,60 @@ BM25_QUERIES = {
 }
 
 
-def _build_worker(cpus: int, corpus_path: str, out_dir: str) -> None:
-    """Subprocess body: time the segment build at a given parallelism."""
+def _jvm_cpu() -> float:
+    """Sum utime+stime (seconds) of this process's direct children —
+    i.e. the Spark JVM. /proc-based; good enough for efficiency ratios."""
+    me = str(os.getpid())
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            if parts[1] == me:
+                total += (int(parts[11]) + int(parts[12])) / hz
+        except OSError:
+            pass
+    return total
+
+
+def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> None:
+    """Subprocess body: time the segment build at a given parallelism.
+    JVM sized to the simulated executor; a warm-up build (same code
+    path, 5% corpus) runs first so JIT/codegen is excluded — at real
+    scale warm-up amortizes to nothing."""
     from kma_information_retrieval_spark.index import build_index
     from kma_information_retrieval_spark.session import get_spark
 
-    spark = get_spark(f"bench_build_{cpus}", master=f"local[{cpus}]")
+    spark = get_spark(
+        f"bench_build_{cpus}", master=f"local[{cpus}]",
+        driver_memory="8g",
+        extra_java_options=f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC",
+    )
+    wdocs = spark.read.parquet(warm_path)
+    wdocs.count()
+    build_index(spark, wdocs, tempfile.mkdtemp(prefix="kma_warm_idx_"), num_segments=4)
     docs = spark.read.parquet(corpus_path)
     n = docs.count()  # warm the scan; excluded from build timing
     t0 = time.time()
-    build_index(spark, docs, out_dir, num_segments=max(cpus, 16),
-                postings_per_group=50_000, block_size=128)
+    cpu0 = _jvm_cpu()
+    m = build_index(spark, docs, out_dir, num_segments=max(cpus, 16),
+                    postings_per_group=50_000, block_size=128)
     secs = time.time() - t0
+    cpu = _jvm_cpu() - cpu0
     print(json.dumps({"cpus": cpus, "docs": n, "secs": secs,
-                      "docs_per_sec": n / secs}))
+                      "docs_per_sec": n / secs, "jvm_cpu_secs": round(cpu, 1),
+                      "phases": m["phase_secs"]}))
     spark.stop()
 
 
-def _run_build_at(cpus: int, corpus_path: str) -> dict:
+def _run_build_at(cpus: int, corpus_path: str, warm_path: str) -> dict:
     with tempfile.TemporaryDirectory(prefix=f"kma_bench_idx{cpus}_") as out:
         res = subprocess.run(
-            [sys.executable, __file__, "--build-worker", str(cpus), corpus_path, out],
+            [sys.executable, __file__, "--build-worker", str(cpus), corpus_path,
+             warm_path, out],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
@@ -77,15 +118,18 @@ def main() -> None:
     from kma_information_retrieval_spark.operators import ann, dedup
     from kma_information_retrieval_spark.operators.bm25 import bm25_topk
     from kma_information_retrieval_spark.operators.boolean import IndexBundle, compile_query
+    from kma_information_retrieval_spark.operators.sinks import frontcoding_stats
     from kma_information_retrieval_spark.session import get_spark
 
     timings: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{CPUS}]")
 
-    # ---- corpus for the scaling experiment (generated once, on disk)
+    # ---- corpora for the scaling experiment (generated once, on disk)
     tmp = tempfile.mkdtemp(prefix="kma_bench_")
     corpus_path = os.path.join(tmp, "corpus.parquet")
+    warm_path = os.path.join(tmp, "warm.parquet")
     synthetic_corpus(spark, BENCH_DOCS, CPUS * 2).write.mode("overwrite").parquet(corpus_path)
+    synthetic_corpus(spark, WARM_DOCS, 4).write.mode("overwrite").parquet(warm_path)
 
     # ---- query-side benchmarks on the sf documents corpus
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -108,7 +152,7 @@ def main() -> None:
     bundle = IndexBundle(
         post, docs.select("doc_id"), ops.positional_index(toks).cache(),
         vocab, ops.trigram_index(vocab).cache(), ops.permuterm_index(vocab).cache(),
-        ops.bigram_index(docs).cache(),
+        ops.bigram_index(docs).cache(), grams2=ops.gram2_index(vocab).cache(),
     )
     stats = ops.collection_stats(docs, toks).collect()[0]
     doclen = ops.doc_lengths(toks).cache()
@@ -117,17 +161,44 @@ def main() -> None:
     timed("phrase", lambda: compile_query('"hash join"', bundle).count())
     timed("proximity", lambda: compile_query("near/3(table scan)", bundle).count())
     timed("wildcard", lambda: compile_query("s*n or *er", bundle).count())
+    timed("wildcard_infix", lambda: compile_query("*ar*", bundle).count())
     timed("bm25_dataframe", lambda: bm25_topk(
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], 10, doclen=doclen).collect())
 
-    # segment build + WAND on the sf corpus
+    # segment build + WAND on the sf corpus (term layout, full query surface)
     seg_dir = os.path.join(tmp, "segidx")
     timed("segment_build_sf", lambda: build_index(
         spark, docs, seg_dir, num_segments=CPUS, postings_per_group=50_000,
         block_size=128))
     idx = load_index(spark, seg_dir)
     timed("bm25_wand_batch8", lambda: bm25_topk_batch(idx, BM25_QUERIES, 10).collect())
+    # persisted-index query latencies (served from disk, no re-tokenize)
+    timed("persisted_boolean", lambda: idx.query("(spark or query) and not dup").count())
+    timed("persisted_phrase", lambda: idx.query('"hash join"').count())
+    timed("persisted_wildcard_infix", lambda: idx.query("*ar*").count())
+
+    # doc-partitioned layout: distributed two-stage top-k merge
+    doc_dir = os.path.join(tmp, "segidx_doc")
+    timed("segment_build_sf_docpart", lambda: build_index(
+        spark, docs, doc_dir, num_segments=CPUS, partition_by="doc",
+        with_positions=False))
+    didx = load_index(spark, doc_dir)
+    timed("bm25_wand_docpart_batch8",
+          lambda: bm25_topk_batch(didx, BM25_QUERIES, 10).collect())
+
+    # ---- front-coding decision table (C4): front-coded vocab bytes vs
+    # the parquet (dict+snappy / zstd) encodings the index actually uses
+    fc = frontcoding_stats(idx.dictionary)
+    fc_sizes = {}
+    for codec in ("snappy", "zstd"):
+        p = os.path.join(tmp, f"vocab_{codec}")
+        idx.dictionary.select("term").write.mode("overwrite") \
+            .option("compression", codec).parquet(p)
+        fc_sizes[codec] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p) for f in fs if not f.startswith(("_", "."))
+        )
 
     # dedup + ANN
     timed("minhash_pairs", lambda: dedup.minhash_pairs(
@@ -136,49 +207,86 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
     timed("ann_cosine_topk", lambda: ann.cosine_topk(emb, qv, 10).collect())
+    timed("embedding_neardup_lsh",
+          lambda: dedup.embedding_neardup_pairs_lsh(emb, 0.35).count())
 
     spark.stop()
 
     # ---- scaling experiment: same input, local[N] vs local[4N].
     # N is sized to stay inside the sandbox's real CPU headroom (the VM
-    # throttles burst CPU invisibly — run-to-run wall time varies ±50%,
-    # see BENCH.md). Attempts are interleaved lo/hi so throttling
-    # penalizes both levels equally; best-of-3 per level.
-    # measured: this VM caps *effective* CPU at ~4 cores (user CPU never
-    # exceeds ~4 cores' worth during an 8/32-thread stage), so N=1 vs
-    # 4N=4 is the largest pair that both fit under the cap.
+    # intermittently throttles burst CPU — run-to-run wall varies up to
+    # ±50%, see BENCH.md). Attempts are interleaved lo/hi so throttling
+    # penalizes both levels equally; best-of-N per level. JVM-CPU
+    # seconds are recorded per run: cpu_lo/cpu_hi is the parallel-
+    # overhead efficiency (1.0 = 4 cores burn no extra CPU per doc),
+    # separating code quality from VM weather.
     lo_cpus = int(os.environ.get("KMA_BENCH_LO_CPUS", "1"))
     hi_cpus = lo_cpus * 4
     attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(attempts):
-        lo_runs.append(_run_build_at(lo_cpus, corpus_path))
-        hi_runs.append(_run_build_at(hi_cpus, corpus_path))
+        lo_runs.append(_run_build_at(lo_cpus, corpus_path, warm_path))
+        hi_runs.append(_run_build_at(hi_cpus, corpus_path, warm_path))
     lo = min(lo_runs, key=lambda r: r["secs"])
     hi = min(hi_runs, key=lambda r: r["secs"])
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
+    cpu_eff = (lo["jvm_cpu_secs"] / hi["jvm_cpu_secs"]) if hi["jvm_cpu_secs"] else 0.0
 
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
 
+    def phase_row(r):
+        ph = r.get("phases", {})
+        return (f"stats {ph.get('stats', 0):.1f}s, writes "
+                f"{ph.get('write_all', 0):.1f}s, metrics {ph.get('metrics', 0):.1f}s")
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — measured numbers (bench.py)\n\n"
             f"corpus: {BENCH_DOCS} synthetic docs (build), `{SF_DIR}` (queries)\n\n"
+            "## Build scaling (N vs 4N cores, subprocess-isolated JVMs)\n\n"
+            "Worker JVMs: `-XX:ActiveProcessorCount=N -XX:+UseParallelGC`, 8g heap,\n"
+            "JIT warm-up build excluded from timing. (Measured: GC on the default\n"
+            "48g heap burned ~40% extra CPU at 4 threads — GC tuning was the\n"
+            "largest single scaling loss.)\n\n"
             "| metric | value |\n|---|---|\n"
             f"| build docs/sec @ local[{lo_cpus}] (best of {attempts}) | {lo['docs_per_sec']:.1f} |\n"
             f"| build docs/sec @ local[{hi_cpus}] (best of {attempts}) | {hi['docs_per_sec']:.1f} |\n"
-            f"| scaling efficiency ({lo_cpus}->{hi_cpus} cores) | {eff:.3f} (target >= 0.8) |\n"
+            f"| **wall scaling efficiency ({lo_cpus}->{hi_cpus} cores)** | **{eff:.3f}** (target >= 0.8) |\n"
+            f"| JVM CPU-secs/build @ local[{lo_cpus}] / local[{hi_cpus}] | {lo['jvm_cpu_secs']:.0f} / {hi['jvm_cpu_secs']:.0f} |\n"
+            f"| **CPU efficiency (cpu_lo/cpu_hi, 1.0 = no parallel overhead)** | **{cpu_eff:.3f}** |\n"
+            f"| best-lo phases | {phase_row(lo)} |\n"
+            f"| best-hi phases | {phase_row(hi)} |\n"
             f"| all lo runs (docs/sec) | {', '.join(str(round(r['docs_per_sec'])) for r in lo_runs)} |\n"
             f"| all hi runs (docs/sec) | {', '.join(str(round(r['docs_per_sec'])) for r in hi_runs)} |\n"
-            "\nNote: this sandbox VM throttles burst CPU (user CPU caps well\n"
-            "below the thread count; wall times vary up to ±50% run-to-run),\n"
-            "so per-level best-of-N is reported. On a real multi-executor\n"
-            "cluster the same job's scaling is governed by the shuffle\n"
-            "design (explicit salting, map-side combine, one wide shuffle).\n\n"
+            f"| all lo runs (JVM cpu-s) | {', '.join(str(round(r['jvm_cpu_secs'])) for r in lo_runs)} |\n"
+            f"| all hi runs (JVM cpu-s) | {', '.join(str(round(r['jvm_cpu_secs'])) for r in hi_runs)} |\n"
+            "\nNote: this sandbox VM intermittently throttles burst CPU (wall\n"
+            "times vary up to ±50% run-to-run), so per-level best-of-N is\n"
+            "reported and attempts are interleaved lo/hi. The CPU-efficiency\n"
+            "row is throttle-insensitive: it compares total JVM CPU consumed\n"
+            "per build, i.e. how much extra work parallelism itself costs. On\n"
+            "a real multi-executor cluster the same job's scaling is governed\n"
+            "by the shuffle design (explicit salting, map-side combine, one\n"
+            "wide shuffle, concurrent side-table writes).\n\n"
+            "## Front-coding decision (C4)\n\n"
+            "| vocabulary encoding | bytes |\n|---|---|\n"
+            f"| raw concatenated terms | {fc['vocab_raw_bytes']} |\n"
+            f"| front-coded (reference layout) | {fc['vocab_frontcoded_bytes']} |\n"
+            f"| parquet dict+snappy (index default) | {fc_sizes['snappy']} |\n"
+            f"| parquet dict+zstd | {fc_sizes['zstd']} |\n\n"
+            f"Decision: the dictionary stays a plain parquet column "
+            f"({fc['vocab_terms']} terms). Front coding "
+            f"{'wins' if fc['vocab_frontcoded_bytes'] < fc_sizes['snappy'] else 'loses to'} "
+            "parquet's own dictionary+compression at this scale, and parquet "
+            "keeps the column queryable by Catalyst (predicate pushdown on "
+            "term) — the reference needs front coding because its dictionary "
+            "is a custom binary blob (`dictionary.rs:420-473`); a columnar "
+            "store gets the prefix sharing from general-purpose compression.\n\n"
+            "## Query timings\n\n"
             "| query | seconds |\n|---|---|\n"
             + "".join(f"| {k} | {v:.3f} |\n" for k, v in sorted(timings.items()))
         )
@@ -191,14 +299,18 @@ def main() -> None:
         "sf": SF_DIR,
         "build_docs_per_sec_lo": round(lo["docs_per_sec"], 2),
         "build_docs_per_sec_hi": round(hi["docs_per_sec"], 2),
+        "build_jvm_cpu_lo": lo["jvm_cpu_secs"],
+        "build_jvm_cpu_hi": hi["jvm_cpu_secs"],
         "scaling_cpus": [lo_cpus, hi_cpus],
         "scaling_efficiency": round(eff, 4),
+        "scaling_efficiency_cpu": round(cpu_eff, 4),
+        "frontcoding": {**fc, "parquet_bytes": fc_sizes},
         "bench_docs": BENCH_DOCS,
     }))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
-        _build_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        _build_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
     else:
         main()

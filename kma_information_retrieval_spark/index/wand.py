@@ -230,6 +230,36 @@ def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
 # ------------------------------------------------------------------ public API
 
 
+def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
+                     use_wand: bool):
+    """applyInPandas kernel: group key[0] must be query_id; scores each
+    group's segment rows and returns that group's top-k."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = key[0]
+        idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
+        kern = _wand_kernel if use_wand else _exact_kernel
+        top = kern(pdf, idf_by_term, avgdl, k)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    return run
+
+
+def merge_local_topk(local: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query over per-shard local top-k rows (the
+    two-stage merge: <= shards*k candidate rows per query)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bm25_topk_batch(
     index: SegmentIndex,
     queries: dict[str, list[str]],
@@ -274,27 +304,12 @@ def bm25_topk_batch(
     idf_all = {t: _idf(d, n_docs) for t, d in global_df.items()}
     qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = key[0]
-        idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
-        kern = _wand_kernel if use_wand else _exact_kernel
-        top = kern(pdf, idf_by_term, avgdl, k)
-        return pd.DataFrame(
-            {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
-        )
-
+    run = make_topk_kernel(idf_all, qterms, avgdl, k, use_wand)
     if index.meta.get("partition_by") == "doc":
-        from pyspark.sql import Window
-
         local = tagged.groupBy("query_id", "part_id").applyInPandas(
             run, schema=RESULT_SCHEMA
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            local.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .drop("rn")
-        )
+        return merge_local_topk(local, k)
     return tagged.groupBy("query_id").applyInPandas(run, schema=RESULT_SCHEMA)
 
 

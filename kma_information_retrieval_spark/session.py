@@ -17,7 +17,15 @@ def get_spark(
     app_name: str = "kma_ir_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_java_options: str | None = None,
 ) -> SparkSession:
+    """``driver_memory``/``extra_java_options`` let benchmark workers
+    size the JVM to the simulated executor (e.g. ``-XX:
+    ActiveProcessorCount=N -XX:+UseParallelGC`` with a right-sized heap
+    — measured in BENCH.md: GC on an oversized 48g heap burned ~40%
+    extra CPU at 4 threads, the single biggest parallel-scaling
+    loss)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     # shuffle partitions ~ parallelism; AQE coalesces small ones at runtime
@@ -34,10 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory",
+                driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    if extra_java_options:
+        builder = builder.config("spark.driver.extraJavaOptions", extra_java_options)
     # shuffle/spill on tmpfs when available — the sandbox block device is
     # throttled and makes shuffle-heavy stages IO-bound regardless of
     # cores; on a real cluster executors use their own local SSDs anyway

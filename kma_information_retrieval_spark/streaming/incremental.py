@@ -75,7 +75,15 @@ class GenerationIndex:
 
     @property
     def segments(self) -> DataFrame:
-        dfs = [self.spark.read.parquet(os.path.join(g, "segments")) for g in self.gen_dirs]
+        """Union of all generations' segments, tagged with a ``gen``
+        column (a doc lives in exactly one generation, so generations
+        are doc-disjoint shards for scoring)."""
+        dfs = [
+            self.spark.read.parquet(os.path.join(g, "segments")).withColumn(
+                "gen", F.lit(i)
+            )
+            for i, g in enumerate(self.gen_dirs)
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -90,23 +98,32 @@ class GenerationIndex:
         return out.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
     def bm25_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Merged-generation BM25 top-k (exact kernel; global stats are
-        the cross-generation sums; avgdl/impacts use the merged avgdl, so
-        per-generation block_max_impact columns are recomputed here —
-        correctness first, block skipping is per-generation territory)."""
-        from ..index.wand import _exact_kernel, _idf
+        """Merged-generation BM25 top-k, fully distributed: generations
+        are doc-disjoint, so the exact kernel runs per (query, gen) —
+        complete per-doc scores inside one task — and a <= gens*k global
+        merge picks the final top-k (the round-1 driver-side ``toPandas``
+        merge would OOM once generations accumulate). Global stats are
+        cross-generation sums; impacts are recomputed from tf/dl with
+        the merged avgdl (per-generation block-max metadata was built
+        against per-generation avgdl, so WAND bounds don't transfer —
+        exact kernel here, block skipping is per-generation territory)."""
+        from ..index.wand import RESULT_SCHEMA, _idf, make_topk_kernel, merge_local_topk
 
         terms = sorted(set(terms))
-        seg = self.segments.filter(F.col("term").isin(terms))
-        rows = seg.toPandas()
-        if rows.empty:
-            return []
+        seg = self.segments.filter(F.col("term").isin(terms)).withColumn(
+            "query_id", F.lit("q")
+        )
         gdf = {
             r["term"]: r["df"]
             for r in self.dictionary.filter(F.col("term").isin(terms)).collect()
         }
+        if not gdf:
+            return []
         idf = {t: _idf(d, self.n_docs) for t, d in gdf.items()}
-        return _exact_kernel(rows, idf, self.avgdl, k)
+        run = make_topk_kernel(idf, {"q": terms}, self.avgdl, k, use_wand=False)
+        local = seg.groupBy("query_id", "gen").applyInPandas(run, schema=RESULT_SCHEMA)
+        rows = merge_local_topk(local, k).collect()
+        return sorted(((r["doc_id"], r["score"]) for r in rows), key=lambda x: (-x[1], x[0]))
 
 
 def load_generations(spark: SparkSession, out_dir: str) -> GenerationIndex:
