@@ -242,6 +242,83 @@ def _written(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def saltmap_frame(dictionary: DataFrame, postings_per_group: int, max_salt: int) -> DataFrame:
+    """Explicit head-term salting policy (frequency sketch = exact df
+    here): terms whose df exceeds the per-group target get split into
+    ceil(df/target) doc-hash sub-lists, capped at max_salt."""
+    return (
+        dictionary.filter(F.col("df") > postings_per_group)
+        .select(
+            "term",
+            F.least(
+                F.ceil(F.col("df") / F.lit(postings_per_group)), F.lit(max_salt)
+            ).cast("int").alias("salt_factor"),
+        )
+    )
+
+
+def salt_and_encode(
+    spark: SparkSession,
+    term_doc: DataFrame,
+    dictionary: DataFrame,
+    avgdl: float,
+    seg_dir: str,
+    num_segments: int,
+    postings_per_group: int,
+    max_salt: int,
+    block_size: int,
+    partition_by: str = "term",
+    skip_part_ids: list[int] | None = None,
+) -> DataFrame | None:
+    """Salt + shuffle + compress-encode a (term, doc_id, tf, dl) frame
+    into segment parquet at ``seg_dir``. Returns the saltmap frame
+    (term layout) or None (doc layout). Shared by :func:`build_index`
+    and generation compaction (``streaming/incremental.py``) — the
+    reference's k-way segment merge (P3, ``spimi.rs:109-205``) is this
+    same shuffle re-run over already-aggregated postings."""
+    if partition_by == "term":
+        saltmap = saltmap_frame(dictionary, postings_per_group, max_salt)
+        salted = (
+            term_doc
+            .join(F.broadcast(saltmap), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("salt_factor").isNotNull(),
+                    F.pmod(_stable_hash_col(F.col("doc_id").cast("string")), F.col("salt_factor")),
+                ).otherwise(F.lit(0)).cast("int"),
+            )
+            .withColumn("part_id", _part_id_col(F.col("term"), F.col("salt"), num_segments))
+            .select("part_id", "term", "salt", "doc_id", "tf", "dl")
+        )
+    else:
+        # doc layout: hash every posting by doc_id; salt == part_id keeps
+        # the encoder's (term, salt) group keys doc-disjoint per part.
+        saltmap = None
+        pid = F.pmod(
+            _stable_hash_col(F.col("doc_id").cast("string")), F.lit(num_segments)
+        ).cast("int")
+        salted = term_doc.select(
+            pid.alias("part_id"), "term", pid.alias("salt"), "doc_id", "tf", "dl"
+        )
+    if skip_part_ids:
+        salted = salted.filter(~F.col("part_id").isin(list(skip_part_ids)))
+    # Shuffle once by part_id, sort within partitions, stream the sorted
+    # rows through the numpy group-walk encoder. (A collect_list-based
+    # variant — _encode_partition(grouped=True) — was measured slower:
+    # no map-side combine, object/GC-heavy.)
+    encoded = (
+        salted.repartition(num_segments, "part_id")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
+    )
+    # Dynamic overwrite touches only part_ids present in `encoded`,
+    # so a resume replaces exactly the uncommitted partitions.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
+    return saltmap
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -350,50 +427,14 @@ def build_index(
     dictionary = term_doc.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    if partition_by == "term":
-        # explicit head-term salting (frequency sketch = exact df here)
-        saltmap = (
-            dictionary.filter(F.col("df") > postings_per_group)
-            .select(
-                "term",
-                F.least(
-                    F.ceil(F.col("df") / F.lit(postings_per_group)), F.lit(max_salt)
-                ).cast("int").alias("salt_factor"),
-            )
-        )
-        salted = (
-            term_doc
-            .join(F.broadcast(saltmap), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("salt_factor").isNotNull(),
-                    F.pmod(_stable_hash_col(F.col("doc_id").cast("string")), F.col("salt_factor")),
-                ).otherwise(F.lit(0)).cast("int"),
-            )
-            .withColumn("part_id", _part_id_col(F.col("term"), F.col("salt"), num_segments))
-            .select("part_id", "term", "salt", "doc_id", "tf", "dl")
-        )
-    else:
-        # doc layout: hash every posting by doc_id; salt == part_id keeps
-        # the encoder's (term, salt) group keys doc-disjoint per part.
-        saltmap = None
-        pid = F.pmod(
-            _stable_hash_col(F.col("doc_id").cast("string")), F.lit(num_segments)
-        ).cast("int")
-        salted = term_doc.select(
-            pid.alias("part_id"), "term", pid.alias("salt"), "doc_id", "tf", "dl"
-        )
-    if committed:
-        done = [int(p) for p in committed]
-        salted = salted.filter(~F.col("part_id").isin(done))
+    saltmap = saltmap_frame(dictionary, postings_per_group, max_salt) \
+        if partition_by == "term" else None
 
     seg_dir = os.path.join(out_dir, "segments")
     if not committed and os.path.exists(seg_dir):
         import shutil
 
         shutil.rmtree(seg_dir)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ---- concurrent write jobs (independent DAGs off the shared cache).
     # Spark's scheduler runs concurrently-submitted jobs on free slots;
@@ -403,18 +444,11 @@ def build_index(
         return resume and _written(os.path.join(out_dir, name))
 
     def w_encode():
-        # Shuffle once by part_id, sort within partitions, stream the
-        # sorted rows through the numpy group-walk encoder. (A
-        # collect_list-based variant — _encode_partition(grouped=True) —
-        # was measured slower: no map-side combine, object/GC-heavy.)
-        encoded = (
-            salted.repartition(num_segments, "part_id")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
+        salt_and_encode(
+            spark, term_doc, dictionary, avgdl, seg_dir, num_segments,
+            postings_per_group, max_salt, block_size, partition_by,
+            skip_part_ids=[int(p) for p in committed] if committed else None,
         )
-        # Dynamic overwrite touches only part_ids present in `encoded`,
-        # so a resume replaces exactly the uncommitted partitions.
-        encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
 
     def w_docmap():
         if _skip("docmap"):
@@ -493,32 +527,13 @@ def build_index(
     # ---- per-partition lineage + metrics -> manifest (n_docs counts
     # every doc including token-free ones — parquet-footer count)
     n_docs = spark.read.parquet(os.path.join(out_dir, "docmap")).count()
-    seg = spark.read.parquet(seg_dir)
-    metrics = (
-        seg.groupBy("part_id")
-        .agg(
-            F.count("*").alias("n_groups"),
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
-            F.sum(F.length("tf_bytes") + F.length("dl_bytes")).alias("aux_bytes"),
-        )
-        .collect()
-    )
+    metrics = segment_metrics(spark, seg_dir)
     _mark("metrics", _t)
     elapsed = time.time() - t0
     partitions = dict(committed)
-    for r in metrics:
-        pid = str(r["part_id"])
-        if pid in committed:
-            continue
-        partitions[pid] = {
-            "n_groups": int(r["n_groups"]),
-            "n_terms": int(r["n_terms"]),
-            "n_postings": int(r["n_postings"]),
-            "doc_bytes": int(r["doc_bytes"]),
-            "aux_bytes": int(r["aux_bytes"]),
-        }
+    for pid, m in metrics.items():
+        if pid not in committed:
+            partitions[pid] = m
     term_doc_full.unpersist()
     if with_bigrams:
         tok_arrays.unpersist()
@@ -547,6 +562,58 @@ def build_index(
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def segment_metrics(spark: SparkSession, seg_dir: str) -> dict[str, dict]:
+    """Per-partition lineage metrics over a written segment table
+    (manifest payload: group/term/posting counts + compressed bytes)."""
+    seg = spark.read.parquet(seg_dir)
+    rows = (
+        seg.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+            F.sum(F.length("tf_bytes") + F.length("dl_bytes")).alias("aux_bytes"),
+        )
+        .collect()
+    )
+    return {
+        str(r["part_id"]): {
+            "n_groups": int(r["n_groups"]),
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "doc_bytes": int(r["doc_bytes"]),
+            "aux_bytes": int(r["aux_bytes"]),
+        }
+        for r in rows
+    }
+
+
+def decoded_postings_frame(seg: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) decoded from compressed segment rows — a
+    distributed mapInPandas decode (numpy varbyte + cumsum per group).
+    Feeds boolean fallbacks and generation compaction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                gaps = vb_decode(bytes(row["doc_bytes"]))
+                docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                outs.append(pd.DataFrame({
+                    "term": row["term"],
+                    "doc_id": docs,
+                    "tf": vb_decode(bytes(row["tf_bytes"])).astype(np.int64),
+                    "dl": vb_decode(bytes(row["dl_bytes"])).astype(np.int64),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return seg.select("term", "doc_bytes", "tf_bytes", "dl_bytes").mapInPandas(
+        run, schema="term string, doc_id long, tf long, dl long"
+    )
 
 
 # ------------------------------------------------------------------ load / verify
@@ -642,26 +709,9 @@ class SegmentIndex:
         return compile_query(query_str, self.bundle(), strict=strict)
 
     def decoded_postings(self) -> DataFrame:
-        """(term, doc_id, tf) decoded from the compressed segments — a
-        distributed mapInPandas decode (numpy varbyte + cumsum per
-        group); the boolean fallback when no positional table exists."""
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                outs = []
-                for _, row in pdf.iterrows():
-                    gaps = vb_decode(bytes(row["doc_bytes"]))
-                    docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-                    tf = vb_decode(bytes(row["tf_bytes"])).astype(np.int64)
-                    outs.append(pd.DataFrame({
-                        "term": row["term"], "doc_id": docs, "tf": tf,
-                    }))
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
-
-        return self.segments.select(
-            "term", "doc_bytes", "tf_bytes"
-        ).mapInPandas(run, schema="term string, doc_id long, tf long")
+        """(term, doc_id, tf) decoded from the compressed segments — the
+        boolean fallback when no positional table exists."""
+        return decoded_postings_frame(self.segments).select("term", "doc_id", "tf")
 
     def wildcard_terms(self, pattern: str) -> DataFrame:
         """Wildcard -> matching vocabulary terms via the persisted gram

@@ -126,6 +126,100 @@ class GenerationIndex:
         return sorted(((r["doc_id"], r["score"]) for r in rows), key=lambda x: (-x[1], x[0]))
 
 
+def compact_generations(
+    spark: SparkSession,
+    out_dir: str,
+    num_segments: int = 32,
+    postings_per_group: int = 50_000,
+    max_salt: int = 64,
+    block_size: int = 128,
+) -> GenerationIndex:
+    """Lucene-style compaction: merge all committed generations into ONE
+    new generation without re-tokenizing any source.
+
+    Postings are *decoded from the compressed segments* (distributed
+    mapInPandas), unioned (generations are doc-disjoint, so no re-
+    aggregation is needed), then re-salted and re-encoded through the
+    same shuffle the batch build uses — i.e. the reference's k-way
+    sorted-run merge (P3, ``spimi.rs:109-205``) expressed as one Spark
+    shuffle. Block-max impacts are recomputed against the MERGED avgdl,
+    so post-compaction WAND bounds are exact again (pre-compaction
+    cross-generation queries must use the exact kernel). The docmap and
+    dictionary are unioned/re-summed; wildcard gram tables are rebuilt
+    from the merged vocabulary. Positional tables cannot be rebuilt
+    without source text, so the compacted generation serves boolean via
+    the decoded-postings fallback (``with_positions=False`` recorded).
+    Old generation dirs are removed after the new manifest commits.
+    """
+    import shutil
+    import time
+
+    from ..index.segments import (
+        decoded_postings_frame,
+        salt_and_encode,
+        saltmap_frame,
+        segment_metrics,
+    )
+    from ..operators.indexes import gram2_index, permuterm_index, trigram_index
+
+    t0 = time.time()
+    gi = load_generations(spark, out_dir)
+    if len(gi.gen_dirs) < 2:
+        return gi
+    last_epoch = max(int(os.path.basename(g).split("=")[1]) for g in gi.gen_dirs)
+    gen_dir = os.path.join(out_dir, "generations", f"gen={last_epoch + 1:010d}")
+    n_docs, avgdl = gi.n_docs, gi.avgdl
+
+    term_doc = decoded_postings_frame(gi.segments)
+    dictionary = gi.dictionary
+    salt_and_encode(
+        spark, term_doc, dictionary, avgdl, os.path.join(gen_dir, "segments"),
+        num_segments, postings_per_group, max_salt, block_size,
+    )
+    docmaps = [
+        spark.read.parquet(os.path.join(g, "docmap")) for g in gi.gen_dirs
+    ]
+    dm = docmaps[0]
+    for d in docmaps[1:]:
+        dm = dm.unionByName(d)
+    dm.write.mode("overwrite").parquet(os.path.join(gen_dir, "docmap"))
+    dictionary.write.mode("overwrite").parquet(os.path.join(gen_dir, "dictionary"))
+    dictionary = spark.read.parquet(os.path.join(gen_dir, "dictionary"))
+    saltmap_frame(dictionary, postings_per_group, max_salt).write.mode(
+        "overwrite").parquet(os.path.join(gen_dir, "saltmap"))
+    vocab = dictionary.select("term")
+    trigram_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "trigrams"))
+    permuterm_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "permuterm"))
+    gram2_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "grams2"))
+
+    manifest = {
+        "version": 2,
+        "n_docs": n_docs,
+        "n_docs_tokened": sum(m.get("n_docs_tokened", m["n_docs"]) for m in gi.metas),
+        "avgdl": avgdl,
+        "avgdl_definition": "total_words / token-bearing docs",
+        "total_words": sum(m["total_words"] for m in gi.metas),
+        "num_segments": num_segments,
+        "partition_by": "term",
+        "with_positions": False,
+        "with_bigrams": False,
+        "postings_per_group": postings_per_group,
+        "max_salt": max_salt,
+        "block_size": block_size,
+        "mode": gi.metas[0].get("mode", "code"),
+        "k1": gi.metas[0].get("k1", 1.2),
+        "b": gi.metas[0].get("b", 0.75),
+        "build_secs": time.time() - t0,
+        "compacted_from": [os.path.basename(g) for g in gi.gen_dirs],
+        "partitions": segment_metrics(spark, os.path.join(gen_dir, "segments")),
+    }
+    with open(os.path.join(gen_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    for g in gi.gen_dirs:
+        shutil.rmtree(g)
+    return load_generations(spark, out_dir)
+
+
 def load_generations(spark: SparkSession, out_dir: str) -> GenerationIndex:
     gen_dirs = sorted(glob.glob(os.path.join(out_dir, "generations", "gen=*")))
     metas = []

@@ -63,3 +63,47 @@ def test_merged_topk_rank_identity(gen_index, oracle, terms):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12)
+
+
+def test_compaction_preserves_results(gen_index, oracle, spark):
+    """Compact all generations into one; BM25 results (now WAND over the
+    merged-avgdl block-max metadata) must stay rank- and score-identical,
+    and boolean must still be served via the decoded-postings fallback."""
+    from kma_information_retrieval_spark.index import load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+    from kma_information_retrieval_spark.operators.boolean import compile_query
+    from kma_information_retrieval_spark.streaming.incremental import (
+        compact_generations,
+    )
+
+    queries = [["index", "compute"], ["shard", "merge", "token"], ["wonderful"]]
+    before = {tuple(t): gen_index.bm25_topk(t, 10) for t in queries}
+    n_docs = gen_index.n_docs
+
+    compacted = compact_generations(
+        spark, gen_index.out_dir, num_segments=4, postings_per_group=40,
+        block_size=16,
+    )
+    assert len(compacted.gen_dirs) == 1
+    assert compacted.n_docs == n_docs
+    # the compacted generation is a regular loadable index with exact
+    # WAND bounds (block-max recomputed against the merged avgdl)
+    idx = load_index(spark, compacted.gen_dirs[0])
+    for terms in queries:
+        got = sorted(
+            ((r["doc_id"], r["score"])
+             for r in bm25_topk_batch(idx, {"q": terms}, 10).collect()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        want = before[tuple(terms)]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12)
+        # oracle agreement too
+        assert [d for d, _ in got] == [d for d, _ in oracle.bm25_topk(terms, 10)]
+    # boolean via decoded-postings fallback on the compacted index
+    bundle = idx.bundle()
+    assert bundle.positional is None
+    got_ids = {r["doc_id"] for r in compile_query("compute and test", bundle).collect()}
+    want_ids = oracle.search("compute and test")
+    assert got_ids == set(want_ids)
