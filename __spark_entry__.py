@@ -4,7 +4,8 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  the full segment pipeline (salted build -> block-max
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
-                 training-data ops); each callable is (spark, sf_dir)
+                 training-data ops + the persisted-index query surface,
+                 43 total); each callable is (spark, sf_dir)
                  -> DataFrame.
 oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
                  with the same column names/aliases. Tokenization,
@@ -218,6 +219,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wildcard_terms("s*", _bundle(s, d)).select("term")
     q["q_wildcard_terms"] = q_wc_terms
 
+    # --- incidence-matrix boolean path (A9 + bitvec J1-J3 replicas,
+    # demo-gated like the reference's own matrix, main.rs:294-333)
+    def q_incidence(s, d):
+        post = ops.postings(ops.token_frame(_docs(s, d)))
+        m = ops.incidence_matrix(post)
+        return ops.incidence_search(m, "spark and not query").select("doc_id")
+    q["q_incidence_boolean"] = q_incidence
+
     # --- BM25 (north star)
     def _bm25(terms):
         def run(s, d):
@@ -412,6 +421,9 @@ SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '{pattern_sql}')"""
     o["q_wildcard_qmark"] = docs_of_like("^h.sh$")
     o["q_wildcard_terms"] = f"""{W}
 SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^s.*$')"""
+
+    o["q_incidence_boolean"] = f"""{W}
+SELECT doc_id FROM ({docs_of('spark')}) WHERE doc_id NOT IN ({docs_of('query')})"""
 
     def bm25_sql(terms: list[str]) -> str:
         tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))

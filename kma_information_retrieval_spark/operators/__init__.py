@@ -10,6 +10,7 @@ from .indexes import (
     gram2_index,
     permuterm_index,
     incidence_matrix,
+    incidence_search,
 )
 from .boolean import parse_query, IndexBundle, compile_query
 
@@ -25,6 +26,7 @@ __all__ = [
     "gram2_index",
     "permuterm_index",
     "incidence_matrix",
+    "incidence_search",
     "parse_query",
     "IndexBundle",
     "compile_query",

@@ -13,12 +13,15 @@ lazy DataFrame composition over the index tables:
   reference's >=3-word off-by-offset at ``coordinate_index.rs:169-191``
   is a documented divergence we fix)
 * near/k(...) -> positional join + array HOF predicate (J7)
-* wildcards   -> planner routes permuterm / trigram prefilter +
-  ``rlike`` verify, then semi-join into postings (J9-J13)
+* wildcards   -> planner routes permuterm / trigram / char-2-gram
+  prefilter + ``rlike`` verify, then semi-join into postings (J9-J13;
+  the 2-gram route replaces the reference's suffix tree for short
+  infixes, ``suffix_tree.rs:159-195``)
 
 Documented divergences (SURVEY.md §7): missing term = empty result,
-not an error (reference J5 aborts the query); quotes lex properly
-(reference splits only on space/parens, ``query.rs:14-32``).
+not an error, unless ``strict=True`` restores the reference's abort
+(J5, ``inverted_index.rs:243-249``); quotes lex properly (reference
+splits only on space/parens, ``query.rs:14-32``).
 
 Everything composes lazily, so Catalyst collapses filters, reuses the
 postings exchange, and broadcasts the (tiny) matched-term lists into

@@ -168,3 +168,54 @@ def incidence_matrix(post: DataFrame, max_docs: int = 1000) -> DataFrame:
         .agg(F.coalesce(F.first(F.lit(1)), F.lit(0)))
         .na.fill(0)
     )
+
+
+def incidence_search(matrix: DataFrame, query: str) -> DataFrame:
+    """Boolean search over the incidence matrix — the reference's
+    bit-vector and/or/negate replicas of J1-J3
+    (``incidence_matrix.rs:59-112``), demo-gated like the matrix itself.
+
+    Each AST node evaluates to one 1-row frame of per-doc bits: a term
+    node is the term's matrix row (missing term = all-zero row, matching
+    the engine's divergent J5 semantics), AND/OR combine two 1-row
+    frames with least/greatest per doc column, NOT flips bits. The final
+    row is unpivoted with ``stack`` to (doc_id) rows, so results compare
+    directly against the join-based compiler. Parity demo only — the
+    pivot layout caps at ``incidence_matrix``'s max_docs."""
+    from .boolean import parse_query
+
+    doc_cols = [c for c in matrix.columns if c != "term"]
+    n = len(doc_cols)
+    spark = matrix.sparkSession
+    zero_row = spark.createDataFrame(
+        [tuple([0] * n)], ", ".join(f"`{c}` int" for c in doc_cols)
+    )
+
+    def ev(node) -> DataFrame:
+        op = node[0]
+        if op == "term":
+            row = matrix.filter(F.col("term") == node[1]).drop("term")
+            # missing term -> all-zero bit row (empty result, J5 divergence)
+            return row.unionByName(zero_row).limit(1) if row.isEmpty() else row
+        if op in ("and", "or"):
+            f = F.least if op == "and" else F.greatest
+            a, b = ev(node[1]), ev(node[2])
+            a = a.select(*[F.col(c).alias(f"a_{i}") for i, c in enumerate(doc_cols)])
+            b = b.select(*[F.col(c).alias(f"b_{i}") for i, c in enumerate(doc_cols)])
+            return a.crossJoin(b).select(
+                *[f(F.col(f"a_{i}"), F.col(f"b_{i}")).alias(c)
+                  for i, c in enumerate(doc_cols)]
+            )
+        if op == "not":
+            return ev(node[1]).select(
+                *[(F.lit(1) - F.col(c)).alias(c) for c in doc_cols]
+            )
+        raise ValueError(f"incidence search supports terms/and/or/not, got {op!r}")
+
+    bits = ev(parse_query(query))
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in doc_cols)
+    return (
+        bits.selectExpr(f"stack({n}, {stack_args}) as (doc_id, bit)")
+        .filter(F.col("bit") == 1)
+        .select(F.col("doc_id").cast("long"))
+    )

@@ -1,0 +1,37 @@
+"""Package the library for ``spark-submit --py-files`` (north rule:
+"run via spark-submit --py-files on multi-executor clusters").
+
+Produces ``dist/kma_information_retrieval_spark.zip`` containing the
+package, importable on driver and executors alike.
+
+Usage: python scripts/package_pyfiles.py [dist_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "kma_information_retrieval_spark"
+
+
+def build_zip(dist_dir: str | None = None) -> str:
+    dist_dir = dist_dir or os.path.join(REPO, "dist")
+    os.makedirs(dist_dir, exist_ok=True)
+    out = os.path.join(dist_dir, f"{PKG}.zip")
+    src = os.path.join(REPO, PKG)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(src):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    print(build_zip(sys.argv[1] if len(sys.argv) > 1 else None))

@@ -83,3 +83,21 @@ def test_incidence_matrix_demo(spark):
     rows = {r["term"]: r for r in m.collect()}
     assert rows["cat"]["1"] == 1 and rows["cat"]["2"] == 0 and rows["cat"]["3"] == 1
     assert rows["bird"]["2"] == 1 and rows["bird"]["1"] == 0
+
+
+def test_incidence_search_matches_join_compiler(spark, indexes, oracle):
+    """J1-J3 over the bit-matrix (incidence_matrix.rs:59-112) must agree
+    with both the join-based compiler and the oracle (parity demo)."""
+    from kma_information_retrieval_spark.operators.boolean import compile_query
+    from kma_information_retrieval_spark.operators.indexes import (
+        incidence_matrix,
+        incidence_search,
+    )
+
+    m = incidence_matrix(indexes.postings).cache()
+    for q in ["compute and test", "cat or car", "not compute",
+              "compute and not test", "zzmissing or cat"]:
+        got = sorted(r["doc_id"] for r in incidence_search(m, q).collect())
+        want = sorted(r["doc_id"] for r in compile_query(q, indexes).collect())
+        assert got == want, q
+        assert set(got) == oracle.search(q)

@@ -1,0 +1,66 @@
+"""Deployment-shape test (north rule): the build runs via
+``spark-submit --py-files <pkg.zip>`` from a directory that is NOT the
+repo root, so the library must come from the shipped zip, and the
+resulting index must be loadable and queryable."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_build(spark, docs, tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if not spark_submit:
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    assert os.path.exists(spark_submit), "spark-submit not found"
+
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from package_pyfiles import build_zip
+
+    zip_path = build_zip(str(tmp_path / "dist"))
+    corpus = str(tmp_path / "corpus.parquet")
+    docs.limit(60).write.mode("overwrite").parquet(corpus)
+    out = str(tmp_path / "idx")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only library source
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "submit_build.py"),
+         "--corpus", corpus, "--out", out, "--num-segments", "4"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),  # NOT the repo root
+        env=env,
+    )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("MANIFEST ")]
+    assert lines, f"spark-submit failed:\n{r.stderr[-3000:]}"
+    manifest = json.loads(lines[-1][len("MANIFEST "):])
+    assert manifest["n_docs"] == 60
+    # dynamic partition overwrite under spark-submit's committer may skip
+    # the _SUCCESS marker — assert on actual segment data files instead
+    seg_files = [
+        f for r2, _, fs in os.walk(os.path.join(out, "segments"))
+        for f in fs if f.endswith(".parquet")
+    ]
+    assert seg_files, "no segment parquet files written"
+
+    # the produced index is loadable from a normal session
+    from kma_information_retrieval_spark.index import load_index
+
+    idx = load_index(spark, out)
+    assert idx.query("compute").count() > 0
