@@ -72,19 +72,24 @@ def _bundle(spark: SparkSession, sf_dir: str) -> IndexBundle:
 
 # Persisted-index cache: the q_*_persisted queries exercise the
 # restart-survivable path (build once per sf_dir, then every query
-# compiles against the on-disk tables — no corpus re-tokenize).
-_PERSISTED: dict[str, object] = {}
+# compiles against the on-disk tables — no corpus re-tokenize). Only
+# the output DIRECTORY is cached; the index is re-loaded per call so a
+# fresh SparkSession (or a vanished temp dir) never serves stale refs.
+_PERSISTED_DIRS: dict[str, str] = {}
 
 
 def _persisted_index(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _PERSISTED:
-        from kma_information_retrieval_spark.index import build_index, load_index
+    import os
 
+    from kma_information_retrieval_spark.index import build_index, load_index
+
+    out = _PERSISTED_DIRS.get(sf_dir)
+    if out is None or not os.path.exists(os.path.join(out, "manifest.json")):
         out = tempfile.mkdtemp(prefix="kma_ir_persisted_")
         build_index(spark, _docs(spark, sf_dir), out, num_segments=16,
                     with_bigrams=True)
-        _PERSISTED[sf_dir] = load_index(spark, out)
-    return _PERSISTED[sf_dir]
+        _PERSISTED_DIRS[sf_dir] = out
+    return load_index(spark, out)
 
 
 def _stats(spark, sf_dir):
