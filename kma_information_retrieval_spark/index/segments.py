@@ -594,19 +594,26 @@ def segment_metrics(spark: SparkSession, seg_dir: str) -> dict[str, dict]:
 def decoded_postings_frame(seg: DataFrame) -> DataFrame:
     """(term, doc_id, tf, dl) decoded from compressed segment rows — a
     distributed mapInPandas decode (numpy varbyte + cumsum per group).
-    Feeds boolean fallbacks and generation compaction."""
+    Feeds boolean fallbacks and generation compaction.
+
+    Predicates do NOT push through mapInPandas — filter ``seg`` (e.g.
+    ``seg.filter(col('term').isin(...))``) BEFORE calling this, so the
+    parquet scan prunes; filtering the returned frame decodes the whole
+    index first."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                gaps = vb_decode(bytes(row["doc_bytes"]))
+            for term, db, tb, lb in zip(
+                pdf["term"].to_numpy(), pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+            ):
+                gaps = vb_decode(bytes(db))
                 docs = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 outs.append(pd.DataFrame({
-                    "term": row["term"],
+                    "term": term,
                     "doc_id": docs,
-                    "tf": vb_decode(bytes(row["tf_bytes"])).astype(np.int64),
-                    "dl": vb_decode(bytes(row["dl_bytes"])).astype(np.int64),
+                    "tf": vb_decode(bytes(tb)).astype(np.int64),
+                    "dl": vb_decode(bytes(lb)).astype(np.int64),
                 }))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -682,12 +689,21 @@ class SegmentIndex:
         from ..operators.boolean import IndexBundle
 
         pos = self.positional
+        term_postings = None
         if pos is not None:
             postings = pos.select("part_id", "term", "doc_id", "tf")
             positional = pos.select("part_id", "term", "doc_id", "positions", "tf")
         else:
             postings = self.decoded_postings()
             positional = None
+
+            def term_postings(t, _self=self):
+                # filter the SEGMENTS scan (partition/row-group pruned)
+                # BEFORE the opaque decode — filtering the decoded frame
+                # would decompress the entire index per term lookup
+                return decoded_postings_frame(_self.query_segments([t])).select(
+                    "term", "doc_id", "tf"
+                )
         n_seg = self.meta["num_segments"]
         return IndexBundle(
             postings=postings,
@@ -699,6 +715,7 @@ class SegmentIndex:
             grams2=self.grams2,
             bigrams=self.bigrams,
             term_part=(lambda t: term_part_for(t, n_seg)) if pos is not None else None,
+            term_postings=term_postings,
         )
 
     def query(self, query_str: str, strict: bool = False) -> DataFrame:

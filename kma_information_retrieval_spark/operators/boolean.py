@@ -149,10 +149,18 @@ class IndexBundle:
     bigrams: DataFrame | None = None     # (bigram, doc_id)
     grams2: DataFrame | None = None      # (gram, term) char 2-grams
     term_part: object | None = None      # Callable[[str], int] | None
+    # Callable[[str], DataFrame] returning (term, doc_id, tf) rows for
+    # one term — set when `postings` is produced by an opaque transform
+    # (decoded-from-segments fallback): predicates can't push through
+    # mapInPandas, so the term filter must be applied to the SOURCE scan
+    # before decoding, not to the decoded frame.
+    term_postings: object | None = None
 
 
 def _term_rows(df: DataFrame, term: str, idx: IndexBundle) -> DataFrame:
     """Exact-term row lookup with partition pruning when available."""
+    if df is idx.postings and idx.term_postings is not None:
+        return idx.term_postings(term)
     cond = F.col("term") == term
     if idx.term_part is not None and "part_id" in df.columns:
         cond = (F.col("part_id") == idx.term_part(term)) & cond

@@ -159,3 +159,23 @@ def test_resume_skips_side_tables(spark, docs, tmp_path_factory):
     assert len(m2["partitions"]) == 4
     idx = load_index(spark, out)
     assert idx.query("compute").count() > 0
+
+
+def test_decoded_fallback_prunes_before_decode(docidx, indexes):
+    """Boolean over a positionless index must filter the SEGMENTS scan
+    before the opaque mapInPandas decode — not decode the whole index
+    and filter afterwards (predicates don't push through mapInPandas)."""
+    bundle = docidx.bundle()
+    assert bundle.term_postings is not None
+    df = compile_query("compute", bundle)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the term filter must appear BELOW the decode: on the segment
+    # relation's term column (string filter on compressed rows), not on
+    # the decoded output
+    assert "doc_bytes" in plan  # reads the compressed segment table
+    seg_scan_filtered = "term#" in plan and ("IN (compute" in plan or "= compute" in plan
+                                             or "(compute)" in plan or "isin" in plan.lower())
+    assert seg_scan_filtered, plan[:2000]
+    got = _ids(df)
+    want = _ids(compile_query("compute", indexes))
+    assert got == want
