@@ -356,6 +356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    # --- multimodal: typed metadata over an opaque binary column (the
+    # no-decode half of the media pipeline — pure Catalyst; payload
+    # derived deterministically from text so the oracle can replay it)
+    def q_media(s, d):
+        from kma_information_retrieval_spark.operators.multimodal import attach_metadata
+        media = _docs(s, d).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("content"), "UTF-8").alias("payload"),
+        )
+        return attach_metadata(media).select("media_id", "n_bytes", "sha256", "magic")
+    q["q_media_metadata"] = q_media
+
     return q
 
 
@@ -638,5 +650,12 @@ FROM c"""
     o["q_fingerprints"] = f"""WITH {SQL_TOKS}
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM toks"""
+
+    o["q_media_metadata"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::bigint AS n_bytes,
+       sha256(text) AS sha256,
+       substring(hex(encode(text)), 1, 8) AS magic
+FROM documents"""
 
     return o
