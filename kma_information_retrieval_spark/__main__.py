@@ -1,0 +1,177 @@
+"""CLI mirroring the reference binary's verbs (``main.rs:10-107``:
+build / search / parquet-inspect / parquet-build), so a user of the
+reference can run the same commands against the Spark engine:
+
+    python -m kma_information_retrieval_spark build \
+        --input ./books --output ./idx --formats parquet,json,csv
+    python -m kma_information_retrieval_spark search \
+        --query '"hash join" and not dup' --dict ./idx
+    python -m kma_information_retrieval_spark search \
+        --query 'spark query join' --dict ./idx --topk 10
+    python -m kma_information_retrieval_spark parquet-inspect --input t.parquet
+    python -m kma_information_retrieval_spark parquet-build \
+        --input t.parquet --output ./idx2 --partition-by term
+
+Differences from the reference CLI, by design: ``--memory-limit`` maps
+to the salting target (``postings_per_group``) — Spark's shuffle spill
+handles the actual memory bound SPIMI enforced by hand; ``search``
+gains ``--topk`` (BM25 WAND) and ``--strict`` (reference J5
+missing-term abort).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _id_col(df):
+    return df.withColumn(
+        "doc_id", F.conv(F.substring(F.md5("doc_name"), 1, 15), 16, 10).cast("long")
+    )
+
+
+def cmd_build(args, spark: SparkSession) -> int:
+    from .operators.sinks import write_dictionary_formats
+    from .index import build_index, load_index
+    from .sources.loader import read_raw_files, strip_xml_body
+
+    docs = read_raw_files(spark, args.input, min_bytes=args.min_bytes,
+                          suffix=args.suffix)
+    if args.xml_body:
+        docs = strip_xml_body(docs)
+    docs = _id_col(docs)
+    manifest = build_index(
+        spark, docs, args.output, mode=args.mode,
+        num_segments=args.num_segments,
+        postings_per_group=args.memory_limit,
+        partition_by=args.partition_by, resume=args.resume,
+    )
+    print(f"indexed {manifest['n_docs']} docs in {manifest['build_secs']:.1f}s "
+          f"({manifest['docs_per_sec']:.0f} docs/s) -> {args.output}")
+    if args.formats:
+        sizes = write_dictionary_formats(
+            load_index(spark, args.output).dictionary, args.output
+        )
+        for fmt in args.formats.split(","):
+            fmt = fmt.strip()
+            if fmt in sizes:
+                print(f"dictionary_{fmt}: {sizes[fmt]} bytes")
+    return 0
+
+
+def cmd_search(args, spark: SparkSession) -> int:
+    from .index import load_index
+    from .index.wand import bm25_topk_batch
+
+    idx = load_index(spark, args.dict)
+    if args.topk:
+        terms = args.query.split()
+        rows = bm25_topk_batch(idx, {"q": terms}, args.topk).collect()
+        for doc_id, score in sorted(((r["doc_id"], r["score"]) for r in rows),
+                                    key=lambda x: (-x[1], x[0])):
+            print(f"{doc_id}\t{score:.4f}")
+        return 0
+    try:
+        hits = idx.query(args.query, strict=args.strict)
+    except KeyError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for r in hits.orderBy("doc_id").collect():
+        print(r["doc_id"])
+    return 0
+
+
+def cmd_parquet_inspect(args, spark: SparkSession) -> int:
+    from .sources.loader import inspect_schema
+
+    print(inspect_schema(spark.read.parquet(args.input), n=args.rows))
+    return 0
+
+
+def cmd_parquet_build(args, spark: SparkSession) -> int:
+    from .index import build_index
+    from .sources.loader import read_corpus
+
+    docs = read_corpus(spark, args.input)
+    manifest = build_index(
+        spark, docs, args.output, mode=args.mode,
+        num_segments=args.num_segments,
+        postings_per_group=args.memory_limit,
+        partition_by=args.partition_by, resume=args.resume,
+    )
+    print(f"indexed {manifest['n_docs']} docs in {manifest['build_secs']:.1f}s "
+          f"({manifest['docs_per_sec']:.0f} docs/s) -> {args.output}")
+    return 0
+
+
+def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default=default_mode,
+                   choices=["code", "letters", "unicode"])
+    p.add_argument("--num-segments", type=int, default=32)
+    p.add_argument("--memory-limit", type=int, default=50_000,
+                   help="salting target: max postings per (term, salt) group")
+    p.add_argument("--partition-by", choices=["term", "doc"], default="term")
+    p.add_argument("--resume", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="kma_information_retrieval_spark",
+        description="FB2/parquet text indexing and Boolean/BM25 search (Spark)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build index from a directory of text/FB2 files")
+    b.add_argument("--input", required=True, help="directory glob of input files")
+    b.add_argument("--formats", default="",
+                   help="also write the dictionary in these formats (parquet,json,csv)")
+    b.add_argument("--min-bytes", type=int, default=0)
+    b.add_argument("--suffix", default=None, help="only files with this suffix")
+    b.add_argument("--xml-body", action="store_true",
+                   help="extract <body> text and strip tags (FB2)")
+    _common_build_args(b, default_mode="letters")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="boolean/phrase/wildcard or BM25 top-k search")
+    s.add_argument("--query", required=True)
+    s.add_argument("--dict", required=True, help="index directory (build output)")
+    s.add_argument("--topk", type=int, default=0,
+                   help="treat query as bag-of-words, print BM25 top-k")
+    s.add_argument("--strict", action="store_true",
+                   help="missing term aborts the query (reference J5)")
+    s.set_defaults(fn=cmd_search)
+
+    pi = sub.add_parser("parquet-inspect", help="print schema + sample rows")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--rows", type=int, default=3)
+    pi.set_defaults(fn=cmd_parquet_inspect)
+
+    pb = sub.add_parser("parquet-build", help="build index from a parquet corpus")
+    pb.add_argument("--input", required=True)
+    _common_build_args(pb, default_mode="code")
+    pb.set_defaults(fn=cmd_parquet_build)
+
+    return ap
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark("kma_ir_cli")
+    try:
+        return args.fn(args, spark)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

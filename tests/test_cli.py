@@ -1,0 +1,82 @@
+"""CLI parity with the reference binary's verbs (``main.rs:10-107``):
+build / search / parquet-inspect / parquet-build, driven in-process
+with an injected session (capsys asserts the printed contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kma_information_retrieval_spark.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def text_dir(spark, tmp_path_factory):
+    """A directory of raw text files (the reference's FB2-dir shape)."""
+    from kma_information_retrieval_spark.corpus import local_corpus
+
+    d = tmp_path_factory.mktemp("books")
+    for r in local_corpus(40):
+        (d / f"doc{r['doc_id']:03d}.txt").write_text(
+            f"<body>{r['content']}</body>"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def parquet_corpus(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pq") / "corpus.parquet")
+    docs.limit(80).selectExpr("doc_id", "content AS text").write.mode(
+        "overwrite").parquet(p)
+    return p
+
+
+def test_cli_build_and_search(spark, text_dir, tmp_path, capsys):
+    out = str(tmp_path / "idx")
+    rc = main(["build", "--input", text_dir, "--output", out,
+               "--formats", "parquet,json", "--xml-body", "--suffix", ".txt",
+               "--num-segments", "4", "--mode", "code"], spark=spark)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "indexed 40 docs" in printed
+    assert "dictionary_parquet:" in printed and "dictionary_json:" in printed
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+
+    rc = main(["search", "--query", "compute and test", "--dict", out], spark=spark)
+    assert rc == 0
+    ids = [int(x) for x in capsys.readouterr().out.split()]
+    assert ids == sorted(ids) and len(ids) > 0
+
+    # BM25 top-k mode
+    rc = main(["search", "--query", "compute test", "--dict", out, "--topk", "5"],
+              spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 5 and "\t" in lines[0]
+
+    # strict mode: exit code 2 + error on stderr (reference J5 abort)
+    rc = main(["search", "--query", "zzzmissing and compute", "--dict", out,
+               "--strict"], spark=spark)
+    assert rc == 2
+    assert "zzzmissing" in capsys.readouterr().err
+
+
+def test_cli_parquet_build_and_inspect(spark, parquet_corpus, tmp_path, capsys):
+    rc = main(["parquet-inspect", "--input", parquet_corpus], spark=spark)
+    assert rc == 0
+    assert "text" in capsys.readouterr().out
+
+    out = str(tmp_path / "idx2")
+    rc = main(["parquet-build", "--input", parquet_corpus, "--output", out,
+               "--num-segments", "4", "--partition-by", "doc"], spark=spark)
+    assert rc == 0
+    assert "indexed 80 docs" in capsys.readouterr().out
+
+    from kma_information_retrieval_spark.index import load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+
+    idx = load_index(spark, out)
+    assert idx.meta["partition_by"] == "doc"
+    rows = bm25_topk_batch(idx, {"q": ["compute", "test"]}, 5).collect()
+    assert len(rows) > 0
