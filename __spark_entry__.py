@@ -5,7 +5,7 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops + the persisted-index query surface,
-                 43 total); each callable is (spark, sf_dir)
+                 48 total); each callable is (spark, sf_dir)
                  -> DataFrame.
 oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
                  with the same column names/aliases. Tokenization,
@@ -173,6 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ops.postings(ops.token_frame(_docs(s, d)))
     ).select("term", "df", "cf")
 
+    # T1 "letters" tokenizer parity (reference parser.rs:15,44-49):
+    # letter-only runs >= 3 chars incl. Cyrillic, lowercased after match
+    q["q_dictionary_letters"] = lambda s, d: ops.dictionary(
+        ops.postings(ops.token_frame(_docs(s, d), mode="letters"))
+    ).select("term", "df", "cf")
+
     q["q_top_terms"] = lambda s, d: (
         ops.dictionary(ops.postings(ops.token_frame(_docs(s, d))))
         .orderBy(F.desc("cf"), F.asc("term"))
@@ -305,6 +311,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_embedding_topk"] = q_emb_topk
 
+    def q_ann_lsh(s, d):
+        emb = _emb(s, d)
+        qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+        idx = ann.lsh_index(emb, n_bits=12)
+        return ann.lsh_bucket_topk(idx, qv, 10, n_bits=12, probe_hamming=1).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+    q["q_ann_lsh_topk"] = q_ann_lsh
+
+    def q_ann_ivf(s, d):
+        emb = _emb(s, d)
+        qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+        cents = ann.ivf_centroids(emb, 16)
+        idx = ann.ivf_index(emb, cents)
+        return ann.ivf_topk(idx, cents, qv, 10, n_probe=4).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+    q["q_ann_ivf_topk"] = q_ann_ivf
+
     # --- text analysis
     # --- index-construction parity (postings / bigram / trigram / permuterm)
     q["q_postings"] = lambda s, d: ops.postings(ops.token_frame(_docs(s, d))).select(
@@ -380,6 +405,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_dictionary"] = f"""{W}
 SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM tf GROUP BY term"""
+
+    o["q_dictionary_letters"] = """
+WITH lt AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[а-яёА-ЯЁa-zA-Z]{3,}'), x -> lower(x)) AS toks
+  FROM documents
+), ltf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM lt)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM ltf GROUP BY term"""
 
     o["q_top_terms"] = f"""{W}
 SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY term
@@ -550,6 +587,65 @@ WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id AS vec_id, round({cos}, 4) AS cosine
 FROM embeddings a CROSS JOIN q b
 ORDER BY {cos} DESC, a.vec_id LIMIT 10"""
+
+    # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
+    # engine's multi-probe (own bucket +- 1 bit flip) == signature
+    # hamming distance <= 1, which SQL states directly via bit_count
+    from kma_information_retrieval_spark.operators import ann as _ann
+
+    lsh_planes = _ann.hyperplanes(EMB_DIM, 12)
+    lsh_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(lsh_planes)
+    )
+    acos = """list_dot_product(a.e, q.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)))"""
+    o["q_ann_lsh_topk"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, ({lsh_bits})::bigint AS s FROM v),
+q AS (SELECT e, s FROM sig WHERE vec_id = 0)
+SELECT a.vec_id AS vec_id, round({acos}, 4) AS cosine
+FROM sig a CROSS JOIN q
+WHERE bit_count(xor(a.s, q.s)) <= 1
+ORDER BY {acos} DESC, a.vec_id LIMIT 10"""
+
+    # IVF: centroids = the 16 rows with smallest md5-prefix hash of
+    # vec_id (the engine's deterministic sample); assignment = argmax
+    # cosine with first-centroid tie-break (centroids ordered by hash);
+    # probe = the 4 centroids nearest the query; exact cosine top-10
+    # within the probed cells.
+    ivf_cos = "list_dot_product(x.e, c.ce) / (sqrt(list_dot_product(x.e, x.e)) * nullif(sqrt(list_dot_product(c.ce, c.ce)), 0.0))"
+    o["q_ann_ivf_topk"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings),
+h AS (SELECT vec_id, e, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hh FROM v),
+cents AS (
+  SELECT e AS ce, row_number() OVER (ORDER BY hh) - 1 AS ci
+  FROM h ORDER BY hh LIMIT 16
+),
+asn AS (
+  SELECT x.vec_id, x.e, c.ci,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY {ivf_cos} DESC, c.ci ASC
+         ) AS rnk
+  FROM v x CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, e, ci FROM asn WHERE rnk = 1),
+qprobe AS (
+  SELECT c.ci, row_number() OVER (ORDER BY {ivf_cos} DESC, c.ci ASC) AS prnk
+  FROM (SELECT e FROM v WHERE vec_id = 0) x CROSS JOIN cents c
+),
+probe AS (SELECT ci FROM qprobe WHERE prnk <= 4),
+q AS (SELECT e FROM v WHERE vec_id = 0)
+SELECT a.vec_id AS vec_id,
+       round(list_dot_product(a.e, q.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e))), 4) AS cosine
+FROM assigned a CROSS JOIN q
+WHERE a.ci IN (SELECT ci FROM probe)
+ORDER BY list_dot_product(a.e, q.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+         a.vec_id LIMIT 10"""
 
     o["q_postings"] = f"""{W}
 SELECT term, doc_id, tf::bigint AS tf FROM tf"""

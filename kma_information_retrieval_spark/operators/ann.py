@@ -180,7 +180,8 @@ def ivf_topk(index: DataFrame, centroids: list[list[float]],
         c = np.asarray(c)
         cn = float(np.sqrt(c @ c)) or 1.0
         sims.append((float(c @ q) / (cn * qn), ci))
-    probe = [ci for _, ci in sorted(sims, reverse=True)[:n_probe]]
+    # deterministic probe order: similarity DESC, first centroid on ties
+    probe = [ci for _, ci in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
     qcol = F.array(*[F.lit(float(x)) for x in q])
     return (
         index.filter(F.col("centroid_id").isin(probe))
