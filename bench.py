@@ -315,15 +315,17 @@ def main() -> None:
             f"| front-coded (reference layout) | {fc['vocab_frontcoded_bytes']} |\n"
             f"| parquet dict+snappy (index default) | {fc_sizes['snappy']} |\n"
             f"| parquet dict+zstd | {fc_sizes['zstd']} |\n\n"
-            f"Decision: the dictionary stays a plain parquet column "
-            f"(measured on the {fc['vocab_terms']}-term synthetic code-corpus "
-            "vocabulary with shared-prefix identifier families). Front coding "
-            f"{'wins' if fc['vocab_frontcoded_bytes'] < fc_sizes['snappy'] else 'loses to'} "
-            "parquet's own dictionary+compression at this scale, and parquet "
-            "keeps the column queryable by Catalyst (predicate pushdown on "
-            "term) — the reference needs front coding because its dictionary "
-            "is a custom binary blob (`dictionary.rs:420-473`); a columnar "
-            "store gets the prefix sharing from general-purpose compression.\n\n"
+            f"Decision: the dictionary stays a plain parquet column with "
+            f"**zstd** (now the session default — measured on the "
+            f"{fc['vocab_terms']}-term synthetic code-corpus vocabulary with "
+            "shared-prefix identifier families). Front coding beats "
+            "dict+snappy but "
+            f"{'beats' if fc['vocab_frontcoded_bytes'] < fc_sizes['zstd'] else 'loses to'} "
+            "dict+zstd, and parquet keeps the column queryable by Catalyst "
+            "(predicate pushdown on term) — the reference needs front coding "
+            "because its dictionary is a custom binary blob "
+            "(`dictionary.rs:420-473`); a columnar store gets the prefix "
+            "sharing from general-purpose compression.\n\n"
             "## Query timings\n\n"
             "| query | seconds |\n|---|---|\n"
             + "".join(f"| {k} | {v:.3f} |\n" for k, v in sorted(timings.items()))

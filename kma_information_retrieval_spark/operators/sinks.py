@@ -43,7 +43,8 @@ def index_size_report(index_dir: str) -> dict[str, int]:
     dictionary, saltmap) — the engine's answer to the reference's
     per-structure ``memory_size()`` printouts."""
     report = {}
-    for name in ("segments", "docmap", "dictionary", "saltmap", "trigrams", "permuterm"):
+    for name in ("segments", "docmap", "dictionary", "saltmap", "trigrams",
+                 "permuterm", "grams2", "positional", "bigrams"):
         p = os.path.join(index_dir, name)
         if os.path.isdir(p):
             report[name] = _dir_bytes(p)

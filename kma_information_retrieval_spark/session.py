@@ -46,6 +46,9 @@ def get_spark(
                 driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # measured (BENCH.md): zstd shrinks every index table 30-47% vs
+        # snappy at equal-or-better write time; decode cost is noise
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if extra_java_options:
         builder = builder.config("spark.driver.extraJavaOptions", extra_java_options)
