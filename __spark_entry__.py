@@ -5,7 +5,7 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops + the persisted-index query surface,
-                 48 total); each callable is (spark, sf_dir)
+                 49 total); each callable is (spark, sf_dir)
                  -> DataFrame.
 oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
                  with the same column names/aliases. Tokenization,
@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d)).select(
         "doc_id", "fingerprint"
     )
+    q["q_rolling_fingerprints"] = lambda s, d: textstats.rolling_fingerprints(
+        _docs(s, d), 8, 64
+    ).select("doc_id", "h")
 
     # --- multimodal: typed metadata over an opaque binary column (the
     # no-decode half of the media pipeline — pure Catalyst; payload
@@ -746,6 +749,14 @@ FROM c"""
     o["q_fingerprints"] = f"""WITH {SQL_TOKS}
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM toks"""
+
+    o["q_rolling_fingerprints"] = """
+SELECT DISTINCT doc_id, h FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(substring(lower(text), i, 8)), 1, 15))::bigint AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i) g
+) WHERE h % 64 = 0"""
 
     o["q_media_metadata"] = """
 SELECT doc_id AS media_id,

@@ -91,6 +91,44 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "con
     )
 
 
+def rolling_fingerprints(
+    docs: DataFrame, k: int = 8, mod: int = 64,
+    id_col: str = "doc_id", text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, h) content-defined fingerprint sketch: hash every char
+    k-gram of the lowercased text, keep hashes ≡ 0 (mod ``mod``) — the
+    rolling-hash sampling used by MOSS/winnowing-style near-dup systems
+    (robust to insertions/shifts, ~1/mod of the text sampled; the md5
+    prefix stands in for Karp-Rabin so the SQL oracle replays it
+    bit-for-bit).
+
+    Shape for scale: positions are exploded FIRST and the k-gram substr
+    + hash run per row inside whole-stage codegen — no higher-order
+    functions on the hot path (HOF lambdas run interpreted per
+    element). One shuffle total (the final distinct)."""
+    text = F.lower(F.col(text_col))
+    n_grams = F.length(text) - F.lit(k - 1)
+    # sequence(1, n) with n < 1 would generate a DESCENDING range, not
+    # an empty one — guard short docs explicitly
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            text.alias("_t"),
+            F.explode(positions).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.substring(F.col("_t"), F.col("i"), k)), 1, 15),
+                   16, 10).cast("long").alias("h"),
+        )
+        .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+        .distinct()
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
     """(doc_id, fingerprint) — the classic sorted-distinct-token
     fingerprint (md5 of the canonicalized token set): robust to token

@@ -60,3 +60,33 @@ def test_fingerprints_detect_reordering(spark):
     assert got[1] == got[2] != got[3]
     want = hashlib.md5("alpha beta gamma".encode()).hexdigest()
     assert got[1] == want
+
+
+def test_rolling_fingerprints_shift_robust(spark):
+    """Content-defined sampling: prepending text leaves the original
+    k-gram fingerprints intact (position-based chunking would shift
+    every gram) — the property that makes the sketch a near-dup key."""
+    from kma_information_retrieval_spark.operators.textstats import (
+        rolling_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    docs = spark.createDataFrame(
+        [(1, base), (2, "PREFIX INSERTED AT FRONT " + base), (3, "zz")],
+        "doc_id long, content string",
+    )
+    fp = rolling_fingerprints(docs, k=8, mod=16)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] and by_doc[1] <= by_doc[2]  # all original grams survive
+    assert 3 not in by_doc  # shorter than k -> no grams, no rows
+    # python ground truth
+    import hashlib
+
+    want = {
+        int(hashlib.md5(base.lower()[i:i + 8].encode()).hexdigest()[:15], 16)
+        for i in range(len(base) - 7)
+    }
+    want = {h for h in want if h % 16 == 0}
+    assert by_doc[1] == want
