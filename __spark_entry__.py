@@ -298,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle mirrors the same >=1-shared-band AND cosine>=t
         # contract, so the comparison is exact, not sampled)
         return dedup.embedding_neardup_pairs_lsh(
-            _emb(s, d), NEARDUP_COS, N_LSH_BANDS, LSH_BAND_BITS
+            _emb(s, d), NEARDUP_COS, N_LSH_BANDS, LSH_BAND_BITS, dim=EMB_DIM
         ).select("a", "b", F.round("cosine", 4).alias("cosine"))
     q["q_embedding_neardup"] = q_neardup
 
@@ -314,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_lsh(s, d):
         emb = _emb(s, d)
         qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
-        idx = ann.lsh_index(emb, n_bits=12)
+        idx = ann.lsh_index(emb, n_bits=12, dim=EMB_DIM)
         return ann.lsh_bucket_topk(idx, qv, 10, n_bits=12, probe_hamming=1).select(
             "vec_id", F.round("cosine", 4).alias("cosine")
         )

@@ -36,6 +36,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("KMA_BENCH_DOCS", "80000"))
 WARM_DOCS = 4000
 
+# Bench working set (synthetic corpora + built indexes) lives on tmpfs
+# when available: the sandbox block device is throttled and turns
+# concurrent index writes IO-bound regardless of core count — the same
+# rationale as spark.local.dir in session.py. On a real cluster these
+# writes go to executor-local SSDs / object storage.
+FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
 BM25_QUERIES = {
     "q1": ["spark", "query", "join"],
     "q2": ["hash", "scan"],
@@ -49,22 +56,39 @@ BM25_QUERIES = {
 
 
 def _jvm_cpu() -> float:
-    """Sum utime+stime (seconds) of this process's direct children —
-    i.e. the Spark JVM. /proc-based; good enough for efficiency ratios."""
-    me = str(os.getpid())
+    """Sum utime+stime (+reaped-child cutime/cstime) in seconds over ALL
+    live descendants of this process — the Spark JVM *and* the PySpark
+    worker processes it forks (the mapInPandas encode, the dominant build
+    phase, runs in those workers; counting only direct children
+    understated real CPU — round-2 advice). /proc-based; good enough for
+    efficiency ratios. Workers are long-lived (spark.python.worker.reuse)
+    so snapshots taken while the session is up see them all."""
     hz = os.sysconf("SC_CLK_TCK")
-    total = 0.0
+    ticks: dict[int, int] = {}
+    children: dict[int, list[int]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as f:
                 parts = f.read().rsplit(") ", 1)[1].split()
-            if parts[1] == me:
-                total += (int(parts[11]) + int(parts[12])) / hz
-        except OSError:
+            ticks[int(pid)] = (
+                int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            )
+            children.setdefault(int(parts[1]), []).append(int(pid))
+        except (OSError, IndexError, ValueError):
             pass
-    return total
+    total = 0
+    stack = list(children.get(os.getpid(), []))
+    seen: set[int] = set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += ticks.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total / hz
 
 
 def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> None:
@@ -82,7 +106,8 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
     )
     wdocs = spark.read.parquet(warm_path)
     wdocs.count()
-    build_index(spark, wdocs, tempfile.mkdtemp(prefix="kma_warm_idx_"), num_segments=4)
+    build_index(spark, wdocs, tempfile.mkdtemp(prefix="kma_warm_idx_", dir=FAST_TMP),
+                num_segments=4)
     docs = spark.read.parquet(corpus_path)
     n = docs.count()  # warm the scan; excluded from build timing
     t0 = time.time()
@@ -93,19 +118,25 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
     cpu = _jvm_cpu() - cpu0
     print(json.dumps({"cpus": cpus, "docs": n, "secs": secs,
                       "docs_per_sec": n / secs, "jvm_cpu_secs": round(cpu, 1),
-                      "phases": m["phase_secs"]}))
+                      "phases": m["phase_secs"],
+                      "jobs": m.get("write_job_secs", {})}))
     spark.stop()
 
 
 def _run_build_at(cpus: int, corpus_path: str, warm_path: str) -> dict:
-    with tempfile.TemporaryDirectory(prefix=f"kma_bench_idx{cpus}_") as out:
+    with tempfile.TemporaryDirectory(prefix=f"kma_bench_idx{cpus}_", dir=FAST_TMP) as out:
         res = subprocess.run(
             [sys.executable, __file__, "--build-worker", str(cpus), corpus_path,
              warm_path, out],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+        if res.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"build worker (local[{cpus}]) rc={res.returncode}, no JSON "
+                f"line; stderr tail:\n{res.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
 
 def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict:
@@ -165,7 +196,7 @@ def main() -> None:
     # ---- corpora for the scaling experiment (generated once, on disk,
     # by a modest 8-thread session — burst-credit frugality, see
     # _scaling_experiment)
-    tmp = tempfile.mkdtemp(prefix="kma_bench_")
+    tmp = tempfile.mkdtemp(prefix="kma_bench_", dir=FAST_TMP)
     corpus_path = os.path.join(tmp, "corpus.parquet")
     warm_path = os.path.join(tmp, "warm.parquet")
     gen = get_spark("bench_gen", master="local[8]")

@@ -6,7 +6,10 @@ shuffle machinery replaces it wholesale; what remains ours is the
 *layout policy*:
 
 1. one tokenize pass -> ``(term, doc_id, tf, dl[, positions])``
-   aggregated postings, cached once and feeding every structure below;
+   aggregated postings, materialized ONCE — as the positional parquet
+   itself when ``with_positions`` (downstream jobs re-read it with
+   ``positions`` column-pruned away), else as a slim in-memory cache —
+   and feeding every structure below;
 2. **explicit salting for head-term skew** (term layout): terms whose
    document frequency exceeds ``postings_per_group`` are split into
    ``ceil(df / postings_per_group)`` disjoint sub-lists by a hash of
@@ -312,10 +315,16 @@ def salt_and_encode(
         .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
     )
-    # Dynamic overwrite touches only part_ids present in `encoded`,
-    # so a resume replaces exactly the uncommitted partitions.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    encoded.write.mode("overwrite").partitionBy("part_id").parquet(seg_dir)
+    # Dynamic overwrite touches only part_ids present in `encoded`, so a
+    # resume replaces exactly the uncommitted partitions. Scoped to THIS
+    # writer (not spark.conf.set): a session-global set from this worker
+    # thread would race the concurrent side-table writes and leak the
+    # mode into later partitioned overwrites (round-2 advice).
+    (
+        encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id").parquet(seg_dir)
+    )
     return saltmap
 
 
@@ -401,19 +410,65 @@ def build_index(
         F.posexplode("toks").alias("pos", "term"),
     )
     # ONE aggregation feeds everything downstream (positional table,
-    # dictionary, doc lengths, salting, encoding) — cached so the build
-    # is a single tokenize+shuffle pass, not one per derived structure.
+    # dictionary, doc lengths, salting, encoding).
     aggs = [F.count("*").alias("tf"), F.max("dl").alias("dl")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs).cache()
-    term_doc = term_doc_full.select("term", "doc_id", "tf", "dl")
-    doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
 
-    # ---- global stats FIRST: the one blocking job that materializes the
-    # cache; everything after runs as concurrent jobs off that cache.
-    # avgdl is defined over token-bearing docs (matches collection_stats
-    # and the SQL oracle; recorded in the manifest).
+    # fresh (non-resume) build: clear prior segment AND positional dirs —
+    # both are partitioned by part_id, and an in-place rebuild must not
+    # inherit stale part_id directories that the new data leaves empty
+    seg_dir = os.path.join(out_dir, "segments")
+    pos_dir = os.path.join(out_dir, "positional")
+    if not committed:
+        import shutil
+
+        for stale in (seg_dir, pos_dir):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+
+    cached = None
+    if with_positions:
+        # ---- the POSITIONAL TABLE IS the materialization point: the one
+        # tokenize+aggregate pass streams straight into the on-disk
+        # positional parquet (term-hash partitioned, term-sorted row
+        # groups), and every downstream job (stats, dictionary, salting,
+        # encode) re-reads it with `positions` COLUMN-PRUNED away.
+        # Round 2 cached the fat aggregation in the BlockManager *and*
+        # wrote this same table — double materialization, and the
+        # deserialized position arrays dominated old-gen GC pressure,
+        # the biggest measured parallel-scaling CPU loss. Narrow
+        # columnar re-scans are cheaper than either.
+        if not (resume and _written(pos_dir)):
+            pos = term_doc_full.withColumn(
+                "part_id",
+                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+            ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
+            (
+                pos.repartition(num_segments, "part_id")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite").partitionBy("part_id")
+                .parquet(pos_dir)
+            )
+        _mark("positional_store", _t)
+        term_doc = spark.read.schema(
+            "part_id int, term string, doc_id long, tf long, dl long, "
+            "positions array<int>"
+        ).parquet(pos_dir).select("term", "doc_id", "tf", "dl")
+        # dl is stored on every posting row; per-doc length = any row's dl
+        doclen = term_doc.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    else:
+        # no positional table (doc-layout / BM25-only builds): the slim
+        # (term, doc_id, tf, dl) aggregation is cheap to cache in memory
+        cached = term_doc_full.cache()
+        term_doc = cached.select("term", "doc_id", "tf", "dl")
+        doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+    # ---- global stats: a narrow aggregate (on the cache path, also the
+    # one blocking job that materializes the cache). avgdl is defined
+    # over token-bearing docs (matches collection_stats and the SQL
+    # oracle; recorded in the manifest).
     stats = doclen.select(
         F.count("*").alias("n_docs_tokened"),
         F.sum("dl").alias("total_words"),
@@ -429,12 +484,6 @@ def build_index(
     )
     saltmap = saltmap_frame(dictionary, postings_per_group, max_salt) \
         if partition_by == "term" else None
-
-    seg_dir = os.path.join(out_dir, "segments")
-    if not committed and os.path.exists(seg_dir):
-        import shutil
-
-        shutil.rmtree(seg_dir)
 
     # ---- concurrent write jobs (independent DAGs off the shared cache).
     # Spark's scheduler runs concurrently-submitted jobs on free slots;
@@ -488,23 +537,6 @@ def build_index(
             gram2_index(vocab).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "grams2"))
 
-    def w_positional():
-        if not with_positions or _skip("positional"):
-            return
-        pos = term_doc_full.withColumn(
-            "part_id",
-            F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
-        ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
-        # term-hash partitioning + term-sorted row groups: a term lookup
-        # prunes to one partition, then row-group stats skip within it;
-        # boolean reads column-prune `positions` away entirely.
-        (
-            pos.repartition(num_segments, "part_id")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite").partitionBy("part_id")
-            .parquet(os.path.join(out_dir, "positional"))
-        )
-
     def w_bigrams():
         if not with_bigrams or _skip("bigrams"):
             return
@@ -517,9 +549,18 @@ def build_index(
         )
         bg.write.mode("overwrite").parquet(os.path.join(out_dir, "bigrams"))
 
-    jobs = [w_encode, w_docmap, w_dictionary, w_grams, w_positional, w_bigrams]
+    jobs = [w_encode, w_docmap, w_dictionary, w_grams, w_bigrams]
+    job_secs: dict[str, float] = {}
+
+    def _timed(fn):
+        def run():
+            t = time.time()
+            fn()
+            job_secs[fn.__name__] = round(time.time() - t, 3)
+        return run
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futures = [pool.submit(j) for j in jobs]
+        futures = [pool.submit(_timed(j)) for j in jobs]
         for f in futures:
             f.result()  # re-raise the first failure
     _mark("write_all", _t)
@@ -534,7 +575,8 @@ def build_index(
     for pid, m in metrics.items():
         if pid not in committed:
             partitions[pid] = m
-    term_doc_full.unpersist()
+    if cached is not None:
+        cached.unpersist()
     if with_bigrams:
         tok_arrays.unpersist()
     manifest = {
@@ -556,6 +598,7 @@ def build_index(
         "b": B,
         "build_secs": elapsed,
         "phase_secs": phases,
+        "write_job_secs": job_secs,
         "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
         "partitions": partitions,
     }

@@ -81,10 +81,15 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
 
 
 def lsh_index(emb: DataFrame, n_bits: int = 12,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
     """(vec_id, v, bucket) — build-time bucketing; persist + bucket by
-    `bucket` at scale so probes become partition-pruned scans."""
-    dim = len(emb.select(vec_col).first()[0])
+    `bucket` at scale so probes become partition-pruned scans.
+
+    Pass ``dim`` when known — the fallback ``.first()`` probe submits a
+    job at plan-build time, serializing query setup."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_bits)
     return emb.select(
         F.col(id_col).alias("vec_id"),

@@ -136,6 +136,73 @@ def test_simhash_pairs_exactness(spark):
     assert got == want
 
 
+def test_skew_salted_pairs_degenerate_bucket(spark):
+    """Round-2 verdict #2: a degenerate (band, value) bucket — every row
+    identical — must be sub-salted so no single join task receives the
+    whole N^2 bucket, with results bit-identical to the plain join."""
+    n = 40
+    bands = spark.createDataFrame(
+        [(i, 0, 7) for i in range(n)], "id long, band int, val long"
+    )
+    plain = {
+        (r["a"], r["b"])
+        for r in dedup.skew_salted_pairs(bands, ["band", "val"]).collect()
+    }
+    salted = {
+        (r["a"], r["b"])
+        for r in dedup.skew_salted_pairs(
+            bands, ["band", "val"], bucket_target=5, max_factor=8
+        ).collect()
+    }
+    assert len(plain) == n * (n - 1) // 2
+    assert salted == plain
+    # the join key now includes the sub-salt: the largest left-side key
+    # group (= largest single-task probe set) is the max salt population,
+    # a fraction of the bucket — not the full 40 rows
+    from collections import Counter
+
+    salt_of = Counter(md5_long(str(i)) % 8 for i in range(n))
+    assert len(salt_of) > 1 and max(salt_of.values()) < n
+
+
+def test_skew_salted_pairs_bucket_cap(spark):
+    """bucket_cap drops over-cap buckets from candidate generation
+    entirely (documented completeness trade-off for adversarial data)."""
+    rows = [(i, 0, 7) for i in range(30)] + [(100, 1, 3), (101, 1, 3)]
+    bands = spark.createDataFrame(rows, "id long, band int, val long")
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.skew_salted_pairs(
+            bands, ["band", "val"], bucket_cap=10
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_minhash_simhash_pairs_salted_equal_unsalted(spark, docs):
+    """Forcing every bucket hot (bucket_target=1) must not change any
+    exported pair result — sub-salting is result-identical."""
+    sig = dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 8)
+    base_mh = {
+        (r["a"], r["b"], r["est_jaccard"])
+        for r in dedup.minhash_pairs(sig, 8, 0.25).collect()
+    }
+    salted_mh = {
+        (r["a"], r["b"], r["est_jaccard"])
+        for r in dedup.minhash_pairs(sig, 8, 0.25, bucket_target=1, max_factor=4).collect()
+    }
+    assert salted_mh == base_mh and base_mh
+    sh = dedup.simhash(docs)
+    base_sh = {
+        (r["a"], r["b"], r["hamming"]) for r in dedup.simhash_pairs(sh, 6).collect()
+    }
+    salted_sh = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_pairs(sh, 6, bucket_target=1, max_factor=4).collect()
+    }
+    assert salted_sh == base_sh
+
+
 def test_embedding_neardup(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     rows = emb.collect()
