@@ -101,18 +101,28 @@ def _stats(spark, sf_dir):
 
 # SQL fragments — the DuckDB mirror of the engine's tokenizer ("code"
 # mode: whitespace split, strip non-alnum, lower, len > 2) and the
-# derived token/position/shingle frames.
-from kma_information_retrieval_spark.functions.tokenize import ASCII_STRIP_CHARS
+# derived token/position/shingle frames. The engine fuses A-Z -> a-z
+# case folding into the same translate pass that deletes punctuation;
+# the oracle states the identical fused translate.
+from kma_information_retrieval_spark.functions.tokenize import (
+    ASCII_STRIP_CHARS,
+    ASCII_UPPER,
+)
 
 # printable subset only: control chars break SQL literals, and no real
 # corpus row carries them (engine behavior for control chars documented)
-_STRIP_SQL = "".join(
-    c for c in ASCII_STRIP_CHARS if 32 < ord(c) < 127
+_STRIP_SQL = (
+    ASCII_UPPER
+    + "".join(c for c in ASCII_STRIP_CHARS if 32 < ord(c) < 127)
 ).replace("'", "''")
+_FOLD_SQL = ASCII_UPPER.lower()
+_TOK_EXPR = (
+    f"regexp_extract_all(translate(text, '{_STRIP_SQL}', '{_FOLD_SQL}'), "
+    "'[a-z0-9]{3,}')"
+)
 SQL_TOKS = f"""
 toks AS (
-  SELECT doc_id,
-         regexp_extract_all(lower(translate(text, '{_STRIP_SQL}', '')), '[a-z0-9]{{3,}}') AS toks
+  SELECT doc_id, {_TOK_EXPR} AS toks
   FROM documents
 )"""
 SQL_TF = """
@@ -275,6 +285,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_bm25_wand_persisted"] = q_bm25_wand
 
+    # wildcard -> BM25 composition (J9 + north star): expand the pattern
+    # against the persisted gram tables, score the union as a
+    # bag-of-terms query over the segments
+    def q_wc_bm25(s, d):
+        from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+        idx = _persisted_index(s, d)
+        terms = sorted(r["term"] for r in idx.wildcard_terms("qu*").collect())
+        return bm25_topk_batch(idx, {"q": terms}, 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    q["q_wildcard_bm25_persisted"] = q_wc_bm25
+
     # --- dedup suite
     q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
         "doc_id", "canonical_id", "group_size"
@@ -384,6 +406,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), 8, 64
     ).select("doc_id", "h")
 
+    # --- sources (S2/S3/A13): oracle-gated end-to-end paths through
+    # loader.py (round-2 verdict #6 — these were pytest-only).
+    # q_source_discovery: read_corpus's column discovery + stable
+    # md5-prefix doc ids over the documents parquet itself.
+    def q_source_disc(s, d):
+        from kma_information_retrieval_spark.sources.loader import read_corpus
+        return read_corpus(s, f"{d}/documents.parquet").select(
+            "doc_id", "doc_name", F.length("content").alias("n_chars")
+        )
+    q["q_source_discovery"] = q_source_disc
+
+    # q_xml_extract_dictionary: wrap every doc in a deterministic
+    # FictionBook envelope (title OUTSIDE the body), run the S2 body
+    # extractor, tokenize, dictionary. The oracle replays the identical
+    # wrap + regex extraction, so the body-only semantics (title tokens
+    # dropped) are what is being checked.
+    def q_xml_extract(s, d):
+        from kma_information_retrieval_spark.sources.loader import strip_xml_body
+        docs = _docs(s, d)
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<FictionBook><description><p>titleword "),
+                F.col("doc_id").cast("string"),
+                F.lit("</p></description><body><p>"),
+                F.col("content"),
+                F.lit("</p></body></FictionBook>"),
+            ).alias("content"),
+        )
+        return ops.dictionary(
+            ops.postings(ops.token_frame(strip_xml_body(wrapped)))
+        ).select("term", "df", "cf")
+    q["q_xml_extract_dictionary"] = q_xml_extract
+
     # --- multimodal: typed metadata over an opaque binary column (the
     # no-decode half of the media pipeline — pure Catalyst; payload
     # derived deterministically from text so the oracle can replay it)
@@ -479,8 +535,15 @@ SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '{pattern_sql}')"""
     o["q_wildcard_terms"] = f"""{W}
 SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^s.*$')"""
 
-    o["q_incidence_boolean"] = f"""{W}
-SELECT doc_id FROM ({docs_of('spark')}) WHERE doc_id NOT IN ({docs_of('query')})"""
+    # the engine side goes through incidence_matrix, which is demo-gated
+    # to the first 1000 doc_ids (explicit ORDER BY doc_id — deterministic
+    # at every sf); the oracle states the same bound so the query is
+    # scale-safe, not merely passing at small sf (round-2 advice)
+    o["q_incidence_boolean"] = f"""{W},
+capped AS (SELECT DISTINCT doc_id FROM tf ORDER BY doc_id LIMIT 1000)
+SELECT doc_id FROM ({docs_of('spark')})
+WHERE doc_id IN (SELECT doc_id FROM capped)
+  AND doc_id NOT IN ({docs_of('query')})"""
 
     def bm25_sql(terms: list[str]) -> str:
         tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
@@ -500,6 +563,23 @@ ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
     o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
+
+    # wildcard-expanded BM25: same scorer, term set = vocab matching the
+    # pattern (the engine expands 'qu*' via the persisted gram tables)
+    o["q_wildcard_bm25_persisted"] = f"""{W},
+wterms AS (SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^qu.*$')),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM wterms)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10"""
 
     # persisted-index paths compute the same results as the in-memory
     # ones — the oracle is shared (the engine side differs: it reads the
@@ -696,7 +776,7 @@ WITH t AS (
   SELECT doc_id,
          len(regexp_split_to_array(text, '\\s+'))::bigint AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint AS n_bpe_ish_tokens,
-         len(regexp_extract_all(lower(translate(text, '{_STRIP_SQL}', '')), '[a-z0-9]{{3,}}'))::bigint AS n_terms
+         len({_TOK_EXPR})::bigint AS n_terms
   FROM documents)
 SELECT doc_id, n_ws_tokens, n_bpe_ish_tokens, n_terms FROM t"""
 
@@ -757,6 +837,36 @@ SELECT DISTINCT doc_id, h FROM (
   FROM documents,
        LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i) g
 ) WHERE h % 64 = 0"""
+
+    o["q_source_discovery"] = """
+SELECT ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS doc_id,
+       doc_id::varchar AS doc_name,
+       length(text)::bigint AS n_chars
+FROM documents"""
+
+    _xml_body = "regexp_extract(xml, '(?s)<body[^>]*>(.*)</body>', 1)"
+    o["q_xml_extract_dictionary"] = f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<FictionBook><description><p>titleword ' || doc_id::varchar ||
+         '</p></description><body><p>' || text || '</p></body></FictionBook>' AS xml
+  FROM documents
+), ext AS (
+  SELECT doc_id,
+         regexp_replace(
+           CASE WHEN {_xml_body} <> '' THEN {_xml_body} ELSE xml END,
+           '<[^>]*>', ' ', 'g') AS text
+  FROM wrapped
+), xtoks AS (
+  SELECT doc_id,
+         {_TOK_EXPR} AS toks
+  FROM ext
+), xtf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM xtoks)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM xtf GROUP BY term"""
 
     o["q_media_metadata"] = """
 SELECT doc_id AS media_id,

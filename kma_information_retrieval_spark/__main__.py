@@ -115,7 +115,7 @@ def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
     p.add_argument("--num-segments", type=int, default=32)
     p.add_argument("--memory-limit", type=int, default=50_000,
                    help="salting target: max postings per (term, salt) group")
-    p.add_argument("--partition-by", choices=["term", "doc"], default="term")
+    p.add_argument("--partition-by", choices=["term", "doc", "auto"], default="auto")
     p.add_argument("--resume", action="store_true")
 
 

@@ -31,17 +31,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # T3 semantics ("split whitespace, strip non-alnum inside each token,
-# lower, keep len > 2") as three cheap whole-content passes and ZERO
+# lower, keep len > 2") as TWO cheap whole-content passes and ZERO
 # higher-order functions (HOF lambdas run interpreted per element, and
 # Spark's regexp_replace is ~25x slower than translate/extract — both
 # dominated the build until replaced):
-#   1. translate-delete every ASCII non-alnum-non-whitespace char
-#      (whitespace boundaries untouched -> identical to stripping
-#      inside each whitespace-split token),
-#   2. lowercase,
-#   3. regexp_extract_all of alnum runs of length >= 3 (runs ARE the
+#   1. one fused translate pass: A-Z -> a-z case folding AND deletion of
+#      every ASCII non-alnum-non-whitespace char (translate deletes the
+#      matching chars beyond the replacement string's length; whitespace
+#      boundaries untouched -> identical to stripping inside each
+#      whitespace-split token). Folding the former separate lower() pass
+#      into the same char table saves a full copy of every document —
+#      the tokenize stage is the build's largest CPU bucket;
+#   2. regexp_extract_all of alnum runs of length >= 3 (runs ARE the
 #      whitespace-separated tokens, so the length filter is the {3,}
 #      quantifier).
+# (Non-ASCII letters are never lowercased by either version — they are
+# token separators in "code" mode regardless, so results are identical;
+# the SQL oracle applies the same fused translate.)
 # "code" mode is exact T3 for ASCII text (non-ASCII bytes split tokens
 # instead of being stripped — documented divergence; the "unicode" mode
 # keeps full reference semantics via the slower regex strip).
@@ -52,6 +58,7 @@ ASCII_STRIP_CHARS = "".join(
     for c in range(128)
     if not (chr(c).isalnum() or chr(c) in " \t\n\x0b\f\r")
 )
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 TOKENIZER_MODES = {
     "code": ("strip_extract", None),
@@ -80,8 +87,8 @@ def tokenize_expr(text: Column | str, mode: str = "code") -> Column:
         return F.regexp_extract_all(
             F.lower(F.regexp_replace(col, strip_rx, "")), F.lit(run_rx), 0
         )
-    stripped = F.translate(col, ASCII_STRIP_CHARS, "")
-    return F.regexp_extract_all(F.lower(stripped), F.lit(r"[a-z0-9]{3,}"), 0)
+    folded = F.translate(col, ASCII_UPPER + ASCII_STRIP_CHARS, ASCII_UPPER.lower())
+    return F.regexp_extract_all(folded, F.lit(r"[a-z0-9]{3,}"), 0)
 
 
 def tokens_with_positions(

@@ -60,9 +60,11 @@ every query type from them, ``main.rs:408-423``,
 
 The serial driver tail is collapsed by submitting independent write
 jobs from concurrent threads (Spark schedules concurrently-submitted
-jobs onto free slots): the encode (dominant) runs alongside docmap,
-dictionary/saltmap, gram tables and positional writes, all reading the
-one cached aggregation.
+jobs onto free slots): the docmap (source-only scan: lineage + sha256)
+launches first and overlaps the positional-store shuffle; the
+dictionary is aggregated once and written while stats collect; then
+the encode (dominant) runs alongside the saltmap/gram-table writes,
+all reading the materialized postings store.
 
 Hash choices are md5-based (not xxhash64) so the driver can compute a
 query term's candidate part_ids in pure Python and prune the parquet
@@ -341,7 +343,7 @@ def build_index(
     block_size: int = 128,
     resume: bool = False,
     identity_cols: tuple[str, ...] = (),
-    partition_by: str = "term",
+    partition_by: str = "auto",
     with_positions: bool = True,
     with_bigrams: bool = False,
 ) -> dict:
@@ -354,14 +356,23 @@ def build_index(
     dynamically overwrites only missing segment partitions, so a rebuild
     after partial failure converges to the identical index.
 
-    ``partition_by``: "term" (pruned lookups) or "doc" (distributed
-    top-k merge) — see the module docstring for the trade-off.
+    ``partition_by``: "term" (pruned lookups), "doc" (distributed top-k
+    merge), or "auto" (the default) — see the module docstring for the
+    trade-off. Auto resolves to "doc" when ``with_positions`` is on:
+    the positional table already serves every term lookup partition-
+    pruned, so the segments' remaining job is batch top-k scoring,
+    where the term layout's one-task-per-query merge becomes a
+    straggler on stop-word queries at 10^12 docs (round-2 verdict #4).
+    Without a positional table the segments serve the lookups
+    themselves, so auto resolves to "term" for the pruning.
     ``with_positions=False`` skips the positional table (BM25/wildcard
     only — phrase/proximity then need :meth:`SegmentIndex.bundle`'s
     decoded-postings fallback for boolean, and no phrase path).
     """
+    if partition_by == "auto":
+        partition_by = "doc" if with_positions else "term"
     if partition_by not in ("term", "doc"):
-        raise ValueError(f"partition_by must be 'term' or 'doc', got {partition_by!r}")
+        raise ValueError(f"partition_by must be 'term', 'doc' or 'auto', got {partition_by!r}")
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -428,6 +439,36 @@ def build_index(
             if os.path.exists(stale):
                 shutil.rmtree(stale)
 
+    def _skip(name: str) -> bool:
+        return resume and _written(os.path.join(out_dir, name))
+
+    job_secs: dict[str, float] = {}
+
+    def _timed(fn):
+        def run():
+            t = time.time()
+            fn()
+            job_secs[fn.__name__] = round(time.time() - t, 3)
+        return run
+
+    # ---- docmap: lineage + sha256 invariant + n_chars per doc. It only
+    # scans the SOURCE (no postings dependency), so it launches here and
+    # runs concurrently with the positional-store shuffle, filling that
+    # stage's scan/reduce tail waves instead of queueing behind it.
+    def w_docmap():
+        if _skip("docmap"):
+            return
+        dm = base.select(
+            "doc_id",
+            *identity_cols,
+            F.sha2("content", 256).alias("content_sha256"),
+            F.length("content").alias("n_chars"),
+        )
+        dm.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+
+    bg_pool = ThreadPoolExecutor(max_workers=1)
+    f_docmap = bg_pool.submit(_timed(w_docmap))
+
     cached = None
     if with_positions:
         # ---- the POSITIONAL TABLE IS the materialization point: the one
@@ -465,33 +506,45 @@ def build_index(
         term_doc = cached.select("term", "doc_id", "tf", "dl")
         doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
-    # ---- global stats: a narrow aggregate (on the cache path, also the
-    # one blocking job that materializes the cache). avgdl is defined
-    # over token-bearing docs (matches collection_stats and the SQL
-    # oracle; recorded in the manifest).
-    stats = doclen.select(
-        F.count("*").alias("n_docs_tokened"),
-        F.sum("dl").alias("total_words"),
-    ).collect()[0]
+    # ---- global stats + dictionary parquet: two independent narrow
+    # aggregates over the materialized postings, submitted CONCURRENTLY
+    # (the stats collect would otherwise serialize before the encode can
+    # start). avgdl is defined over token-bearing docs (matches
+    # collection_stats and the SQL oracle; recorded in the manifest).
+    # The dictionary is computed ONCE and written; every consumer
+    # (saltmap, the encode's salting broadcast, the three gram tables)
+    # then reads the written parquet — a tiny vocab-sized table —
+    # instead of re-running the full postings scan + aggregation.
+    # Before this, the lazy `dictionary` frame was re-evaluated by ~6
+    # downstream plans per build, the second-largest measured CPU cost.
+    dict_dir = os.path.join(out_dir, "dictionary")
+
+    def _write_dictionary():
+        if not (resume and _written(dict_dir)):
+            term_doc.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            ).write.mode("overwrite").parquet(dict_dir)
+
+    with ThreadPoolExecutor(max_workers=1) as pre:
+        f_dict = pre.submit(_write_dictionary)
+        stats = doclen.select(
+            F.count("*").alias("n_docs_tokened"),
+            F.sum("dl").alias("total_words"),
+        ).collect()[0]
+        f_dict.result()
     n_docs_tokened = int(stats["n_docs_tokened"])
     total_words = int(stats["total_words"] or 0)
     avgdl = (total_words / n_docs_tokened) if n_docs_tokened else 1.0
-    _mark("stats", _t)
-
-    # ---- lazy frames shared by the concurrent write jobs
-    dictionary = term_doc.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
+    dictionary = spark.read.schema("term string, df long, cf long").parquet(dict_dir)
     saltmap = saltmap_frame(dictionary, postings_per_group, max_salt) \
         if partition_by == "term" else None
+    _mark("stats_dictionary", _t)
 
-    # ---- concurrent write jobs (independent DAGs off the shared cache).
-    # Spark's scheduler runs concurrently-submitted jobs on free slots;
-    # the encode dominates, the side tables fill its stragglers' idle
-    # slots instead of running as a serial driver-side chain afterwards.
-    def _skip(name: str) -> bool:
-        return resume and _written(os.path.join(out_dir, name))
-
+    # ---- concurrent write jobs (independent DAGs off the shared
+    # materialized postings). Spark's scheduler runs concurrently-
+    # submitted jobs on free slots; the encode dominates, the side
+    # tables (and the docmap launched earlier) fill its stragglers'
+    # idle slots instead of running as a serial driver-side chain.
     def w_encode():
         salt_and_encode(
             spark, term_doc, dictionary, avgdl, seg_dir, num_segments,
@@ -499,24 +552,8 @@ def build_index(
             skip_part_ids=[int(p) for p in committed] if committed else None,
         )
 
-    def w_docmap():
-        if _skip("docmap"):
-            return
-        dm = (
-            base.join(doclen, "doc_id", "left")
-            .select(
-                "doc_id",
-                *identity_cols,
-                F.coalesce("dl", F.lit(0)).alias("dl"),
-                F.sha2("content", 256).alias("content_sha256"),
-                F.length("content").alias("n_chars"),
-            )
-        )
-        dm.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
-
-    def w_dictionary():
-        if not _skip("dictionary"):
-            dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
+    def w_saltmap():
+        # dictionary itself is already on disk (written above)
         if saltmap is not None and not _skip("saltmap"):
             saltmap.write.mode("overwrite").parquet(os.path.join(out_dir, "saltmap"))
 
@@ -549,26 +586,23 @@ def build_index(
         )
         bg.write.mode("overwrite").parquet(os.path.join(out_dir, "bigrams"))
 
-    jobs = [w_encode, w_docmap, w_dictionary, w_grams, w_bigrams]
-    job_secs: dict[str, float] = {}
-
-    def _timed(fn):
-        def run():
-            t = time.time()
-            fn()
-            job_secs[fn.__name__] = round(time.time() - t, 3)
-        return run
-
+    jobs = [w_encode, w_saltmap, w_grams, w_bigrams]
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futures = [pool.submit(_timed(j)) for j in jobs]
+        futures = [pool.submit(_timed(j)) for j in jobs] + [f_docmap]
         for f in futures:
             f.result()  # re-raise the first failure
+    bg_pool.shutdown()
     _mark("write_all", _t)
 
     # ---- per-partition lineage + metrics -> manifest (n_docs counts
-    # every doc including token-free ones — parquet-footer count)
-    n_docs = spark.read.parquet(os.path.join(out_dir, "docmap")).count()
-    metrics = segment_metrics(spark, seg_dir)
+    # every doc including token-free ones — parquet-footer count);
+    # independent jobs, submitted concurrently
+    with ThreadPoolExecutor(max_workers=1) as post:
+        f_count = post.submit(
+            lambda: spark.read.parquet(os.path.join(out_dir, "docmap")).count()
+        )
+        metrics = segment_metrics(spark, seg_dir)
+        n_docs = f_count.result()
     _mark("metrics", _t)
     elapsed = time.time() - t0
     partitions = dict(committed)

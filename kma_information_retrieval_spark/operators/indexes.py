@@ -159,8 +159,14 @@ def incidence_matrix(post: DataFrame, max_docs: int = 1000) -> DataFrame:
 
     Kept for structure-comparison parity with ``main.rs:294-333`` only;
     the reference's own space analysis shows posting lists dominate, so
-    this is gated to demo scale (pivot explodes at higher cardinality)."""
-    doc_ids = [r[0] for r in post.select("doc_id").distinct().limit(max_docs).collect()]
+    this is gated to demo scale (pivot explodes at higher cardinality).
+    The demo cap selects the FIRST ``max_docs`` doc_ids by an explicit
+    ORDER BY — ``limit`` without an ordering is not deterministic, and
+    the oracle must be able to state the same bound (round-2 advice)."""
+    doc_ids = [
+        r[0]
+        for r in post.select("doc_id").distinct().orderBy("doc_id").limit(max_docs).collect()
+    ]
     return (
         post.filter(F.col("doc_id").isin(doc_ids))
         .groupBy("term")

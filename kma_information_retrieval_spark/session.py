@@ -19,6 +19,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_java_options: str | None = None,
+    extra_configs: dict[str, str] | None = None,
 ) -> SparkSession:
     """``driver_memory``/``extra_java_options`` let benchmark workers
     size the JVM to the simulated executor (e.g. ``-XX:
@@ -52,6 +53,8 @@ def get_spark(
     )
     if extra_java_options:
         builder = builder.config("spark.driver.extraJavaOptions", extra_java_options)
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
     # shuffle/spill on tmpfs when available — the sandbox block device is
     # throttled and makes shuffle-heavy stages IO-bound regardless of
     # cores; on a real cluster executors use their own local SSDs anyway

@@ -69,9 +69,18 @@ class GenerationIndex:
         return sum(m["n_docs"] for m in self.metas)
 
     @property
+    def n_docs_tokened(self) -> int:
+        return sum(m.get("n_docs_tokened", m["n_docs"]) for m in self.metas)
+
+    @property
     def avgdl(self) -> float:
+        """total_words / token-bearing docs — the same definition
+        ``build_index`` uses and stamps into every manifest (round-2
+        advice: the old ``/ n_docs`` silently shifted post-merge BM25
+        scores whenever a generation contained empty docs)."""
         tw = sum(m["total_words"] for m in self.metas)
-        return tw / self.n_docs if self.n_docs else 0.0
+        nt = self.n_docs_tokened
+        return tw / nt if nt else 0.0
 
     @property
     def segments(self) -> DataFrame:
@@ -146,10 +155,14 @@ def compact_generations(
     so post-compaction WAND bounds are exact again (pre-compaction
     cross-generation queries must use the exact kernel). The docmap and
     dictionary are unioned/re-summed; wildcard gram tables are rebuilt
-    from the merged vocabulary. Positional tables cannot be rebuilt
-    without source text, so the compacted generation serves boolean via
-    the decoded-postings fallback (``with_positions=False`` recorded).
-    Old generation dirs are removed after the new manifest commits.
+    from the merged vocabulary. When every source generation carries a
+    positional table, those tables are UNIONED (generations are doc-
+    disjoint — no re-aggregation) and re-partitioned by term hash into
+    the compacted generation, so phrase/proximity queries survive
+    compaction without any source text — matching the reference's
+    always-available coordinate index (``coordinate_index.rs:145-208``;
+    round-2 verdict #3). Same for bigram tables. Old generation dirs
+    are removed after the new manifest commits.
     """
     import shutil
     import time
@@ -183,6 +196,35 @@ def compact_generations(
     for d in docmaps[1:]:
         dm = dm.unionByName(d)
     dm.write.mode("overwrite").parquet(os.path.join(gen_dir, "docmap"))
+
+    # positional / bigram tables: doc-disjoint generations union cleanly;
+    # re-partition positional by term hash (part_id is recomputed because
+    # num_segments may differ from the source generations')
+    from ..index.segments import _stable_hash_col
+
+    with_positions = all(m.get("with_positions", False) for m in gi.metas)
+    if with_positions:
+        pos = None
+        for g in gi.gen_dirs:
+            p = spark.read.parquet(os.path.join(g, "positional")).drop("part_id")
+            pos = p if pos is None else pos.unionByName(p)
+        (
+            pos.withColumn(
+                "part_id",
+                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+            )
+            .repartition(num_segments, "part_id")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite").partitionBy("part_id")
+            .parquet(os.path.join(gen_dir, "positional"))
+        )
+    with_bigrams = all(m.get("with_bigrams", False) for m in gi.metas)
+    if with_bigrams:
+        bg = None
+        for g in gi.gen_dirs:
+            b = spark.read.parquet(os.path.join(g, "bigrams"))
+            bg = b if bg is None else bg.unionByName(b)
+        bg.write.mode("overwrite").parquet(os.path.join(gen_dir, "bigrams"))
     dictionary.write.mode("overwrite").parquet(os.path.join(gen_dir, "dictionary"))
     dictionary = spark.read.parquet(os.path.join(gen_dir, "dictionary"))
     saltmap_frame(dictionary, postings_per_group, max_salt).write.mode(
@@ -201,8 +243,8 @@ def compact_generations(
         "total_words": sum(m["total_words"] for m in gi.metas),
         "num_segments": num_segments,
         "partition_by": "term",
-        "with_positions": False,
-        "with_bigrams": False,
+        "with_positions": with_positions,
+        "with_bigrams": with_bigrams,
         "postings_per_group": postings_per_group,
         "max_salt": max_salt,
         "block_size": block_size,

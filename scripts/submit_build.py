@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--num-segments", type=int, default=32)
     ap.add_argument("--postings-per-group", type=int, default=50_000)
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--partition-by", choices=["term", "doc"], default="term")
+    ap.add_argument("--partition-by", choices=["term", "doc", "auto"], default="auto")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--with-bigrams", action="store_true")
     ap.add_argument("--resume", action="store_true")

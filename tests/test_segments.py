@@ -32,9 +32,13 @@ QUERIES = {
 @pytest.fixture(scope="module")
 def seg_index(spark, docs, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("segidx"))
-    # postings_per_group=40 forces real salting of head terms at 200 docs
+    # postings_per_group=40 forces real salting of head terms at 200 docs;
+    # partition_by pinned: this module tests the TERM layout's salting,
+    # pruning and WAND behavior (the auto default resolves to "doc" when
+    # a positional table is built)
     build_index(
-        spark, docs, out, num_segments=8, postings_per_group=40, block_size=16
+        spark, docs, out, num_segments=8, postings_per_group=40, block_size=16,
+        partition_by="term",
     )
     return load_index(spark, out)
 

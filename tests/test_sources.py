@@ -81,3 +81,23 @@ def test_inspect_schema(docs):
     rep = inspect_schema(docs, 2)
     assert "doc_id" in rep and "content" in rep
     assert rep.count("{") == 2
+
+
+def test_fb2_fixture_end_to_end(spark):
+    """Checked-in FB2 file -> raw-file scan (S1) -> body extraction (S2)
+    -> tokenize: description/title tokens must be gone, body tokens
+    present (round-2 verdict #6: source paths need non-synthetic
+    gating)."""
+    from kma_information_retrieval_spark import operators as ops
+
+    fix_dir = os.path.join(os.path.dirname(__file__), "fixtures")
+    raw = read_raw_files(spark, fix_dir, suffix=".fb2")
+    docs = strip_xml_body(raw).withColumnRenamed("doc_name", "name")
+    docs = docs.selectExpr("1 as doc_id", "content")
+    terms = {
+        r["term"]
+        for r in ops.dictionary(ops.postings(ops.token_frame(docs))).collect()
+    }
+    assert {"inverted", "index", "posting", "varbyte", "chapter"} <= terms
+    # outside-<body> content must not leak into the index
+    assert "fixture" not in terms and "author" not in terms

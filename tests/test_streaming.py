@@ -68,7 +68,8 @@ def test_merged_topk_rank_identity(gen_index, oracle, terms):
 def test_compaction_preserves_results(gen_index, oracle, spark):
     """Compact all generations into one; BM25 results (now WAND over the
     merged-avgdl block-max metadata) must stay rank- and score-identical,
-    and boolean must still be served via the decoded-postings fallback."""
+    and phrase/proximity must survive (positional tables are unioned into
+    the compacted generation — round-2 verdict #3)."""
     from kma_information_retrieval_spark.index import load_index
     from kma_information_retrieval_spark.index.wand import bm25_topk_batch
     from kma_information_retrieval_spark.operators.boolean import compile_query
@@ -79,6 +80,13 @@ def test_compaction_preserves_results(gen_index, oracle, spark):
     queries = [["index", "compute"], ["shard", "merge", "token"], ["wonderful"]]
     before = {tuple(t): gen_index.bm25_topk(t, 10) for t in queries}
     n_docs = gen_index.n_docs
+    # pre-compaction phrase results = union over the (doc-disjoint)
+    # generations, queried while their dirs still exist
+    pre_phrase: set[int] = set()
+    for g in gen_index.gen_dirs:
+        pre_phrase |= {
+            r["doc_id"] for r in load_index(spark, g).query('"hash join"').collect()
+        }
 
     compacted = compact_generations(
         spark, gen_index.out_dir, num_segments=4, postings_per_group=40,
@@ -101,9 +109,13 @@ def test_compaction_preserves_results(gen_index, oracle, spark):
             assert math.isclose(gs, ws, rel_tol=1e-12)
         # oracle agreement too
         assert [d for d, _ in got] == [d for d, _ in oracle.bm25_topk(terms, 10)]
-    # boolean via decoded-postings fallback on the compacted index
+    # positional tables survive compaction: phrase queries are served
+    # from the compacted index itself, identical to pre-compaction
+    assert compacted.metas[0]["with_positions"] is True
     bundle = idx.bundle()
-    assert bundle.positional is None
+    assert bundle.positional is not None
+    got_phrase = {r["doc_id"] for r in idx.query('"hash join"').collect()}
+    assert got_phrase == pre_phrase == oracle.search('"hash join"')
     got_ids = {r["doc_id"] for r in compile_query("compute and test", bundle).collect()}
     want_ids = oracle.search("compute and test")
     assert got_ids == set(want_ids)
