@@ -54,12 +54,19 @@ def skew_salted_pairs(
     bucket_target: int = 10_000,
     max_factor: int = 64,
     bucket_cap: int | None = None,
+    keep_multiplicity: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs ``(a, b[, payload_a..., payload_b...])``
     from an equi-self-join of ``bands`` (columns: ``id``, *keys*,
     *payload*) on *keys* — with **explicit sub-salting of hot buckets**,
     the same sketch-then-salt policy the segment build applies to head
     terms (``index/segments.py`` ``saltmap_frame``).
+
+    ``keep_multiplicity=True`` skips the final ``distinct``: each
+    qualifying pair then appears exactly once PER matching key value
+    (sub-salting preserves this — a pair meets only at the left row's
+    salt), which is what intersection-counting consumers like the exact
+    n-gram Jaccard need.
 
     A degenerate key value (a constant shingle across N docs, an
     all-zero simhash chunk) would otherwise put all N rows into ONE
@@ -119,15 +126,15 @@ def skew_salted_pairs(
         F.col("id").alias("b"), *keys, "bsalt",
         *[F.col(c).alias(f"{c}_b") for c in payload],
     )
-    return (
+    out = (
         a.join(b, [*keys, "bsalt"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a", "b",
             *[f"{c}_a" for c in payload], *[f"{c}_b" for c in payload],
         )
-        .distinct()
     )
+    return out if keep_multiplicity else out.distinct()
 
 
 # ------------------------------------------------------------------ exact
@@ -236,16 +243,24 @@ def minhash_pairs(
 # ------------------------------------------------------------------ n-gram jaccard (exact)
 
 
-def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
+                        bucket_target: int = 10_000, max_factor: int = 64,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing >= 1 shingle:
     |A ∩ B| from a self-join on shingle_hash, |A ∪ B| = |A|+|B|-|A∩B|.
-    Pairs sharing nothing have Jaccard 0 and are (correctly) absent."""
+    Pairs sharing nothing have Jaccard 0 and are (correctly) absent.
+    Hot shingles (shared by a constant fraction of the corpus) are
+    sub-salted via :func:`skew_salted_pairs` with multiplicity kept —
+    each pair still contributes exactly one row per shared shingle, so
+    the intersection counts (and results) are identical."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.select(F.col("doc_id").alias("a"), "shingle_hash")
-    b = shingles.select(F.col("doc_id").alias("b"), "shingle_hash")
     inter = (
-        a.join(b, "shingle_hash")
-        .filter(F.col("a") < F.col("b"))
+        skew_salted_pairs(
+            shingles.select(F.col("doc_id").alias("id"), "shingle_hash"),
+            ["shingle_hash"], keep_multiplicity=True,
+            bucket_target=bucket_target, max_factor=max_factor,
+            bucket_cap=bucket_cap,
+        )
         .groupBy("a", "b")
         .agg(F.count("*").alias("i"))
     )

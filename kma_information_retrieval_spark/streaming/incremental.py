@@ -106,6 +106,69 @@ class GenerationIndex:
             out = out.unionByName(d)
         return out.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
+    def _union(self, name: str) -> DataFrame | None:
+        dfs = [
+            self.spark.read.parquet(os.path.join(g, name))
+            for g in self.gen_dirs
+            if os.path.isdir(os.path.join(g, name))
+        ]
+        if len(dfs) < len(self.gen_dirs):
+            return None  # a generation is missing the table
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def bundle(self):
+        """Cross-generation query surface BEFORE compaction: union the
+        per-generation positional/gram tables (generations are doc-
+        disjoint, so positional rows never collide; gram->term rows may
+        repeat across generations and are distinct'd) into one
+        :class:`IndexBundle`, so boolean/phrase/proximity/wildcard
+        queries serve from the persisted tables at any point in the
+        stream's life — matching the reference's always-available
+        coordinate index (``coordinate_index.rs:145-208``). The union
+        is as wide as the generation count — periodic
+        :func:`compact_generations` keeps that bounded (Lucene-style)."""
+        from ..operators.boolean import IndexBundle
+
+        pos = self._union("positional")
+        if pos is not None:
+            # part_id values are per-generation partitions — drop them so
+            # no cross-generation pruning is wrongly applied
+            pos = pos.drop("part_id")
+        docmap = self._union("docmap")
+        tri = self._union("trigrams")
+        perm = self._union("permuterm")
+        g2 = self._union("grams2")
+        bg = self._union("bigrams")
+        if pos is None:
+            from ..index.segments import decoded_postings_frame
+
+            postings = decoded_postings_frame(self.segments).select(
+                "term", "doc_id", "tf"
+            )
+            positional = None
+        else:
+            postings = pos.select("term", "doc_id", "tf")
+            positional = pos.select("term", "doc_id", "positions", "tf")
+        return IndexBundle(
+            postings=postings,
+            all_docs=docmap.select("doc_id"),
+            positional=positional,
+            vocab=self.dictionary.select("term"),
+            trigrams=tri.distinct() if tri is not None else None,
+            permuterm=perm.distinct() if perm is not None else None,
+            bigrams=bg,
+            grams2=g2.distinct() if g2 is not None else None,
+        )
+
+    def query(self, query_str: str, strict: bool = False) -> DataFrame:
+        """Boolean/phrase/proximity/wildcard over ALL generations."""
+        from ..operators.boolean import compile_query
+
+        return compile_query(query_str, self.bundle(), strict=strict)
+
     def bm25_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
         """Merged-generation BM25 top-k, fully distributed: generations
         are doc-disjoint, so the exact kernel runs per (query, gen) —

@@ -179,6 +179,26 @@ def test_skew_salted_pairs_bucket_cap(spark):
     assert got == {(100, 101)}
 
 
+def test_ngram_jaccard_salted_equal_unsalted(spark, docs):
+    """keep_multiplicity sub-salting: intersection counts (and exact
+    Jaccard values) must be unchanged when every shingle bucket is
+    forced hot. (The synthetic corpus's max pairwise Jaccard is ~0.023,
+    so the threshold sits below that to keep the baseline non-empty.)"""
+    sf = dedup.shingle_frame(docs, 3)
+    thr = 0.015
+    base = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(sf, thr).collect()
+    }
+    salted = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            sf, thr, bucket_target=1, max_factor=4
+        ).collect()
+    }
+    assert base and salted == pytest.approx(base)
+
+
 def test_minhash_simhash_pairs_salted_equal_unsalted(spark, docs):
     """Forcing every bucket hot (bucket_target=1) must not change any
     exported pair result — sub-salting is result-identical."""

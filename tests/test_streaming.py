@@ -65,6 +65,17 @@ def test_merged_topk_rank_identity(gen_index, oracle, terms):
         assert math.isclose(gs, ws, rel_tol=1e-12)
 
 
+def test_cross_generation_query_surface(gen_index, oracle):
+    """Boolean/phrase/wildcard across ALL generations pre-compaction,
+    served from the unioned persisted tables (GenerationIndex.bundle) —
+    must equal the whole-corpus oracle."""
+    for q in ('"hash join"', "compute and test", "(spark or query) and not dup"):
+        got = {r["doc_id"] for r in gen_index.query(q).collect()}
+        assert got == oracle.search(q), q
+    got_wc = {r["doc_id"] for r in gen_index.query("s*n").collect()}
+    assert got_wc == oracle.search("s*n")
+
+
 def test_compaction_preserves_results(gen_index, oracle, spark):
     """Compact all generations into one; BM25 results (now WAND over the
     merged-avgdl block-max metadata) must stay rank- and score-identical,
