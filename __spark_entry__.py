@@ -63,6 +63,7 @@ def _bundle(spark: SparkSession, sf_dir: str) -> IndexBundle:
         permuterm=ops.permuterm_index(vocab),
         bigrams=ops.bigram_index(docs),
         grams2=ops.gram2_index(vocab),
+        suffixes=ops.suffix_index(vocab),
     )
     b.tokens = toks
     b.dictionary = dic
@@ -234,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_wildcard_middle"] = _boolean_q("s*n")
     q["q_wildcard_contains"] = _boolean_q("*ar*")
     q["q_wildcard_qmark"] = _boolean_q("h?sh")
+    # single-char literal: no trigram and no 2-gram exists, so the router
+    # serves this from the suffix table (J12/T9/A12) — previously the one
+    # reachable full-vocab-scan fallback
+    q["q_wildcard_singlechar"] = _boolean_q("*a*")
 
     def q_wc_terms(s, d):
         from kma_information_retrieval_spark.operators.boolean import wildcard_terms
@@ -532,6 +537,7 @@ SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '{pattern_sql}')"""
     o["q_wildcard_middle"] = docs_of_like("^s.*n$")
     o["q_wildcard_contains"] = docs_of_like("^.*ar.*$")
     o["q_wildcard_qmark"] = docs_of_like("^h.sh$")
+    o["q_wildcard_singlechar"] = docs_of_like("^.*a.*$")
     o["q_wildcard_terms"] = f"""{W}
 SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^s.*$')"""
 

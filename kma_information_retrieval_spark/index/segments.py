@@ -52,10 +52,11 @@ every query type from them, ``main.rs:408-423``,
   by a term-hash ``part_id`` (boolean/phrase/proximity after restart;
   boolean term lookups column-prune ``positions`` away at scan time);
 * ``dictionary``/``saltmap`` — stats + salting metadata;
-* ``trigrams``/``permuterm``/``grams2`` — wildcard prefilters
-  (``grams2`` covers short-infix patterns like ``*ar*`` that yield no
-  trigram — the reference serves those from its suffix tree,
-  ``suffix_tree.rs:159-195``);
+* ``trigrams``/``permuterm``/``grams2``/``suffixes`` — wildcard
+  prefilters (``grams2`` covers short-infix patterns like ``*ar*``
+  that yield no trigram; ``suffixes`` is the reference's suffix tree,
+  ``suffix_tree.rs:36-195``, as a suffix-sorted (suffix, term) table
+  serving single-char-literal patterns like ``*a*`` by range scan);
 * ``bigrams`` (optional) — word-pair doc lists (J8).
 
 The serial driver tail is collapsed by submitting independent write
@@ -561,7 +562,9 @@ def build_index(
         # wildcard prefilter tables over the vocabulary (T7/T8 + the
         # 2-gram infix table) — tiny relative to postings; lets a loaded
         # index serve every wildcard shape without a vocab regex scan
-        from ..operators.indexes import gram2_index, permuterm_index, trigram_index
+        from ..operators.indexes import (
+            gram2_index, permuterm_index, suffix_index, trigram_index,
+        )
 
         vocab = dictionary.select("term")
         if not _skip("trigrams"):
@@ -573,6 +576,10 @@ def build_index(
         if not _skip("grams2"):
             gram2_index(vocab).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "grams2"))
+        if not _skip("suffixes"):
+            # sorted so the suffix prefix scan (J12) prunes row groups
+            suffix_index(vocab).sort("suffix").write.mode("overwrite").parquet(
+                os.path.join(out_dir, "suffixes"))
 
     def w_bigrams():
         if not with_bigrams or _skip("bigrams"):
@@ -744,6 +751,10 @@ class SegmentIndex:
         return self._table("grams2") if self._has("grams2") else None
 
     @property
+    def suffixes(self) -> DataFrame | None:
+        return self._table("suffixes") if self._has("suffixes") else None
+
+    @property
     def positional(self) -> DataFrame | None:
         return self._table("positional") if self._has("positional") else None
 
@@ -790,6 +801,7 @@ class SegmentIndex:
             trigrams=self.trigrams,
             permuterm=self.permuterm,
             grams2=self.grams2,
+            suffixes=self.suffixes,
             bigrams=self.bigrams,
             term_part=(lambda t: term_part_for(t, n_seg)) if pos is not None else None,
             term_postings=term_postings,
@@ -819,6 +831,7 @@ class SegmentIndex:
             trigrams=self.trigrams,
             permuterm=self.permuterm,
             grams2=self.grams2,
+            suffixes=self.suffixes,
         )
         return wildcard_terms(pattern, bundle)
 

@@ -13,10 +13,10 @@ lazy DataFrame composition over the index tables:
   reference's >=3-word off-by-offset at ``coordinate_index.rs:169-191``
   is a documented divergence we fix)
 * near/k(...) -> positional join + array HOF predicate (J7)
-* wildcards   -> planner routes permuterm / trigram / char-2-gram
-  prefilter + ``rlike`` verify, then semi-join into postings (J9-J13;
-  the 2-gram route replaces the reference's suffix tree for short
-  infixes, ``suffix_tree.rs:159-195``)
+* wildcards   -> planner routes permuterm / trigram / char-2-gram /
+  suffix-table prefilter + ``rlike`` verify, then semi-join into
+  postings (J9-J13; the suffix table is the reference's suffix tree,
+  ``suffix_tree.rs:36-195``, as a distributed (suffix, term) relation)
 
 Documented divergences (SURVEY.md §7): missing term = empty result,
 not an error, unless ``strict=True`` restores the reference's abort
@@ -148,6 +148,7 @@ class IndexBundle:
     permuterm: DataFrame | None = None   # (rotation, term)
     bigrams: DataFrame | None = None     # (bigram, doc_id)
     grams2: DataFrame | None = None      # (gram, term) char 2-grams
+    suffixes: DataFrame | None = None    # (suffix, term) suffix table
     term_part: object | None = None      # Callable[[str], int] | None
     # Callable[[str], DataFrame] returning (term, doc_id, tf) rows for
     # one term — set when `postings` is produced by an opaque transform
@@ -223,13 +224,17 @@ def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
 
     * single ``*``, no ``?``  -> permuterm rotation prefix scan (J11)
     * otherwise               -> trigram candidate intersection (J10)
-    * no usable trigram       -> char-2-gram prefilter (replaces the
-      reference's suffix-tree path for short infixes like ``*ar*``,
-      ``suffix_tree.rs:159-195`` — a ``*ar*`` query at a 10^9-term
-      vocabulary must not regex-scan all of vocab)
-    * no usable 2-gram either -> full vocabulary scan (reference
-      fallback, ``trigram_index.rs:165-172``; only reachable for
-      patterns whose literals are all single chars, e.g. ``*a*``)
+    * no usable trigram       -> char-2-gram prefilter (short infixes
+      like ``*ar*`` yield no literal trigram)
+    * no usable 2-gram either -> suffix-table prefix scan on the
+      longest literal segment (J12: the reference's trie DFS,
+      ``suffix_tree.rs:159-195``, re-expressed as ``suffix LIKE 'X%'``
+      over the T9 suffix enumeration table — handles single-char
+      literals like ``*a*`` without touching the full vocabulary)
+    * zero literal characters -> full vocabulary scan (reference
+      fallback, ``trigram_index.rs:165-172``; now reachable only for
+      patterns like ``*`` or ``?*`` that genuinely constrain nothing
+      but length, i.e. whose answer IS a full-vocab predicate)
     """
     rx = glob_to_regex(pattern)
     n_star, n_q = pattern.count("*"), pattern.count("?")
@@ -262,6 +267,16 @@ def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
                 .agg(F.countDistinct("gram").alias("n"))
                 .filter(F.col("n") == len(grams))
                 .select("term")
+            )
+            return cands.filter(F.col("term").rlike(rx))
+    if idx.suffixes is not None:
+        lits = [s for s in re.split(r"[*?]+", pattern) if s]
+        if lits:
+            lit = max(lits, key=len)
+            cands = (
+                idx.suffixes.filter(F.col("suffix").startswith(lit))
+                .select("term")
+                .distinct()
             )
             return cands.filter(F.col("term").rlike(rx))
     if idx.vocab is None:

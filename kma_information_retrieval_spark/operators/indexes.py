@@ -137,6 +137,30 @@ def gram2_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
     )
 
 
+def suffix_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
+    """(suffix, term) — T9/A12 (``suffix_tree.rs:36-157``): every suffix
+    of every vocabulary term (suffix enumeration, ``suffix_tree.rs:
+    122-129``), as a distributed sorted table instead of an in-memory
+    trie. The reference's char-by-char trie walk for an infix literal X
+    (J12, ``suffix_tree.rs:159-195``) becomes a prefix range scan
+    ``suffix LIKE 'X%'`` — parquet pushes StartsWith down as a range
+    predicate, so the scan touches only the row groups whose sorted
+    suffix column overlaps [X, X+1). ~len(term) rows per term — the
+    same asymptotic footprint as the trie's node set, but partitioned.
+    """
+    base = vocab.select(F.col(term_col).alias("term"))
+    n = F.length("term")
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.col("term").substr(i, n),
+    )
+    return (
+        base.select("term", F.explode(sufs).alias("suffix"))
+        .select("suffix", "term")
+        .distinct()
+    )
+
+
 def permuterm_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
     """(rotation, term) — T8/A11 (``permutation_index.rs:135-146``):
     all cyclic rotations of term + '$'."""

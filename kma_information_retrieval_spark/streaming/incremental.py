@@ -141,6 +141,7 @@ class GenerationIndex:
         tri = self._union("trigrams")
         perm = self._union("permuterm")
         g2 = self._union("grams2")
+        sfx = self._union("suffixes")
         bg = self._union("bigrams")
         if pos is None:
             from ..index.segments import decoded_postings_frame
@@ -161,6 +162,7 @@ class GenerationIndex:
             permuterm=perm.distinct() if perm is not None else None,
             bigrams=bg,
             grams2=g2.distinct() if g2 is not None else None,
+            suffixes=sfx.distinct() if sfx is not None else None,
         )
 
     def query(self, query_str: str, strict: bool = False) -> DataFrame:
@@ -236,7 +238,12 @@ def compact_generations(
         saltmap_frame,
         segment_metrics,
     )
-    from ..operators.indexes import gram2_index, permuterm_index, trigram_index
+    from ..operators.indexes import (
+        gram2_index,
+        permuterm_index,
+        suffix_index,
+        trigram_index,
+    )
 
     t0 = time.time()
     gi = load_generations(spark, out_dir)
@@ -296,6 +303,8 @@ def compact_generations(
     trigram_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "trigrams"))
     permuterm_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "permuterm"))
     gram2_index(vocab).write.mode("overwrite").parquet(os.path.join(gen_dir, "grams2"))
+    suffix_index(vocab).sort("suffix").write.mode("overwrite").parquet(
+        os.path.join(gen_dir, "suffixes"))
 
     manifest = {
         "version": 2,

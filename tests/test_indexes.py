@@ -48,6 +48,33 @@ def test_permuterm_rotations(spark):
     assert got == sorted(["cat$", "at$c", "t$ca", "$cat"])
 
 
+def test_suffix_enumeration(spark):
+    # suffix_tree.rs:122-129: every suffix of each term is inserted;
+    # the Spark form is the (suffix, term) table
+    vocab = spark.createDataFrame([("cat",), ("at",)], "term string")
+    got = sorted((r["suffix"], r["term"]) for r in ops.suffix_index(vocab).collect())
+    assert got == sorted([("cat", "cat"), ("at", "cat"), ("t", "cat"),
+                          ("at", "at"), ("t", "at")])
+
+
+def test_suffix_route_single_char_literal(spark):
+    """J12: a single-char-literal infix (*a*) must be served by the
+    suffix table, not a full-vocab regex scan — proven by handing the
+    router a bundle with NO vocab (the old fallback would raise)."""
+    from kma_information_retrieval_spark.operators.boolean import IndexBundle, wildcard_terms
+
+    terms = ["cat", "car", "dog", "bird", "llama", "xyz"]
+    vocab = spark.createDataFrame([(t,) for t in terms], "term string")
+    bundle = IndexBundle(
+        postings=None, all_docs=None, vocab=None,
+        suffixes=ops.suffix_index(vocab),
+    )
+    got = sorted(r["term"] for r in wildcard_terms("*a*", bundle).collect())
+    assert got == ["car", "cat", "llama"]
+    got_q = sorted(r["term"] for r in wildcard_terms("?a?", bundle).collect())
+    assert got_q == ["car", "cat"]
+
+
 def test_wildcard_term_fixtures(spark):
     """suffix_tree.rs:224-259 / permutation_index.rs:228-273 fixtures,
     served by the trigram+permuterm router instead of a suffix trie."""
