@@ -77,6 +77,8 @@ def _bundle(spark: SparkSession, sf_dir: str) -> IndexBundle:
 # the output DIRECTORY is cached; the index is re-loaded per call so a
 # fresh SparkSession (or a vanished temp dir) never serves stale refs.
 _PERSISTED_DIRS: dict[str, str] = {}
+# Streaming-generation cache, same policy: (sf_dir, compacted) -> dir
+_STREAMING_DIRS: dict[tuple, str] = {}
 
 
 def _persisted_index(spark: SparkSession, sf_dir: str):
@@ -301,6 +303,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
     q["q_wildcard_bm25_persisted"] = q_wc_bm25
+
+    # --- streaming generations (incremental index, streaming/
+    # incremental.py): the corpus arrives as two doc-disjoint
+    # generations (each built by the same salted segment build the
+    # foreachBatch sink runs); queries are served from the unioned
+    # per-generation persisted tables, and — for the compacted variants
+    # — from the single generation compact_generations() merges them
+    # into without re-tokenizing any source. Oracles are the whole-
+    # corpus SQL: generation layout must be invisible to results.
+    def _generation_index(s, d, compacted: bool):
+        import os
+
+        from kma_information_retrieval_spark.index import build_index
+        from kma_information_retrieval_spark.streaming.incremental import (
+            compact_generations,
+            load_generations,
+        )
+
+        key = (d, compacted)
+        out = _STREAMING_DIRS.get(key)
+        if out is None or not os.path.isdir(os.path.join(out, "generations")):
+            out = tempfile.mkdtemp(prefix="kma_ir_gens_")
+            docs = _docs(s, d)
+            for i, gen in enumerate((
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )):
+                build_index(s, gen, os.path.join(out, "generations", f"gen={i + 1:010d}"),
+                            num_segments=8)
+            if compacted:
+                compact_generations(s, out, num_segments=8)
+            _STREAMING_DIRS[key] = out
+        return load_generations(s, out)
+
+    def _streaming_q(query: str, compacted: bool):
+        def run(s, d):
+            return _generation_index(s, d, compacted).query(query).select("doc_id")
+        return run
+    q["q_streaming_boolean"] = _streaming_q("(spark or query) and not dup", False)
+    q["q_streaming_phrase"] = _streaming_q('"hash join"', False)
+    q["q_streaming_phrase_compacted"] = _streaming_q('"hash join"', True)
+    q["q_streaming_wildcard_compacted"] = _streaming_q("*ar*", True)
+
+    def q_streaming_bm25(s, d):
+        rows = _generation_index(s, d, False).bm25_topk(["spark", "query", "join"], 10)
+        return s.createDataFrame(
+            [(int(doc), float(score)) for doc, score in rows],
+            "doc_id long, score double",
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_streaming_bm25"] = q_streaming_bm25
 
     # --- dedup suite
     q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
@@ -596,6 +648,13 @@ ORDER BY score DESC, doc_id LIMIT 10"""
     o["q_wildcard_persisted"] = o["q_wildcard_contains"]
     o["q_bigram_persisted"] = o["q_phrase_2"]
     o["q_bm25_wand_persisted"] = o["q_bm25_topk"]
+
+    # streaming generations: results must equal the whole-corpus answer
+    o["q_streaming_boolean"] = o["q_boolean_complex"]
+    o["q_streaming_phrase"] = o["q_phrase_2"]
+    o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
+    o["q_streaming_wildcard_compacted"] = o["q_wildcard_contains"]
+    o["q_streaming_bm25"] = o["q_bm25_topk"]
 
     o["q_dedup_exact"] = """
 WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
