@@ -399,6 +399,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_ann_lsh_topk"] = q_ann_lsh
 
+    # persisted/bucket-partitioned variant: identical contract (same
+    # planes, same probe set), but the index is parquet partitioned by
+    # bucket so the probe's bucket IN (...) prunes at the directory
+    # level instead of filtering a full scan — the 10^9-vector layout
+    def q_ann_lsh_persisted(s, d):
+        import os
+
+        emb = _emb(s, d)
+        qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+        key = ("ann", d)
+        out = _STREAMING_DIRS.get(key)
+        if out is None or not os.path.exists(os.path.join(out, "ann_manifest.json")):
+            out = tempfile.mkdtemp(prefix="kma_ir_ann_")
+            ann.build_ann_index(s, emb, out, n_bits=12, dim=EMB_DIM)
+            _STREAMING_DIRS[key] = out
+        idx, meta = ann.load_ann_index(s, out)
+        return ann.lsh_bucket_topk(idx, qv, 10, n_bits=meta["n_bits"],
+                                   probe_hamming=1).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+    q["q_ann_lsh_persisted"] = q_ann_lsh_persisted
+
     def q_ann_ivf(s, d):
         emb = _emb(s, d)
         qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
@@ -496,6 +518,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops.postings(ops.token_frame(strip_xml_body(wrapped)))
         ).select("term", "df", "cf")
     q["q_xml_extract_dictionary"] = q_xml_extract
+
+    # q_fb2_dir_dictionary: the S1 directory scan (binaryFile source) +
+    # T11 min-size filter + S2 body extraction over the checked-in FB2
+    # fixture, tokenized into a dictionary. The oracle replays the same
+    # pipeline with DuckDB's read_text + regexes over the same files —
+    # this closes the last pytest-only source path (round-2 verdict #6:
+    # S1/T11 had no oracle gating). sf_dir is unused: the fixture is
+    # fixed and deterministic.
+    def q_fb2_dir(s, d):
+        from kma_information_retrieval_spark.sources.loader import (
+            read_raw_files,
+            strip_xml_body,
+        )
+        raw = read_raw_files(
+            s, "/root/repo/tests/fixtures", min_bytes=100, suffix=".fb2"
+        )
+        body = strip_xml_body(raw).withColumn(
+            "doc_id", F.conv(F.substring(F.md5("doc_name"), 1, 15), 16, 10).cast("long")
+        )
+        return ops.dictionary(ops.postings(ops.token_frame(body))).select(
+            "term", "df", "cf"
+        )
+    q["q_fb2_dir_dictionary"] = q_fb2_dir
 
     # --- multimodal: typed metadata over an opaque binary column (the
     # no-decode half of the media pipeline — pure Catalyst; payload
@@ -650,6 +695,27 @@ ORDER BY score DESC, doc_id LIMIT 10"""
     o["q_bm25_wand_persisted"] = o["q_bm25_topk"]
 
     # streaming generations: results must equal the whole-corpus answer
+    o["q_fb2_dir_dictionary"] = f"""
+WITH files AS (
+  SELECT content FROM read_text('/root/repo/tests/fixtures/*.fb2')
+  WHERE size >= 100
+),
+body AS (
+  SELECT regexp_replace(
+           coalesce(
+             nullif(regexp_extract(content, '(?s)<body[^>]*>(.*)</body>', 1), ''),
+             content),
+           '<[^>]*>', ' ', 'g') AS text
+  FROM files
+),
+ftoks AS (SELECT row_number() OVER () AS doc_id, {_TOK_EXPR} AS toks FROM body),
+ftf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM ftoks)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM ftf GROUP BY term"""
+
     o["q_streaming_boolean"] = o["q_boolean_complex"]
     o["q_streaming_phrase"] = o["q_phrase_2"]
     o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
@@ -757,6 +823,8 @@ SELECT a.vec_id AS vec_id, round({acos}, 4) AS cosine
 FROM sig a CROSS JOIN q
 WHERE bit_count(xor(a.s, q.s)) <= 1
 ORDER BY {acos} DESC, a.vec_id LIMIT 10"""
+    # same contract, served from the bucket-partitioned on-disk index
+    o["q_ann_lsh_persisted"] = o["q_ann_lsh_topk"]
 
     # IVF: centroids = the 16 rows with smallest md5-prefix hash of
     # vec_id (the engine's deterministic sample); assignment = argmax

@@ -129,6 +129,45 @@ def lsh_bucket_topk(
     )
 
 
+# ---------------------------------------------------------- persisted LSH
+
+
+def build_ann_index(
+    spark, emb: DataFrame, out_dir: str, n_bits: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the LSH index as parquet **partitioned by bucket**, so a
+    probe's ``bucket IN (...)`` filter becomes on-disk partition pruning
+    — the scan touches only the probe set's directories (≈ (1 + n_bits)
+    of 2^n_bits at probe_hamming=1) instead of filtering a full scan.
+    This is the "persist + bucketBy" scale step the in-memory
+    :func:`lsh_index` documents: at 10^9+ vectors the bucketed layout
+    is what turns ANN from a corpus scan into a bounded probe."""
+    import json
+    import os
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    idx = lsh_index(emb, n_bits, id_col, vec_col, dim=dim)
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "lsh"))
+    with open(os.path.join(out_dir, "ann_manifest.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "dim": dim}, f)
+
+
+def load_ann_index(spark, out_dir: str):
+    """-> (index DataFrame, meta dict). The DataFrame has the same shape
+    as :func:`lsh_index` output; :func:`lsh_bucket_topk` works on it
+    unchanged, with bucket filters served by partition pruning."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "ann_manifest.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(out_dir, "lsh")), meta
+
+
 # ------------------------------------------------------------------ IVF
 
 

