@@ -354,6 +354,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_streaming_bm25"] = q_streaming_bm25
 
+    # stateful streaming dedup (applyInPandasWithState): docs arrive as
+    # two micro-batches (even doc_ids, then odd); each doc is flagged
+    # against EVERYTHING seen so far — canonical = first-seen (earliest
+    # batch, min doc_id within it). A 20-char text prefix stands in for
+    # content so the corpus actually contains duplicates. The oracle
+    # states the same arrival rule in SQL (canonical = min even id of
+    # the prefix group if any, else min id).
+    def q_streaming_dedup(s, d):
+        import hashlib
+        import os
+
+        from kma_information_retrieval_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        docs = _docs(s, d).select(
+            "doc_id", F.substring("content", 1, 20).alias("content")
+        )
+        src = tempfile.mkdtemp(prefix="kma_ir_sdedup_in_")
+        ckpt = tempfile.mkdtemp(prefix="kma_ir_sdedup_ck_")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = s.readStream.schema("doc_id long, content string").parquet(src)
+        sink = "sdedup_" + hashlib.md5(d.encode()).hexdigest()[:8]
+        qh = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .start()
+        )
+        qh.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append").parquet(src)
+        qh.processAllAvailable()
+        qh.stop()
+        return s.table(sink).select("doc_id", "canonical_id", "is_duplicate")
+    q["q_streaming_dedup"] = q_streaming_dedup
+
     # --- dedup suite
     q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
         "doc_id", "canonical_id", "group_size"
@@ -721,6 +759,15 @@ SELECT term, count(*) AS df, sum(tf) AS cf FROM ftf GROUP BY term"""
     o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
     o["q_streaming_wildcard_compacted"] = o["q_wildcard_contains"]
     o["q_streaming_bm25"] = o["q_bm25_topk"]
+    o["q_streaming_dedup"] = """
+WITH c AS (SELECT doc_id, substr(text, 1, 20) AS content FROM documents),
+g AS (
+  SELECT doc_id,
+         coalesce(
+           min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) OVER (PARTITION BY content),
+           min(doc_id) OVER (PARTITION BY content)) AS canonical_id
+  FROM c)
+SELECT doc_id, canonical_id, doc_id != canonical_id AS is_duplicate FROM g"""
 
     o["q_dedup_exact"] = """
 WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),

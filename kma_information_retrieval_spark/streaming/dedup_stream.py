@@ -1,0 +1,76 @@
+"""Streaming deduplication — cross-micro-batch stateful exact dedup.
+
+The batch dedup operators (``operators/dedup.py``) answer "which docs
+in THIS corpus duplicate each other"; a streaming ingest pipeline needs
+the other question: "is this arriving doc a duplicate of ANYTHING seen
+so far". That is per-key mutable state across micro-batches — the
+Structured Streaming ``applyInPandasWithState`` shape (the reference
+engine is batch-only; this extends its exact-dedup semantics,
+cf. ``operators/dedup.py`` ``exact_duplicates``, to unbounded input).
+
+Semantics (deterministic, oracle-replayable):
+
+* key = md5(content) (the same portable content hash the batch path
+  and the SQL oracle use);
+* the FIRST doc of a key — earliest micro-batch, min ``doc_id`` within
+  that batch — is canonical (``is_duplicate = false``);
+* every later doc of the key (same batch with a larger id, or any
+  later batch) is a duplicate of that canonical id.
+
+State per key is two longs (canonical_id, n_seen) — constant size, no
+growth with duplicates, so a 10^12-doc stream holds state proportional
+to the number of DISTINCT contents only; the state store shards by the
+groupBy key hash exactly like a batch shuffle, and hot keys cost O(1)
+state regardless of duplicate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = "doc_id long, canonical_id long, is_duplicate boolean"
+STATE_SCHEMA = "canonical_id long, n_seen long"
+
+
+def _update_dedup_state(key, pdfs, state):
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values("doc_id")
+    ids = rows["doc_id"].astype("int64")
+    if state.exists:
+        canonical, n_seen = state.get
+    else:
+        canonical, n_seen = int(ids.iloc[0]), 0
+    out = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "canonical_id": canonical,
+            # the canonical doc itself is not a duplicate; everything
+            # else (same batch or any later batch) is
+            "is_duplicate": (ids != canonical) | (n_seen > 0),
+        }
+    )
+    state.update((canonical, n_seen + len(rows)))
+    yield out
+
+
+def streaming_exact_dedup(
+    stream_docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """Streaming (doc_id, canonical_id, is_duplicate) — attach to a
+    streaming docs frame; each output row appears exactly once, in the
+    micro-batch its doc arrived in."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _update_dedup_state,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

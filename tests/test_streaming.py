@@ -130,3 +130,49 @@ def test_compaction_preserves_results(gen_index, oracle, spark):
     got_ids = {r["doc_id"] for r in compile_query("compute and test", bundle).collect()}
     want_ids = oracle.search("compute and test")
     assert got_ids == set(want_ids)
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """applyInPandasWithState dedup: the canonical doc of a content hash
+    is the first-seen (earliest batch, min doc_id); duplicates arriving
+    in the SAME batch and in LATER batches are both flagged, and state
+    persists across micro-batches."""
+    from kma_information_retrieval_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batch1 = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")]
+    batch2 = [(5, "alpha"), (6, "beta"), (7, "delta"), (8, "delta")]
+    schema = "doc_id long, content string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in spark.table("dedup_sink").collect()
+    }
+    assert got == {
+        1: (1, False),   # first alpha
+        2: (2, False),   # first beta
+        3: (1, True),    # same-batch dup of 1
+        4: (4, False),
+        5: (1, True),    # cross-batch dup of 1 (state survived)
+        6: (2, True),    # cross-batch dup of 2
+        7: (7, False),   # first delta (batch 2)
+        8: (7, True),    # same-batch dup of 7
+    }
