@@ -408,6 +408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["q_ngram_jaccard_pairs"] = q_jaccard
 
+    # transitive cluster resolution over the jaccard pair graph
+    # (connected components by iterative min-label propagation — the
+    # curation step that turns pair lists into keep-one dedup groups)
+    def q_clusters(s, d):
+        prs = dedup.ngram_jaccard_pairs(
+            dedup.shingle_frame(_docs(s, d), 3), JACCARD_THR
+        )
+        return dedup.duplicate_clusters(prs).select("doc_id", "cluster_id")
+    q["q_dedup_clusters"] = q_clusters
+
     q["q_simhash"] = lambda s, d: dedup.simhash(_docs(s, d)).select("doc_id", "simhash")
 
     def q_neardup(s, d):
@@ -797,6 +807,26 @@ inter AS (
 SELECT a, b, round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE i::double / (sa.sz + sb.sz - i) >= {JACCARD_THR}"""
+
+    # connected components via a recursive CTE: reach(id, label) grows
+    # every label reachable through the undirected pair graph; the
+    # component id is the min. (UNION dedups, so recursion terminates.)
+    o["q_dedup_clusters"] = f"""WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+prs AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i::double / (sa.sz + sb.sz - i) >= {JACCARD_THR}),
+edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach AS (
+  SELECT x AS id, x AS label FROM edges
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.id = e.y
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id"""
 
     votes = ",\n       ".join(
         f"sum(tf * ((((th >> {i}) & 1) * 2) - 1)) AS v_{i}" for i in range(60)

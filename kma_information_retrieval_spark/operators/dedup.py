@@ -276,6 +276,67 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     )
 
 
+# ---------------------------------------------------------- cluster resolve
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-duplicate
+    pair edges; ``cluster_id`` = the minimum doc id reachable through
+    the pair graph. This is the curation step AFTER any pair generator
+    (minhash/simhash/jaccard/embedding): transitive closure turns pair
+    lists into dedup groups so a pipeline can keep one canonical doc
+    per cluster (``doc_id == cluster_id``).
+
+    Min-label propagation: each iteration sends every vertex's label to
+    its neighbors and takes the elementwise min — one shuffle per
+    iteration, converging in O(graph diameter) iterations (near-dup
+    clusters are dense, so the diameter is tiny in practice; 25 covers
+    a path of 2^25 hops worth of star-collapse in the worst inputs we
+    bound here). ``localCheckpoint`` truncates the plan lineage each
+    iteration — without it the logical plan doubles per iteration and
+    the driver, not the data, becomes the bottleneck. The driver-side
+    convergence check is one small count per iteration (the labels
+    frame is vertex-sized, never edge-sized)."""
+    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("x").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("y"), F.col("label").alias("ylab")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylab").alias("nlab"))
+            .select(F.col("x").alias("id"), "nlab")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------------------ simhash
 
 _SIMHASH_BITS = 60  # md5_long yields 60 bits

@@ -314,3 +314,14 @@ def test_embedding_neardup_lsh_contract(spark):
         if any(x == y for x, y in zip(sigs[pair[0]], sigs[pair[1]]))
     }
     assert set(got) == expected
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Connected components over pair edges: a 4-chain must collapse to
+    one cluster (multi-hop propagation), disjoint groups stay apart."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
