@@ -268,6 +268,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_bm25_topk"] = _bm25(["spark", "query", "join"])
     q["q_bm25_topk_tail"] = _bm25(["dup", "merge"])
 
+    # search-engine composition: BM25 top-k restricted to a boolean
+    # filter, semi-joined BEFORE the top-k truncation
+    def q_bm25_filtered(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import bm25_topk_filtered
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        filt = compile_query("not dup", b)
+        return bm25_topk_filtered(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], filt, 10,
+            doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_bm25_filtered"] = q_bm25_filtered
+
     # --- persisted-index query surface (build once, query from disk —
     # no token_frame in any of these paths; ref main.rs:408-423)
     def _persisted_q(query: str):
@@ -714,6 +728,13 @@ ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
     o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
+    # filtered variant: same scorer, candidates restricted to the
+    # boolean filter BEFORE the LIMIT (scores stay corpus-global)
+    o["q_bm25_filtered"] = bm25_sql(["spark", "query", "join"]).replace(
+        "SELECT doc_id, round(score, 4) AS score FROM scores",
+        "SELECT doc_id, round(score, 4) AS score FROM scores "
+        "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')",
+    )
 
     # wildcard-expanded BM25: same scorer, term set = vocab matching the
     # pattern (the engine expands 'qu*' via the persisted gram tables)

@@ -89,3 +89,30 @@ def bm25_topk(
     top-k then a k-row merge on the driver, no global sort."""
     scores = bm25_scores(postings, dictionary, n_docs, avgdl, query_terms, doclen)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_filtered(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    filter_docs: DataFrame,
+    k: int = 10,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """Search-engine composition: BM25 top-k restricted to a boolean
+    result set (``filter_docs`` = any (doc_id) frame, e.g.
+    ``compile_query("lang and not test", bundle)``).
+
+    The semi-join applies BEFORE the top-k truncation — filtering a
+    top-k of the unrestricted ranking would silently return < k rows
+    and miss docs ranked below the global k. Scores are unchanged by
+    the filter (df/idf/avgdl stay corpus-global, the standard engine
+    behavior — a filter narrows candidates, it does not re-weight)."""
+    scores = bm25_scores(postings, dictionary, n_docs, avgdl, query_terms, doclen)
+    return (
+        scores.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -72,3 +72,23 @@ def test_bm25_deterministic_across_partitionings(indexes, oracle):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert math.isclose(r["score"], s, rel_tol=1e-12)
+
+
+def test_bm25_topk_filtered_semantics(indexes, oracle):
+    """Filter applies BEFORE truncation: result = top-k of the boolean-
+    filtered full ranking, scores identical to the unfiltered scorer."""
+    from kma_information_retrieval_spark.operators.boolean import compile_query
+    from kma_information_retrieval_spark.operators.bm25 import bm25_topk_filtered
+
+    terms, k = ["index", "shard", "compute"], 10
+    filt = compile_query("not index", indexes)   # drops strong matches
+    allowed = {r["doc_id"] for r in filt.collect()}
+    got = bm25_topk_filtered(
+        indexes.postings, indexes.dictionary, indexes.stats["n_docs"],
+        indexes.stats["avgdl"], terms, filt, k, doclen=indexes.doclen,
+    ).collect()
+    # brute force: full oracle ranking, then filter, then truncate
+    want = [(d, s) for d, s in oracle.bm25_topk(terms, 10_000) if d in allowed][:k]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12)
