@@ -280,6 +280,7 @@ def main() -> None:
         post, docs.select("doc_id"), ops.positional_index(toks).cache(),
         vocab, ops.trigram_index(vocab).cache(), ops.permuterm_index(vocab).cache(),
         ops.bigram_index(docs).cache(), grams2=ops.gram2_index(vocab).cache(),
+        suffixes=ops.suffix_index(vocab).cache(),
     )
     stats = ops.collection_stats(docs, toks).collect()[0]
     doclen = ops.doc_lengths(toks).cache()
@@ -289,9 +290,16 @@ def main() -> None:
     timed("proximity", lambda: compile_query("near/3(table scan)", bundle).count())
     timed("wildcard", lambda: compile_query("s*n or *er", bundle).count())
     timed("wildcard_infix", lambda: compile_query("*ar*", bundle).count())
+    # single-char literal -> suffix-table route (J12/T9)
+    timed("wildcard_singlechar", lambda: compile_query("*a*", bundle).count())
     timed("bm25_dataframe", lambda: bm25_topk(
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], 10, doclen=doclen).collect())
+    from kma_information_retrieval_spark.operators.bm25 import bm25_topk_filtered
+    timed("bm25_filtered", lambda: bm25_topk_filtered(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], compile_query("not dup", bundle), 10,
+        doclen=doclen).collect())
 
     # segment build + WAND on the sf corpus (term layout, full query surface)
     seg_dir = os.path.join(tmp, "segidx")
@@ -304,6 +312,7 @@ def main() -> None:
     timed("persisted_boolean", lambda: idx.query("(spark or query) and not dup").count())
     timed("persisted_phrase", lambda: idx.query('"hash join"').count())
     timed("persisted_wildcard_infix", lambda: idx.query("*ar*").count())
+    timed("persisted_wildcard_singlechar", lambda: idx.query("*a*").count())
 
     # doc-partitioned layout: distributed two-stage top-k merge
     doc_dir = os.path.join(tmp, "segidx_doc")
@@ -364,12 +373,22 @@ def main() -> None:
     # dedup + ANN
     timed("minhash_pairs", lambda: dedup.minhash_pairs(
         dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count())
+    timed("dedup_clusters", lambda: dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), 0.15)).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
     timed("ann_cosine_topk", lambda: ann.cosine_topk(emb, qv, 10).collect())
     timed("embedding_neardup_lsh",
           lambda: dedup.embedding_neardup_pairs_lsh(emb, 0.35).count())
+    # bucket-partitioned persisted ANN: build once, probe prunes dirs
+    ann_dir = os.path.join(tmp, "annidx")
+    dim = len(qv)
+    timed("ann_index_build", lambda: ann.build_ann_index(
+        spark, emb, ann_dir, n_bits=12, dim=dim))
+    aidx, ameta = ann.load_ann_index(spark, ann_dir)
+    timed("ann_lsh_persisted_topk", lambda: ann.lsh_bucket_topk(
+        aidx, qv, 10, n_bits=12, probe_hamming=1).collect())
 
     spark.stop()
 
