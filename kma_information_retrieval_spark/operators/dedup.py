@@ -315,23 +315,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("ylab").alias("nlab"))
             .select(F.col("x").alias("id"), "nlab")
         )
-        new_labels = (
+        # carry the old label through the checkpoint so the convergence
+        # check is a scan of the checkpointed frame, not a second join
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
