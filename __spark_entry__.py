@@ -192,6 +192,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ops.postings(ops.token_frame(_docs(s, d), mode="letters"))
     ).select("term", "df", "cf")
 
+    # C4/C5 distributed round trip: range-partition + sort the vocab,
+    # front-code each sorted partition (greedy shared-prefix blocks,
+    # dictionary.rs:8-120), decode back — output must equal the vocab
+    # exactly (lossless), which the SQL oracle states as DISTINCT term.
+    def q_frontcoding(s, d):
+        import pandas as pd
+
+        from kma_information_retrieval_spark.functions.frontcoding import (
+            decode_all,
+            front_code,
+        )
+
+        vocab = ops.dictionary(
+            ops.postings(ops.token_frame(_docs(s, d)))
+        ).select("term")
+
+        def kernel(batches):
+            terms: list[str] = []
+            for pdf in batches:
+                terms.extend(pdf["term"].tolist())
+            yield pd.DataFrame({"term": decode_all(front_code(terms))})
+
+        return (
+            vocab.repartitionByRange(8, "term")
+            .sortWithinPartitions("term")
+            .mapInPandas(kernel, schema="term string")
+        )
+    q["q_frontcoding_roundtrip"] = q_frontcoding
+
+    # S6 sink round trip: write the dictionary in the reference's three
+    # formats, read the csv (the least typed) back — values must survive
+    def q_dict_sink(s, d):
+        from kma_information_retrieval_spark.operators.sinks import (
+            write_dictionary_formats,
+        )
+
+        dic = ops.dictionary(ops.postings(ops.token_frame(_docs(s, d))))
+        out = tempfile.mkdtemp(prefix="kma_ir_sink_")
+        sizes = write_dictionary_formats(dic, out)
+        assert all(v > 0 for v in sizes.values()), sizes
+        return (
+            s.read.option("header", "true")
+            .csv(f"{out}/dictionary_csv")
+            .select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"),
+            )
+        )
+    q["q_dictionary_sink"] = q_dict_sink
+
     q["q_top_terms"] = lambda s, d: (
         ops.dictionary(ops.postings(ops.token_frame(_docs(s, d))))
         .orderBy(F.desc("cf"), F.asc("term"))
@@ -784,6 +835,10 @@ ftf AS (
   GROUP BY doc_id, term
 )
 SELECT term, count(*) AS df, sum(tf) AS cf FROM ftf GROUP BY term"""
+
+    o["q_frontcoding_roundtrip"] = f"""{W}
+SELECT DISTINCT term FROM tf"""
+    o["q_dictionary_sink"] = o["q_dictionary"]
 
     o["q_streaming_boolean"] = o["q_boolean_complex"]
     o["q_streaming_phrase"] = o["q_phrase_2"]
