@@ -525,7 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _STREAMING_DIRS.get(key)
         if out is None or not os.path.exists(os.path.join(out, "ann_manifest.json")):
             out = tempfile.mkdtemp(prefix="kma_ir_ann_")
-            ann.build_ann_index(s, emb, out, n_bits=12, dim=EMB_DIM)
+            # bucket count sized to the corpus (2^8): a 2^12 table over
+            # a few thousand vectors is directory-creation overhead
+            ann.build_ann_index(s, emb, out, n_bits=8, dim=EMB_DIM)
             _STREAMING_DIRS[key] = out
         idx, meta = ann.load_ann_index(s, out)
         return ann.lsh_bucket_topk(idx, qv, 10, n_bits=meta["n_bits"],
@@ -976,8 +978,22 @@ SELECT a.vec_id AS vec_id, round({acos}, 4) AS cosine
 FROM sig a CROSS JOIN q
 WHERE bit_count(xor(a.s, q.s)) <= 1
 ORDER BY {acos} DESC, a.vec_id LIMIT 10"""
-    # same contract, served from the bucket-partitioned on-disk index
-    o["q_ann_lsh_persisted"] = o["q_ann_lsh_topk"]
+    # same contract shape, 8-bit signatures (corpus-sized bucket count),
+    # served from the bucket-partitioned on-disk index
+    planes8 = _ann.hyperplanes(EMB_DIM, 8)
+    bits8 = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes8)
+    )
+    o["q_ann_lsh_persisted"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, ({bits8})::bigint AS s FROM v),
+q AS (SELECT e, s FROM sig WHERE vec_id = 0)
+SELECT a.vec_id AS vec_id, round({acos}, 4) AS cosine
+FROM sig a CROSS JOIN q
+WHERE bit_count(xor(a.s, q.s)) <= 1
+ORDER BY {acos} DESC, a.vec_id LIMIT 10"""
 
     # IVF: centroids = the 16 rows with smallest md5-prefix hash of
     # vec_id (the engine's deterministic sample); assignment = argmax

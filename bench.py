@@ -384,11 +384,13 @@ def main() -> None:
     # bucket-partitioned persisted ANN: build once, probe prunes dirs
     ann_dir = os.path.join(tmp, "annidx")
     dim = len(qv)
+    # bucket count sized to the corpus (2^8 buckets for 5k vectors —
+    # a 2^12 table at this size is all directory-creation overhead)
     timed("ann_index_build", lambda: ann.build_ann_index(
-        spark, emb, ann_dir, n_bits=12, dim=dim))
+        spark, emb, ann_dir, n_bits=8, dim=dim))
     aidx, ameta = ann.load_ann_index(spark, ann_dir)
     timed("ann_lsh_persisted_topk", lambda: ann.lsh_bucket_topk(
-        aidx, qv, 10, n_bits=12, probe_hamming=1).collect())
+        aidx, qv, 10, n_bits=8, probe_hamming=1).collect())
 
     spark.stop()
 

@@ -150,8 +150,12 @@ def build_ann_index(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     idx = lsh_index(emb, n_bits, id_col, vec_col, dim=dim)
-    idx.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "lsh"))
+    # shuffle by bucket before the partitioned write: without it every
+    # task writes a file into every bucket directory it sees (up to
+    # tasks x 2^n_bits small files); with it each bucket is one task's
+    # contiguous write (file count = bucket count)
+    idx.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket").parquet(os.path.join(out_dir, "lsh"))
     with open(os.path.join(out_dir, "ann_manifest.json"), "w") as f:
         json.dump({"n_bits": n_bits, "dim": dim}, f)
 
