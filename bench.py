@@ -219,7 +219,13 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
          l, h)
         for l, h in cand
     ]
-    eff, cpu_eff, lo, hi = max(pair_effs, key=lambda p: p[0])
+    # Headline = best PLAUSIBLE pair: wall efficiency > 1 on identical
+    # plans means the lo run was externally throttled (super-linear
+    # scaling is physically impossible here), so such pairs stay in the
+    # all-pairs table as weather evidence but are not eligible as the
+    # headline number.
+    plausible = [p for p in pair_effs if p[0] <= 1.0]
+    eff, cpu_eff, lo, hi = max(plausible or pair_effs, key=lambda p: p[0])
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     return {"lo_cpus": lo_cpus, "hi_cpus": hi_cpus, "attempts": len(lo_runs),
