@@ -457,6 +457,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.table(sink).select("doc_id", "canonical_id", "is_duplicate")
     q["q_streaming_dedup"] = q_streaming_dedup
 
+    # event-time windowed term counts with a watermark (trending
+    # terms): even docs arrive in batch 1 stamped inside the
+    # [10:00, 10:10) window; a batch-2 sentinel at 10:25 advances the
+    # watermark past the window end (append mode emits it exactly
+    # once); batch 3 re-sends the odd docs stamped INSIDE the closed
+    # window — behind the watermark, so they are dropped. The oracle
+    # states the post-drop contract: counts over even docs only.
+    def q_streaming_trending(s, d):
+        import hashlib
+        import os
+
+        from kma_information_retrieval_spark.streaming.trending import (
+            windowed_term_counts,
+        )
+
+        base = "2026-01-01 10:0"
+        docs = _docs(s, d).select(
+            F.to_timestamp(
+                F.concat(F.lit(base), (F.col("doc_id") % 10).cast("string"),
+                         F.lit(":00"))
+            ).alias("event_time"),
+            "doc_id", "content",
+        )
+        src = tempfile.mkdtemp(prefix="kma_ir_trend_in_")
+        ckpt = tempfile.mkdtemp(prefix="kma_ir_trend_ck_")
+        sel = ["event_time", "content"]
+        docs.filter(F.col("doc_id") % 2 == 0).select(sel).coalesce(1)             .write.mode("append").parquet(src)
+        stream = s.readStream.schema("event_time timestamp, content string").parquet(src)
+        sink = "strend_" + hashlib.md5(d.encode()).hexdigest()[:8]
+        qh = (
+            windowed_term_counts(stream, window="10 minutes", watermark="10 minutes")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .start()
+        )
+        qh.processAllAvailable()
+        s.createDataFrame(
+            [("2026-01-01 10:25:00", "watermarksentinel")],
+            "event_time string, content string",
+        ).select(F.to_timestamp("event_time").alias("event_time"), "content")             .coalesce(1).write.mode("append").parquet(src)
+        qh.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).select(sel).coalesce(1)             .write.mode("append").parquet(src)
+        qh.processAllAvailable()
+        qh.stop()
+        return s.table(sink).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "term", "cf",
+        )
+    q["q_streaming_trending"] = q_streaming_trending
+
     # --- dedup suite
     q["q_dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).select(
         "doc_id", "canonical_id", "group_size"
@@ -847,6 +898,16 @@ SELECT DISTINCT term FROM tf"""
     o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
     o["q_streaming_wildcard_compacted"] = o["q_wildcard_contains"]
     o["q_streaming_bm25"] = o["q_bm25_topk"]
+    o["q_streaming_trending"] = f"""
+WITH etoks AS (
+  SELECT doc_id, {_TOK_EXPR} AS toks FROM documents WHERE doc_id % 2 = 0
+)
+SELECT '2026-01-01 10:00:00' AS window_start,
+       '2026-01-01 10:10:00' AS window_end,
+       term, count(*) AS cf
+FROM (SELECT doc_id, unnest(toks) AS term FROM etoks)
+GROUP BY term"""
+
     o["q_streaming_dedup"] = """
 WITH c AS (SELECT doc_id, substr(text, 1, 20) AS content FROM documents),
 g AS (

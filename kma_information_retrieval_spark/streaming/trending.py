@@ -1,0 +1,57 @@
+"""Event-time windowed term statistics with late-data handling.
+
+The generation sink (``incremental.py``) and the stateful dedup
+(``dedup_stream.py``) cover the processing-time side of a streaming
+ingest; this covers the EVENT-time side: term frequencies per event-
+time window ("trending terms"), with a **watermark** bounding how long
+the engine waits for stragglers. Spark's own windowed-aggregation
+state machine does the heavy lifting:
+
+* ``withWatermark(t, delay)`` — state for a window is kept until the
+  watermark (max observed event time minus ``delay``) passes the
+  window end; docs arriving later than that are dropped, which is the
+  documented late-data contract (not an error);
+* append output mode — each window emits exactly once, when it is
+  finalized, so a downstream sink (e.g. a per-window parquet append)
+  never sees a partial count revised.
+
+At scale the aggregation state shards by (window, term) hash like any
+groupBy; the watermark bounds state size to (windows in flight) x
+(vocabulary), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_expr
+
+
+def windowed_term_counts(
+    stream_docs: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "event_time",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Streaming (window_start, window_end, term, cf) — tokenize each
+    doc, count term occurrences per event-time window. Attach with
+    ``writeStream.outputMode("append")``; a window's row appears once,
+    after the watermark passes its end."""
+    toks = stream_docs.withWatermark(time_col, watermark).select(
+        F.col(time_col),
+        F.explode(tokenize_expr(text_col, mode)).alias("term"),
+    )
+    return (
+        toks.groupBy(F.window(time_col, window, slide or window), "term")
+        .agg(F.count("*").alias("cf"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "term",
+            "cf",
+        )
+    )

@@ -176,3 +176,56 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
         7: (7, False),   # first delta (batch 2)
         8: (7, True),    # same-batch dup of 7
     }
+
+
+def test_windowed_term_counts_watermark(spark, tmp_path):
+    """Event-time windowed term counts: a window emits exactly once
+    (append mode) after the watermark passes its end, and a doc arriving
+    LATER than the watermark allows is dropped, not counted."""
+    from datetime import datetime
+
+    from kma_information_retrieval_spark.streaming.trending import (
+        windowed_term_counts,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "event_time timestamp, content string"
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_term_counts(
+        stream, window="10 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("trend_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # batch 1: two docs in [10:00, 10:10) -> watermark after = 10:05-10m
+    emit([(t(2), "spark spark join"), (t(5), "spark scan")])
+    q.processAllAvailable()
+    # batch 2: doc at 10:25 -> watermark advances to 10:15, closing the
+    # [10:00, 10:10) window (emits on the next trigger)
+    emit([(t(25), "other words here")])
+    q.processAllAvailable()
+    # batch 3: a LATE doc stamped 10:04 — behind the 10:15 watermark, so
+    # its counts must NOT appear when the window is (already) finalized
+    emit([(t(4), "spark late late")])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("trend_sink").collect()
+    first = {
+        r["term"]: r["cf"] for r in rows
+        if r["window_start"] == t(0) and r["window_end"] == t(10)
+    }
+    assert first == {"spark": 3, "join": 1, "scan": 1}  # late doc dropped
+    # the [10:20, 10:30) window is still open (watermark hasn't passed
+    # 10:30), so append mode must not have emitted it
+    assert all(r["window_start"] == t(0) for r in rows)
