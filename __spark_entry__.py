@@ -828,7 +828,7 @@ scores AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
-ORDER BY score DESC, doc_id LIMIT 10"""
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
 
     o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
     o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
@@ -855,7 +855,7 @@ scores AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
-ORDER BY score DESC, doc_id LIMIT 10"""
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
 
     # persisted-index paths compute the same results as the in-memory
     # ones — the oracle is shared (the engine side differs: it reads the
