@@ -375,6 +375,12 @@ def main() -> None:
         skew[tag] = {"secs": secs, "max_group_df": int(row["max_group_df"]),
                      "n_groups": int(row["groups"])}
         timings[f"skew_build_{tag}"] = secs
+        # query side: WAND on the head term itself — salted, its list is
+        # spread over ceil(df/256) doc-disjoint cursors; unsalted it is
+        # one group (one task's entire probe set at scale)
+        sidx = load_index(spark, out)
+        timed(f"skew_wand_{tag}", lambda: bm25_topk_batch(
+            sidx, {"hot": ["zipfhead", "spark"]}, 10).collect())
 
     # dedup + ANN
     timed("minhash_pairs", lambda: dedup.minhash_pairs(
