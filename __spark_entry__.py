@@ -5,7 +5,9 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops + the persisted-index query surface,
-                 49 total); each callable is (spark, sf_dir)
+                 66 total; the first 50 in insertion order are the
+                 driver-gated set, curated to cover every operator
+                 family); each callable is (spark, sf_dir)
                  -> DataFrame.
 oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
                  with the same column names/aliases. Tokenization,
@@ -720,7 +722,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return attach_metadata(media).select("media_id", "n_bytes", "sha256", "magic")
     q["q_media_metadata"] = q_media
 
-    return q
+    # ---- driver-gate curation: the driver records the FIRST 50 entries
+    # in insertion order. Round-3 verdict #1: the 16 tail entries (the
+    # source paths S1-S3/T11/A13 worst of all — never driver-checked in
+    # any round) must rotate into the gate. The first 50 below keep >= 1
+    # entry per operator family (SURVEY §2 + every LLM-pipeline
+    # component); entries moved past the cut are r2/r3 driver-green and
+    # untouched, and each path they prove stays pytest-covered.
+    first_50 = [
+        # dictionary / stats / codecs / sinks (A1-A5, T1, C4/C5, S6)
+        "q_dictionary", "q_dictionary_letters", "q_frontcoding_roundtrip",
+        "q_dictionary_sink", "q_top_terms", "q_collection_stats",
+        # boolean algebra (J1-J5, T4/T5)
+        "q_boolean_and", "q_boolean_or", "q_boolean_not",
+        "q_boolean_complex", "q_boolean_missing",
+        # phrase / proximity / bigram (J6-J8, T2/T6, A7/A8)
+        "q_phrase_2", "q_proximity", "q_bigram_phrase",
+        # wildcards, one per router tier (T7-T10, A10-A12, J9-J13)
+        "q_wildcard_prefix", "q_wildcard_contains", "q_wildcard_qmark",
+        "q_wildcard_singlechar", "q_wildcard_terms",
+        # incidence matrix (A9)
+        "q_incidence_boolean",
+        # BM25 (north star) + composition
+        "q_bm25_topk", "q_bm25_filtered",
+        # persisted-index surface (S5/S7 + WAND + wildcard->BM25)
+        "q_boolean_persisted", "q_bm25_wand_persisted",
+        "q_wildcard_bm25_persisted",
+        # streaming (incremental generations, stateful dedup, watermark)
+        "q_streaming_phrase_compacted", "q_streaming_bm25",
+        "q_streaming_dedup", "q_streaming_trending",
+        # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
+        "q_dedup_exact", "q_minhash_signatures", "q_minhash_pairs",
+        "q_ngram_jaccard_pairs", "q_dedup_clusters", "q_simhash",
+        "q_simhash_pairs", "q_embedding_neardup",
+        # similarity search (brute-force, LSH, persisted, IVF)
+        "q_embedding_topk", "q_ann_lsh_topk", "q_ann_lsh_persisted",
+        "q_ann_ivf_topk",
+        # text analysis (all five textstats components)
+        "q_token_counts", "q_quality_scores", "q_language_id",
+        "q_fingerprints", "q_rolling_fingerprints",
+        # sources (S1-S3, T11, A13 — never driver-checked before r4)
+        "q_source_discovery", "q_xml_extract_dictionary",
+        "q_fb2_dir_dictionary",
+        # multimodal plumbing
+        "q_media_metadata",
+    ]
+    assert len(first_50) == 50 and set(first_50) <= set(q), (
+        len(first_50), sorted(set(first_50) - set(q)))
+    ordered = {name: q[name] for name in first_50}
+    ordered.update((name, fn) for name, fn in q.items() if name not in ordered)
+    return ordered
 
 
 # ---------------------------------------------------------------- oracle
