@@ -55,6 +55,7 @@ def skew_salted_pairs(
     max_factor: int = 64,
     bucket_cap: int | None = None,
     keep_multiplicity: bool = False,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs ``(a, b[, payload_a..., payload_b...])``
     from an equi-self-join of ``bands`` (columns: ``id``, *keys*,
@@ -88,12 +89,21 @@ def skew_salted_pairs(
     the corpus), but dropping is a documented completeness trade-off:
     pairs whose ONLY shared band is capped are lost. Default None
     (exact semantics, as the exported oracle-gated queries require).
+
+    ``broadcast_hot``: the hot-bucket list has at most
+    ``n_rows / bucket_target`` entries by construction, so with the
+    defaults it is broadcastable up to ~5*10^10 input rows (~5M hot
+    entries). Beyond that — or with a small ``bucket_target`` — pass
+    ``broadcast_hot=False`` to tag hot rows through a shuffle join
+    instead (AQE still promotes it to broadcast when the list turns
+    out small); an oversized forced broadcast would OOM the driver.
     """
     keys = list(keys)
+    _bcast = F.broadcast if broadcast_hot else (lambda df: df)
     counts = bands.groupBy(*keys).agg(F.count("*").alias("bkt_n"))
     if bucket_cap is not None:
         dropped = counts.filter(F.col("bkt_n") > bucket_cap).select(*keys)
-        bands = bands.join(F.broadcast(dropped), keys, "left_anti")
+        bands = bands.join(_bcast(dropped), keys, "left_anti")
         counts = counts.filter(F.col("bkt_n") <= bucket_cap)
     hot = counts.filter(F.col("bkt_n") > bucket_target).select(
         *keys,
@@ -101,7 +111,7 @@ def skew_salted_pairs(
             F.ceil(F.col("bkt_n") / F.lit(bucket_target)), F.lit(max_factor)
         ).cast("int").alias("bkt_factor"),
     )
-    tagged = bands.join(F.broadcast(hot), keys, "left")
+    tagged = bands.join(_bcast(hot), keys, "left")
     left = tagged.withColumn(
         "bsalt",
         F.when(
@@ -287,19 +297,31 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     lists into dedup groups so a pipeline can keep one canonical doc
     per cluster (``doc_id == cluster_id``).
 
-    Min-label propagation: each iteration sends every vertex's label to
-    its neighbors and takes the elementwise min — one shuffle per
-    iteration, converging in O(graph diameter) iterations (near-dup
-    clusters are dense, so the diameter is tiny in practice; 25 covers
-    a path of 2^25 hops worth of star-collapse in the worst inputs we
-    bound here). ``localCheckpoint`` truncates the plan lineage each
-    iteration — without it the logical plan doubles per iteration and
-    the driver, not the data, becomes the bottleneck. The driver-side
-    convergence check is one small count per iteration (the labels
-    frame is vertex-sized, never edge-sized)."""
-    edges = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    ).distinct()
+    Min-label propagation with pointer doubling: each iteration (a)
+    takes the min over neighbor labels (one hop) and then (b) shortcuts
+    ``label <- label(label)`` by joining the vertex-sized label frame
+    to itself. The shortcut is sound — a vertex's label is always the
+    id of some vertex in its own component, so the label's label is
+    also reachable — and it contracts label chains multiplicatively,
+    so convergence needs O(log diameter) iterations instead of the
+    O(diameter) of plain propagation (a 60-hop near-dup chain converges
+    in ~10 rounds; ``max_iter=25`` covers diameters far beyond any real
+    corpus). Two vertex-sized shuffles per iteration.
+
+    ``edges`` is localCheckpoint'd ONCE before the loop — otherwise
+    every iteration re-executes the whole upstream pair-generation
+    pipeline (shingle -> salted self-join -> jaccard), which round-3
+    profiling showed dominated the runtime. ``labels`` is checkpointed
+    per iteration to truncate plan lineage. If the loop exits without
+    converging a ``RuntimeError`` is raised — silently returning
+    partially-propagated labels would hand the caller wrong clusters.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("x").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -317,12 +339,22 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         # carry the old label through the checkpoint so the convergence
         # check is a scan of the checkpointed frame, not a second join
+        hop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
+        )
+        # pointer doubling: label <- min(label, label(label))
+        lmap = hop.select(F.col("id").alias("lid"), F.col("label").alias("llab"))
         stepped = (
-            labels.join(nbr_min, "id", "left")
+            hop.alias("h")
+            .join(lmap.alias("m"), F.col("h.label") == F.col("m.lid"), "left")
             .select(
-                "id",
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
+                F.col("h.id").alias("id"),
+                F.col("h.old").alias("old"),
+                F.least(
+                    F.col("h.label"), F.coalesce(F.col("m.llab"), F.col("h.label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -330,6 +362,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = stepped.select("id", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} iterations; "
+            "the pair graph has a pathologically long chain — raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -7,6 +7,7 @@ from itertools import combinations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kma_information_retrieval_spark.corpus import local_corpus
 from kma_information_retrieval_spark.oracle import tokenize
@@ -325,3 +326,85 @@ def test_duplicate_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """Round-3 advice: plain min-label propagation needs O(diameter)
+    iterations, so a 60-hop near-dup chain (realistic under sliding-
+    window shingling) silently mislabeled under max_iter=25. Pointer
+    doubling must converge it well within the default budget."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iter without convergence must raise — returning
+    partially-propagated labels would hand the caller wrong clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=1)
+
+
+def test_ngram_jaccard_bucket_cap_adversarial(spark):
+    """End-to-end bucket_cap exercise (round-3 verdict #6): a corpus
+    where ONE shingle appears in 100% of docs. Without a cap the
+    universal bucket alone yields n*(n-1)/2 candidates; with a cap it
+    is dropped, bounding candidates to the genuine duplicate pairs.
+    Documented semantics: the capped shingle no longer counts toward
+    intersections, so surviving pairs' Jaccard is a lower bound (here
+    exact dup pairs score (s-1)/(s+1) instead of 1.0), and pairs whose
+    ONLY shared shingle is capped vanish."""
+    n = 12
+    rows = [
+        (i, f"alpha beta gamma xxx{i // 2} yyy{i // 2} zzz{i // 2}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    sf = dedup.shingle_frame(docs, 3)
+
+    cand_plain = dedup.skew_salted_pairs(
+        sf.select(F.col("doc_id").alias("id"), "shingle_hash"), ["shingle_hash"]
+    ).count()
+    cand_capped = dedup.skew_salted_pairs(
+        sf.select(F.col("doc_id").alias("id"), "shingle_hash"), ["shingle_hash"],
+        bucket_cap=5,
+    ).count()
+    assert cand_plain == n * (n - 1) // 2  # universal shingle pairs everything
+    assert cand_capped == n // 2           # only the true dup pairs remain
+
+    dup_pairs = {(2 * i, 2 * i + 1) for i in range(n // 2)}
+    uncapped = {(r["a"], r["b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(sf, 0.5).collect()}
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(sf, 0.5, bucket_cap=5).collect()}
+    assert set(uncapped) == dup_pairs and all(v == 1.0 for v in uncapped.values())
+    # each doc has 4 shingles; dropping the universal one: i=3, union=5
+    assert set(capped) == dup_pairs
+    assert all(v == pytest.approx(0.6) for v in capped.values())
+
+
+def test_skew_salted_pairs_no_broadcast_hint(spark):
+    """broadcast_hot=False must produce identical results through plain
+    joins (the 10^12-row path where a forced hot-list broadcast could
+    OOM the driver)."""
+    n = 30
+    bands = spark.createDataFrame(
+        [(i, 0, 7) for i in range(n)], "id long, band int, val long"
+    )
+    plain = {(r["a"], r["b"])
+             for r in dedup.skew_salted_pairs(bands, ["band", "val"]).collect()}
+    unhinted = {
+        (r["a"], r["b"])
+        for r in dedup.skew_salted_pairs(
+            bands, ["band", "val"], bucket_target=5, max_factor=8,
+            broadcast_hot=False,
+        ).collect()
+    }
+    assert unhinted == plain
