@@ -361,12 +361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # wildcard -> BM25 composition (J9 + north star): expand the pattern
     # against the persisted gram tables, score the union as a
-    # bag-of-terms query over the segments
+    # bag-of-terms query over the segments. The matched-term frame is
+    # never collected — it joins dictionary + segments distributedly
+    # (round-3 verdict #3).
     def q_wc_bm25(s, d):
-        from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+        from kma_information_retrieval_spark.index.wand import bm25_topk_terms_frame
         idx = _persisted_index(s, d)
-        terms = sorted(r["term"] for r in idx.wildcard_terms("qu*").collect())
-        return bm25_topk_batch(idx, {"q": terms}, 10).select(
+        return bm25_topk_terms_frame(idx, idx.wildcard_terms("qu*"), 10).select(
             "doc_id", F.round("score", 4).alias("score")
         )
     q["q_wildcard_bm25_persisted"] = q_wc_bm25

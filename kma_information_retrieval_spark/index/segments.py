@@ -838,13 +838,18 @@ class SegmentIndex:
     def wildcard_topk(self, pattern: str, k: int = 10,
                       use_wand: bool = True) -> list[tuple[int, float]]:
         """Wildcard BM25: expand the pattern to matching terms, score the
-        union as a bag-of-terms query over the segments."""
-        from .wand import bm25_topk_segments
+        union as a bag-of-terms query over the segments. The expansion
+        stays a DataFrame end-to-end — matched terms semi-join the
+        dictionary (distributed idf) and the segments (saltmap-derived
+        part ids, dynamic-partition-prunable), so a pattern matching
+        millions of vocab terms never materializes on the driver
+        (round-3 verdict #3 replaced the ``.collect()`` here)."""
+        from .wand import bm25_topk_terms_frame
 
-        terms = [r["term"] for r in self.wildcard_terms(pattern).collect()]
-        if not terms:
-            return []
-        return bm25_topk_segments(self, terms, k, use_wand=use_wand)
+        out = bm25_topk_terms_frame(
+            self, self.wildcard_terms(pattern), k, use_wand=use_wand
+        ).collect()
+        return sorted(((r["doc_id"], r["score"]) for r in out), key=lambda x: (-x[1], x[0]))
 
     def salt_factors(self, terms: list[str]) -> dict[str, int]:
         sm = self.saltmap

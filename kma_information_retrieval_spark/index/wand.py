@@ -247,6 +247,95 @@ def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
     return run
 
 
+def make_rowidf_kernel(avgdl: float, k: int, use_wand: bool):
+    """applyInPandas kernel for the distributed-expansion path: per-term
+    idf arrives as an ``idf`` COLUMN on the segment rows (attached by a
+    dictionary join) instead of a driver-side dict, so the term set
+    never materializes on the driver."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = key[0]
+        idf_by_term = dict(zip(pdf["term"], pdf["idf"]))
+        kern = _wand_kernel if use_wand else _exact_kernel
+        top = kern(pdf, idf_by_term, avgdl, k)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    return run
+
+
+def bm25_topk_terms_frame(
+    index: SegmentIndex,
+    terms_df: DataFrame,
+    k: int = 10,
+    use_wand: bool = True,
+    query_id: str = "q",
+) -> DataFrame:
+    """Bag-of-terms BM25 top-k where the term set is a **DataFrame**
+    (e.g. a wildcard expansion) that is never collected to the driver
+    (round-3 verdict #3: the old path ``.collect()``-ed the matched
+    terms, then shipped a giant In-filter — at a 10^9-term vocab a
+    ``qu*`` expansion would materialize millions of terms driver-side).
+
+    Fully distributed shape, mirroring the boolean path's
+    ``_docs_of_terms`` (``operators/boolean.py``): the term frame joins
+    the dictionary for per-term df -> idf (computed as a Catalyst
+    expression, bit-identical to the driver-side ``math.log``), then —
+    term layout — joins the saltmap to enumerate each term's (salt,
+    part_id) pairs so the segment join carries ``part_id`` equality —
+    the broadcast hash join then drops non-candidate (part_id, term)
+    rows at the scan's exit, and the part_id equality makes the plan
+    eligible for dynamic partition pruning when the optimizer judges
+    the scan large enough to benefit (at the small test SFs it keeps
+    the plain broadcast join). Scoring reuses the same exact/WAND
+    kernels with idf read from a row column."""
+    from .segments import _part_id_col
+
+    n_docs, avgdl = index.meta["n_docs"], index.meta["avgdl"]
+    idf_expr = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tdf = (
+        index.dictionary.join(terms_df.select("term").distinct(), "term")
+        .select("term", idf_expr.alias("idf"))
+    )
+    doc_layout = index.meta.get("partition_by") == "doc"
+    sm = None if doc_layout else index.saltmap
+    if sm is not None:
+        tagged_terms = (
+            tdf.join(sm, "term", "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("salt_factor"), F.lit(1)) - 1
+                    )
+                ),
+            )
+            .select(
+                _part_id_col(
+                    F.col("term"), F.col("salt"), index.meta["num_segments"]
+                ).alias("part_id"),
+                "term",
+                "idf",
+            )
+            .distinct()  # two salts of one term may share a part_id
+        )
+        tagged = index.segments.join(tagged_terms, ["part_id", "term"])
+    else:
+        tagged = index.segments.join(tdf, "term")
+    tagged = tagged.withColumn("query_id", F.lit(query_id))
+    run = make_rowidf_kernel(avgdl, k, use_wand)
+    if doc_layout:
+        local = tagged.groupBy("query_id", "part_id").applyInPandas(
+            run, schema=RESULT_SCHEMA
+        )
+        return merge_local_topk(local, k)
+    return tagged.groupBy("query_id").applyInPandas(run, schema=RESULT_SCHEMA)
+
+
 def merge_local_topk(local: DataFrame, k: int) -> DataFrame:
     """Global top-k per query over per-shard local top-k rows (the
     two-stage merge: <= shards*k candidate rows per query)."""

@@ -179,3 +179,47 @@ def test_decoded_fallback_prunes_before_decode(docidx, indexes):
     got = _ids(df)
     want = _ids(compile_query("compute", indexes))
     assert got == want
+
+
+def test_wildcard_bm25_expansion_stays_distributed(pidx, monkeypatch):
+    """Round-3 verdict #3: the wildcard->BM25 composition must not
+    collect the expanded term list to the driver. Plan construction is
+    guarded against ANY DataFrame.collect; results must equal the
+    collected-terms batch path bit-for-bit (same kernels, idf now a
+    Catalyst column)."""
+    from pyspark.sql import DataFrame
+
+    from kma_information_retrieval_spark.index.wand import (
+        bm25_topk_batch,
+        bm25_topk_terms_frame,
+    )
+
+    terms = sorted(r["term"] for r in pidx.wildcard_terms("comp*").collect())
+    assert terms, "fixture corpus must match comp*"
+    exp = sorted(
+        ((r["doc_id"], r["score"]) for r in bm25_topk_batch(pidx, {"q": terms}, 10).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+
+    def boom(self):
+        raise AssertionError("driver-side collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    frame = bm25_topk_terms_frame(pidx, pidx.wildcard_terms("comp*"), 10)
+    monkeypatch.undo()
+    got = sorted(
+        ((r["doc_id"], r["score"]) for r in frame.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == exp
+
+
+def test_wildcard_topk_layouts_agree(pidx, docidx):
+    """wildcard_topk through the distributed expansion: term layout
+    (saltmap-derived part ids) and doc layout (per-partition local
+    top-k + merge) must rank identically."""
+    t = pidx.wildcard_topk("comp*", 10)
+    d = docidx.wildcard_topk("comp*", 10)
+    assert [doc for doc, _ in t] == [doc for doc, _ in d]
+    assert [s for _, s in t] == pytest.approx([s for _, s in d])
+    assert pidx.wildcard_topk("zzzznothing*") == []
