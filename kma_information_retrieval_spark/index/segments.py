@@ -99,7 +99,13 @@ SEGMENT_SCHEMA = (
     "part_id int, term string, salt int, df long, cf long, max_impact double, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
     "block_last array<long>, block_max_impact array<double>, "
-    "block_doc_off array<int>, block_tf_off array<int>, block_dl_off array<int>"
+    "block_doc_off array<int>, block_tf_off array<int>, block_dl_off array<int>, "
+    # raw bounds alongside the avgdl-baked impacts: BM25 impact is
+    # increasing in tf and decreasing in dl, so (max_tf, min_dl) yield
+    # valid upper bounds under ANY avgdl — what cross-generation WAND
+    # needs, since per-generation impacts were built against
+    # per-generation avgdl (round-3 verdict #8)
+    "max_tf long, min_dl long, block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
@@ -181,6 +187,10 @@ def _encode_partition(avgdl: float, block_size: int, grouped: bool = False):
             "block_doc_off": d_off,
             "block_tf_off": t_off,
             "block_dl_off": l_off,
+            "max_tf": int(tf.max()),
+            "min_dl": int(dl.min()),
+            "block_max_tf": np.maximum.reduceat(tf, bstarts).astype(np.int64).tolist(),
+            "block_min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int64).tolist(),
         }
 
     def run_grouped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -39,6 +39,13 @@ def _idf(df: int, n_docs: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _impact(tf: float, dl: float, avgdl: float) -> float:
+    """BM25 term impact (idf excluded) — increasing in tf, decreasing in
+    dl, so impact(max_tf, min_dl, avgdl) upper-bounds every posting's
+    impact under ANY avgdl."""
+    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
 # ------------------------------------------------------------------ cursors
 
 
@@ -50,12 +57,23 @@ class _Cursor:
         "_row", "_bi", "_docs", "_contrib", "_pos", "cur_doc", "n_blocks",
     )
 
-    def __init__(self, row, idf: float, avgdl: float):
+    def __init__(self, row, idf: float, avgdl: float, rescale: bool = False):
         self.term = row["term"]
         self.idf = idf
-        self.ub = idf * float(row["max_impact"])
+        if rescale:
+            # cross-generation querying: the stored impacts were baked
+            # against the BUILDING generation's avgdl, which differs from
+            # the merged avgdl scoring runs under — re-derive (looser but
+            # valid) bounds from the raw (max_tf, min_dl) block metadata
+            self.ub = idf * _impact(float(row["max_tf"]), float(row["min_dl"]), avgdl)
+            self.block_ub = [
+                idf * _impact(float(t), float(d), avgdl)
+                for t, d in zip(row["block_max_tf"], row["block_min_dl"])
+            ]
+        else:
+            self.ub = idf * float(row["max_impact"])
+            self.block_ub = [idf * m for m in row["block_max_impact"]]
         self.block_last = row["block_last"]
-        self.block_ub = [idf * m for m in row["block_max_impact"]]
         self._row = row
         self.n_blocks = len(self.block_last)
         self._bi = -1
@@ -154,11 +172,13 @@ def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
     return [(int(uniq[i]), float(scores[i])) for i in sel]
 
 
-def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
+def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
+                 rescale_bounds: bool = False):
     """Block-Max WAND. Exact top-k: pruning uses strict bounds, ties at
     the threshold are still evaluated, final order (score DESC, doc ASC)."""
     cursors = [
-        _Cursor(row, idf_by_term[row["term"]], avgdl) for _, row in rows.iterrows()
+        _Cursor(row, idf_by_term[row["term"]], avgdl, rescale=rescale_bounds)
+        for _, row in rows.iterrows()
     ]
     cursors = [c for c in cursors if c.cur_doc != _EXHAUSTED]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -231,15 +251,22 @@ def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
 
 
 def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
-                     use_wand: bool):
+                     use_wand: bool, rescale_bounds: bool = False):
     """applyInPandas kernel: group key[0] must be query_id; scores each
-    group's segment rows and returns that group's top-k."""
+    group's segment rows and returns that group's top-k.
+    ``rescale_bounds``: derive WAND bounds from the raw (block_max_tf,
+    block_min_dl) metadata under ``avgdl`` instead of the stored
+    impacts — required whenever ``avgdl`` differs from the avgdl the
+    segments were encoded with (cross-generation queries)."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
-        kern = _wand_kernel if use_wand else _exact_kernel
-        top = kern(pdf, idf_by_term, avgdl, k)
+        if use_wand:
+            top = _wand_kernel(pdf, idf_by_term, avgdl, k,
+                               rescale_bounds=rescale_bounds)
+        else:
+            top = _exact_kernel(pdf, idf_by_term, avgdl, k)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )

@@ -138,6 +138,20 @@ class GenerationIndex:
             # no cross-generation pruning is wrongly applied
             pos = pos.drop("part_id")
         docmap = self._union("docmap")
+        if docmap is None:
+            # round-3 advice: every generation must carry a docmap (it is
+            # written by build_index before the manifest commits); a
+            # missing one means a partially-written generation — raise a
+            # descriptive error instead of AttributeError below
+            missing = [
+                g for g in self.gen_dirs
+                if not os.path.isdir(os.path.join(g, "docmap"))
+            ]
+            raise ValueError(
+                f"generation(s) missing the docmap table: {missing} — "
+                "partially-written generation? Remove it (or its "
+                "manifest.json) and re-ingest."
+            )
         tri = self._union("trigrams")
         perm = self._union("permuterm")
         g2 = self._union("grams2")
@@ -171,32 +185,62 @@ class GenerationIndex:
 
         return compile_query(query_str, self.bundle(), strict=strict)
 
-    def bm25_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Merged-generation BM25 top-k, fully distributed: generations
-        are doc-disjoint, so the exact kernel runs per (query, gen) —
-        complete per-doc scores inside one task — and a <= gens*k global
-        merge picks the final top-k (the round-1 driver-side ``toPandas``
-        merge would OOM once generations accumulate). Global stats are
-        cross-generation sums; impacts are recomputed from tf/dl with
-        the merged avgdl (per-generation block-max metadata was built
-        against per-generation avgdl, so WAND bounds don't transfer —
-        exact kernel here, block skipping is per-generation territory)."""
+    def bm25_topk_batch(self, queries: dict[str, list[str]], k: int = 10,
+                        use_wand: bool = True) -> DataFrame:
+        """Merged-generation BM25 top-k for a BATCH of queries (round-3
+        verdict #7: the old single-query API collected per query; a
+        query workload over a streaming index now fans out once, like
+        the segment path's ``bm25_topk_batch``). Returns (query_id,
+        doc_id, score), <= k rows per query.
+
+        Generations are doc-disjoint, so the kernel runs per
+        (query, gen) — complete per-doc scores inside one task — and a
+        <= gens*k global merge picks the final top-k. Global stats are
+        cross-generation sums. **Cross-generation WAND** (round-3
+        verdict #8): per-generation block-max impacts were baked
+        against per-generation avgdl, so with >1 generation the kernel
+        re-derives (looser but valid) bounds from the raw
+        (block_max_tf, block_min_dl) segment metadata under the merged
+        avgdl — block skipping now works across generations instead of
+        falling back to the full-decode exact kernel. Indexes built
+        before those columns existed fall back to the exact kernel."""
         from ..index.wand import RESULT_SCHEMA, _idf, make_topk_kernel, merge_local_topk
 
-        terms = sorted(set(terms))
-        seg = self.segments.filter(F.col("term").isin(terms)).withColumn(
-            "query_id", F.lit("q")
-        )
+        spark = self.spark
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        if not all_terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        seg = self.segments.filter(F.col("term").isin(all_terms))
         gdf = {
             r["term"]: r["df"]
-            for r in self.dictionary.filter(F.col("term").isin(terms)).collect()
+            for r in self.dictionary.filter(F.col("term").isin(all_terms)).collect()
         }
         if not gdf:
-            return []
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        qmap = spark.createDataFrame(
+            [(qid, t) for qid, ts in queries.items()
+             for t in sorted(set(ts)) if t in gdf],
+            "query_id string, term string",
+        )
+        tagged = seg.join(F.broadcast(qmap), "term")
         idf = {t: _idf(d, self.n_docs) for t, d in gdf.items()}
-        run = make_topk_kernel(idf, {"q": terms}, self.avgdl, k, use_wand=False)
-        local = seg.groupBy("query_id", "gen").applyInPandas(run, schema=RESULT_SCHEMA)
-        rows = merge_local_topk(local, k).collect()
+        qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
+        rescale = len(self.gen_dirs) > 1
+        have_bounds = "block_max_tf" in seg.schema.fieldNames()
+        run = make_topk_kernel(
+            idf, qterms, self.avgdl, k,
+            use_wand=use_wand and (not rescale or have_bounds),
+            rescale_bounds=rescale,
+        )
+        local = tagged.groupBy("query_id", "gen").applyInPandas(
+            run, schema=RESULT_SCHEMA
+        )
+        return merge_local_topk(local, k)
+
+    def bm25_topk(self, terms: list[str], k: int = 10,
+                  use_wand: bool = True) -> list[tuple[int, float]]:
+        """Single-query convenience over :meth:`bm25_topk_batch`."""
+        rows = self.bm25_topk_batch({"q": sorted(set(terms))}, k, use_wand).collect()
         return sorted(((r["doc_id"], r["score"]) for r in rows), key=lambda x: (-x[1], x[0]))
 
 
@@ -247,6 +291,13 @@ def compact_generations(
 
     t0 = time.time()
     gi = load_generations(spark, out_dir)
+    # finish any interrupted cleanup: source dirs of an already-committed
+    # compaction are skipped by load_generations but still on disk after
+    # a crash between manifest commit and rmtree — remove them now
+    superseded = {b for m in gi.metas for b in m.get("compacted_from", [])}
+    for g in glob.glob(os.path.join(out_dir, "generations", "gen=*")):
+        if os.path.basename(g) in superseded:
+            shutil.rmtree(g)
     if len(gi.gen_dirs) < 2:
         return gi
     last_epoch = max(int(os.path.basename(g).split("=")[1]) for g in gi.gen_dirs)
@@ -335,15 +386,24 @@ def compact_generations(
 
 
 def load_generations(spark: SparkSession, out_dir: str) -> GenerationIndex:
+    """Load every committed generation, EXCEPT sources of a committed
+    compaction: ``compact_generations`` commits the merged manifest and
+    only then removes the source dirs, so a crash between the two
+    leaves both on disk — loading both would double-count every doc.
+    Skipping anything listed in a committed ``compacted_from`` makes
+    the commit+cleanup sequence crash-safe (round-3 advice)."""
     gen_dirs = sorted(glob.glob(os.path.join(out_dir, "generations", "gen=*")))
-    metas = []
-    dirs = []
+    committed: list[tuple[str, dict]] = []
+    superseded: set[str] = set()
     for g in gen_dirs:
         mp = os.path.join(g, "manifest.json")
         if os.path.exists(mp):  # only committed generations
             with open(mp) as f:
-                metas.append(json.load(f))
-            dirs.append(g)
+                meta = json.load(f)
+            committed.append((g, meta))
+            superseded.update(meta.get("compacted_from", []))
+    dirs = [g for g, _ in committed if os.path.basename(g) not in superseded]
+    metas = [m for g, m in committed if os.path.basename(g) not in superseded]
     if not dirs:
         raise FileNotFoundError(f"no committed generations under {out_dir}")
     return GenerationIndex(spark, out_dir, dirs, metas)

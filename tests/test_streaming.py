@@ -229,3 +229,100 @@ def test_windowed_term_counts_watermark(spark, tmp_path):
     # the [10:20, 10:30) window is still open (watermark hasn't passed
     # 10:30), so append mode must not have emitted it
     assert all(r["window_start"] == t(0) for r in rows)
+
+
+def _tiny_gens(spark, out, n=60):
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.index import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 7} gamma{i % 3} delta") for i in range(n)],
+        "doc_id long, content string",
+    )
+    for i, gen in enumerate((
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )):
+        build_index(spark, gen, os.path.join(out, "generations", f"gen={i + 1:010d}"),
+                    num_segments=2)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def tiny_gi(spark, tmp_path_factory):
+    """Own two-generation index: gen_index's directory is compacted
+    (mutated) by test_compaction_preserves_results above."""
+    out = str(tmp_path_factory.mktemp("tinygens") / "idx")
+    _tiny_gens(spark, out)
+    return load_generations(spark, out)
+
+
+def test_cross_generation_wand_matches_exact(tiny_gi):
+    """Round-3 verdict #8: cross-generation WAND — bounds re-derived
+    from the raw (block_max_tf, block_min_dl) metadata under the merged
+    avgdl — must return exactly what the full-decode kernel returns."""
+    assert len(tiny_gi.gen_dirs) == 2
+    for terms in (["alpha", "doc3"], ["gamma1"], ["doc2", "gamma0", "delta"]):
+        wand = tiny_gi.bm25_topk(terms, 10, use_wand=True)
+        exact = tiny_gi.bm25_topk(terms, 10, use_wand=False)
+        assert [d for d, _ in wand] == [d for d, _ in exact]
+        assert [s for _, s in wand] == pytest.approx([s for _, s in exact], rel=1e-12)
+
+
+def test_generation_bm25_batch_matches_singles(tiny_gi):
+    """Round-3 verdict #7: a batch of queries over the streaming index
+    fans out in ONE job and must match the per-query API."""
+    batch = {"q1": ["alpha", "doc3"], "q2": ["gamma1"], "q3": ["zzznope"]}
+    rows = tiny_gi.bm25_topk_batch(batch, 5).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in by_q:
+        by_q[qid].sort(key=lambda x: (-x[1], x[0]))
+    assert by_q.get("q3") is None  # no matching term -> no rows
+    for qid in ("q1", "q2"):
+        single = tiny_gi.bm25_topk(batch[qid], 5)
+        assert by_q[qid] == single
+
+
+def test_compaction_crash_window_no_double_count(spark, tmp_path):
+    """Round-3 advice: a crash between the compacted manifest's commit
+    and the source rmtree leaves both committed — load_generations must
+    skip sources listed in a committed compacted_from, and the next
+    compaction run finishes the cleanup."""
+    import shutil
+
+    from kma_information_retrieval_spark.streaming.incremental import (
+        compact_generations,
+    )
+
+    out = str(tmp_path / "idx")
+    _tiny_gens(spark, out)
+    g1 = os.path.join(out, "generations", "gen=0000000001")
+    backup = str(tmp_path / "backup")
+    shutil.copytree(g1, backup)
+    gi = compact_generations(spark, out, num_segments=2)
+    assert gi.n_docs == 60 and len(gi.gen_dirs) == 1
+    shutil.copytree(backup, g1)  # simulate the crash's leftover source
+    gi2 = load_generations(spark, out)
+    assert len(gi2.gen_dirs) == 1 and gi2.n_docs == 60  # not double-counted
+    assert {r["term"] for r in gi2.dictionary.collect()} == {
+        r["term"] for r in gi.dictionary.collect()
+    }
+    compact_generations(spark, out, num_segments=2)  # finishes cleanup
+    assert not os.path.isdir(g1)
+
+
+def test_missing_docmap_raises_descriptive(spark, tmp_path):
+    """Round-3 advice: a generation with a missing docmap must raise a
+    descriptive error from bundle(), not AttributeError."""
+    import shutil
+
+    out = str(tmp_path / "idx")
+    _tiny_gens(spark, out)
+    g1 = os.path.join(out, "generations", "gen=0000000001")
+    shutil.rmtree(os.path.join(g1, "docmap"))
+    gi = load_generations(spark, out)
+    with pytest.raises(ValueError, match="docmap"):
+        gi.bundle()
