@@ -217,68 +217,99 @@ def _docs_of_terms(terms_df: DataFrame, idx: IndexBundle) -> DataFrame:
     )
 
 
-def wildcard_terms(pattern: str, idx: IndexBundle) -> DataFrame:
+def _cand_permuterm(pattern: str, idx: IndexBundle) -> DataFrame | None:
+    """J11 prefilter: X*Y -> permuterm rotation prefix scan on Y$X.
+    Applicable only to single-``*``, no-``?`` patterns."""
+    if pattern.count("*") != 1 or "?" in pattern or idx.permuterm is None:
+        return None
+    x, y = pattern.split("*")
+    return (
+        idx.permuterm.filter(F.col("rotation").startswith(f"{y}${x}"))
+        .select("term")
+        .distinct()
+    )
+
+
+def _cand_ngrams(pattern: str, table: DataFrame | None, gram_fn) -> DataFrame | None:
+    """J10 prefilter: terms containing EVERY literal n-gram the glob
+    implies (count-distinct == len(grams))."""
+    if table is None:
+        return None
+    grams = gram_fn(pattern)
+    if not grams:
+        return None
+    return (
+        table.filter(F.col("gram").isin(grams))
+        .groupBy("term")
+        .agg(F.countDistinct("gram").alias("n"))
+        .filter(F.col("n") == len(grams))
+        .select("term")
+    )
+
+
+def _cand_suffix(pattern: str, idx: IndexBundle) -> DataFrame | None:
+    """J12 prefilter: suffix-table prefix scan on the longest literal
+    segment (the reference's trie DFS, ``suffix_tree.rs:159-195``, as a
+    ``suffix LIKE 'X%'`` range scan over the T9 suffix table)."""
+    if idx.suffixes is None:
+        return None
+    lits = [s for s in re.split(r"[*?]+", pattern) if s]
+    if not lits:
+        return None
+    return (
+        idx.suffixes.filter(F.col("suffix").startswith(max(lits, key=len)))
+        .select("term")
+        .distinct()
+    )
+
+
+def wildcard_terms(pattern: str, idx: IndexBundle,
+                   strategy: str = "auto") -> DataFrame:
     """Driver-side wildcard planner (J13, ``wildcard_search.rs:114-186``):
     choose the cheapest prefilter index, always finish with an exact
     ``rlike`` verify (so the prefilter only affects cost, not results).
+
+    ``strategy="auto"`` — first applicable tier wins:
 
     * single ``*``, no ``?``  -> permuterm rotation prefix scan (J11)
     * otherwise               -> trigram candidate intersection (J10)
     * no usable trigram       -> char-2-gram prefilter (short infixes
       like ``*ar*`` yield no literal trigram)
     * no usable 2-gram either -> suffix-table prefix scan on the
-      longest literal segment (J12: the reference's trie DFS,
-      ``suffix_tree.rs:159-195``, re-expressed as ``suffix LIKE 'X%'``
-      over the T9 suffix enumeration table — handles single-char
-      literals like ``*a*`` without touching the full vocabulary)
+      longest literal segment (J12 — handles single-char literals
+      like ``*a*`` without touching the full vocabulary)
     * zero literal characters -> full vocabulary scan (reference
       fallback, ``trigram_index.rs:165-172``; now reachable only for
       patterns like ``*`` or ``?*`` that genuinely constrain nothing
       but length, i.e. whose answer IS a full-vocab predicate)
-    """
+
+    ``strategy="intersect"`` — the reference's Medium tier
+    (``wildcard_search.rs:131-160``): candidates from EVERY applicable
+    index are intersected (chained left-semi joins) before the verify.
+    The reference skips an index that returns the empty set for an
+    unservable pattern (its empty-set fallback); here applicability is
+    decided statically — a gram list or literal segment exists — so an
+    empty candidate frame always means genuinely zero matches and the
+    intersection never drops a servable pattern. Results are identical
+    to ``auto`` (the verify makes prefilters cost-only); the trade is
+    extra prefilter scans for a smaller rlike-verify set — worth it
+    when one index alone is unselective (e.g. a hot 2-gram)."""
     rx = glob_to_regex(pattern)
-    n_star, n_q = pattern.count("*"), pattern.count("?")
-    if n_star == 1 and n_q == 0 and idx.permuterm is not None:
-        x, y = pattern.split("*")
-        prefix = f"{y}${x}"  # X*Y -> prefix-scan rotation Y$X
-        cands = (
-            idx.permuterm.filter(F.col("rotation").startswith(prefix))
-            .select("term")
-            .distinct()
-        )
+    tiers = [
+        _cand_permuterm(pattern, idx),
+        _cand_ngrams(pattern, idx.trigrams, _query_trigrams),
+        _cand_ngrams(pattern, idx.grams2, _query_2grams),
+        _cand_suffix(pattern, idx),
+    ]
+    applicable = [c for c in tiers if c is not None]
+    if applicable:
+        if strategy == "intersect":
+            cands = applicable[0]
+            for c in applicable[1:]:
+                cands = cands.join(c, "term", "left_semi")
+        else:
+            cands = applicable[0]
         return cands.filter(F.col("term").rlike(rx))
-    if idx.trigrams is not None:
-        grams = _query_trigrams(pattern)
-        if grams:
-            g = idx.trigrams.filter(F.col("gram").isin(grams))
-            cands = (
-                g.groupBy("term")
-                .agg(F.countDistinct("gram").alias("n"))
-                .filter(F.col("n") == len(grams))
-                .select("term")
-            )
-            return cands.filter(F.col("term").rlike(rx))
-    if idx.grams2 is not None:
-        grams = _query_2grams(pattern)
-        if grams:
-            g = idx.grams2.filter(F.col("gram").isin(grams))
-            cands = (
-                g.groupBy("term")
-                .agg(F.countDistinct("gram").alias("n"))
-                .filter(F.col("n") == len(grams))
-                .select("term")
-            )
-            return cands.filter(F.col("term").rlike(rx))
-    if idx.suffixes is not None:
-        lits = [s for s in re.split(r"[*?]+", pattern) if s]
-        if lits:
-            lit = max(lits, key=len)
-            cands = (
-                idx.suffixes.filter(F.col("suffix").startswith(lit))
-                .select("term")
-                .distinct()
-            )
-            return cands.filter(F.col("term").rlike(rx))
     if idx.vocab is None:
         raise ValueError("wildcard query needs a vocab or gram index")
     return idx.vocab.filter(F.col("term").rlike(rx)).select("term")

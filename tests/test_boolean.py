@@ -71,3 +71,20 @@ def test_bigram_phrase_superset_of_exact(indexes, oracle):
     words3 = ["index", "merge", "token"]
     got3 = {r[0] for r in bigram_phrase_docs(words3, indexes).collect()}
     assert set(oracle.phrase(words3)) <= got3
+
+
+@pytest.mark.parametrize(
+    "p", ["comp*", "*ing", "c*t", "*ar*", "t?st", "*a*", "co*u?e", "?*"]
+)
+def test_wildcard_intersect_strategy_parity(indexes, p):
+    """The reference's Medium tier (wildcard_search.rs:131-160): every
+    applicable prefilter index intersected before the verify must match
+    the auto router exactly — prefilters are cost-only."""
+    from kma_information_retrieval_spark.operators.boolean import wildcard_terms
+
+    auto = {r["term"] for r in wildcard_terms(p, indexes).collect()}
+    inter = {
+        r["term"]
+        for r in wildcard_terms(p, indexes, strategy="intersect").collect()
+    }
+    assert inter == auto
