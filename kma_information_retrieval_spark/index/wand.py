@@ -311,12 +311,13 @@ def bm25_topk_terms_frame(
     expression, bit-identical to the driver-side ``math.log``), then —
     term layout — joins the saltmap to enumerate each term's (salt,
     part_id) pairs so the segment join carries ``part_id`` equality —
-    the broadcast hash join then drops non-candidate (part_id, term)
-    rows at the scan's exit, and the part_id equality makes the plan
-    eligible for dynamic partition pruning when the optimizer judges
-    the scan large enough to benefit (at the small test SFs it keeps
-    the plain broadcast join). Scoring reuses the same exact/WAND
-    kernels with idf read from a row column."""
+    the broadcast hash join drops non-candidate (part_id, term) rows at
+    the scan's exit, and Spark inserts a dynamic-partition-pruning
+    subquery on the segment scan (PLANS.md §6 shows
+    ``dynamicpruningexpression(part_id IN ...)`` in the audited plan),
+    so only candidate part directories are read — the collected path's
+    partition pruning, without driver materialization. Scoring reuses
+    the same exact/WAND kernels with idf read from a row column."""
     from .segments import _part_id_col
 
     n_docs, avgdl = index.meta["n_docs"], index.meta["avgdl"]

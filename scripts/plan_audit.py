@@ -67,7 +67,7 @@ def main() -> None:
                      fragments(plan_of(idx.query("spark and query")))))
 
     # 2. suffix-table infix: StartsWith pushed to the sorted suffix scan
-    sections.append(("suffix-table wildcard (*a*) candidate scan",
+    sections.append(("suffix-table wildcard (*ar*) candidate scan",
                      fragments(plan_of(
                          idx.suffixes.filter(F.col("suffix").startswith("ar"))
                          .select("term")))))
@@ -101,6 +101,21 @@ def main() -> None:
     seg = tidx.query_segments(["spark", "query"])
     sections.append(("WAND segment scan for 2 terms (term layout, partition-pruned)",
                      fragments(plan_of(seg))))
+
+    # 6. distributed wildcard->BM25: the expanded term frame joins the
+    # dictionary (Catalyst idf) and the segments on (part_id, term) —
+    # broadcast-hash shaped, NO driver-side term collect and therefore
+    # no In-list of terms anywhere in the plan.
+    from kma_information_retrieval_spark.index.wand import bm25_topk_terms_frame
+
+    wc_plan = plan_of(
+        bm25_topk_terms_frame(tidx, tidx.wildcard_terms("qu*"), 10))
+    frag = fragments(wc_plan)
+    frag.append(
+        f"term_in_lists={len(re.findall(r'In[(]term, ', wc_plan))} "
+        f"(expansion joined, never collected)")
+    sections.append(
+        ("distributed wildcard->BM25 (qu*, term layout)", frag))
 
     for title, frags in sections:
         print(f"## {title}")
