@@ -415,11 +415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_streaming_wildcard_compacted"] = _streaming_q("*ar*", True)
 
     def q_streaming_bm25(s, d):
-        rows = _generation_index(s, d, False).bm25_topk(["spark", "query", "join"], 10)
-        return s.createDataFrame(
-            [(int(doc), float(score)) for doc, score in rows],
-            "doc_id long, score double",
-        ).select("doc_id", F.round("score", 4).alias("score"))
+        # batched API end-to-end: cross-generation WAND (bounds
+        # re-derived under the merged avgdl) + <= gens*k merge, returned
+        # as the DataFrame it is — nothing collected driver-side
+        gi = _generation_index(s, d, False)
+        return gi.bm25_topk_batch({"q": ["spark", "query", "join"]}, 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
     q["q_streaming_bm25"] = q_streaming_bm25
 
     # stateful streaming dedup (applyInPandasWithState): docs arrive as
