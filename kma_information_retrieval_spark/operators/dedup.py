@@ -338,12 +338,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("x").alias("id"), "nlab")
         )
         # carry the old label through the checkpoint so the convergence
-        # check is a scan of the checkpointed frame, not a second join
+        # check is a scan of the checkpointed frame, not a second join.
+        # hop is checkpointed BEFORE the shortcut self-join below, which
+        # reads it twice — uncheckpointed, the edge-sized neighbor join
+        # would execute twice per iteration
         hop = labels.join(nbr_min, "id", "left").select(
             "id",
             F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
-        )
+        ).localCheckpoint()
         # pointer doubling: label <- min(label, label(label))
         lmap = hop.select(F.col("id").alias("lid"), F.col("label").alias("llab"))
         stepped = (
