@@ -226,11 +226,21 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
     # headline number.
     plausible = [p for p in pair_effs if p[0] <= 1.0]
     eff, cpu_eff, lo, hi = max(plausible or pair_effs, key=lambda p: p[0])
+    # median over the plausible pairs (round-3 advice: best-of-many
+    # selection biases the headline upward; the median shows central
+    # tendency under the same weather) — reported alongside, never
+    # replacing the per-same-window-pair best.
+    import statistics
+
+    med_src = plausible or pair_effs
+    eff_median = statistics.median(p[0] for p in med_src)
+    cpu_eff_median = statistics.median(p[1] for p in med_src)
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     return {"lo_cpus": lo_cpus, "hi_cpus": hi_cpus, "attempts": len(lo_runs),
             "lo_runs": lo_runs, "hi_runs": hi_runs, "pair_effs": pair_effs,
-            "eff": eff, "cpu_eff": cpu_eff, "lo": lo, "hi": hi}
+            "eff": eff, "cpu_eff": cpu_eff, "lo": lo, "hi": hi,
+            "eff_median": eff_median, "cpu_eff_median": cpu_eff_median}
 
 
 def main() -> None:
@@ -382,6 +392,29 @@ def main() -> None:
         timed(f"skew_wand_{tag}", lambda: bm25_topk_batch(
             sidx, {"hot": ["zipfhead", "spark"]}, 10).collect())
 
+    # ---- adversarial bucket_cap (round-3 verdict #6): one shingle in
+    # 100% of docs. Uncapped, that single bucket alone yields
+    # n*(n-1)/2 candidates (sub-salting spreads, but cannot shrink,
+    # quadratic volume); bucket_cap drops the bucket, bounding the
+    # candidate set at the documented cost that pairs whose ONLY
+    # shared shingle is capped are lost.
+    adv = docs.withColumn(
+        "content", F.concat(F.lit("alpha beta gamma "), F.col("content"))
+    )
+    adv_sh = dedup.shingle_frame(adv, 3).cache()
+    n_adv = adv_sh.select("doc_id").distinct().count()
+    adv_ids = adv_sh.select(F.col("doc_id").alias("id"), "shingle_hash")
+    cap_counts = {}
+    cap_counts["uncapped"] = timed(
+        "bucketcap_candidates_uncapped",
+        lambda: dedup.skew_salted_pairs(adv_ids, ["shingle_hash"]).count())
+    adv_cap = max(n_adv // 2, 1)  # below the universal bucket's n_adv rows
+    cap_counts["capped"] = timed(
+        "bucketcap_candidates_capped",
+        lambda: dedup.skew_salted_pairs(
+            adv_ids, ["shingle_hash"], bucket_cap=adv_cap).count())
+    adv_sh.unpersist()
+
     # dedup + ANN
     timed("minhash_pairs", lambda: dedup.minhash_pairs(
         dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count())
@@ -432,6 +465,7 @@ def main() -> None:
             f"| **wall scaling efficiency ({lo_cpus}->{hi_cpus} cores, best pair)** | **{eff:.3f}** (target >= 0.8) |\n"
             f"| JVM CPU-secs/build @ local[{lo_cpus}] / local[{hi_cpus}] (same pair) | {lo['jvm_cpu_secs']:.0f} / {hi['jvm_cpu_secs']:.0f} |\n"
             f"| **CPU efficiency (cpu_lo/cpu_hi, 1.0 = no parallel overhead)** | **{cpu_eff:.3f}** |\n"
+            f"| median pair efficiency (wall / cpu, plausible pairs) | {sc['eff_median']:.3f} / {sc['cpu_eff_median']:.3f} |\n"
             f"| all pair efficiencies (wall / cpu) | {', '.join(f'{w:.3f}/{c:.3f}' for w, c, _, _ in pair_effs)} |\n"
             f"| best-lo phases | {phase_row(lo)} |\n"
             f"| best-hi phases | {phase_row(hi)} |\n"
@@ -456,6 +490,18 @@ def main() -> None:
             "| build | max (term,salt) group df | groups | secs |\n|---|---|---|---|\n"
             f"| salted (target 256) | {skew['salted']['max_group_df']} | {skew['salted']['n_groups']} | {skew['salted']['secs']:.2f} |\n"
             f"| unsalted | {skew['unsalted']['max_group_df']} | {skew['unsalted']['n_groups']} | {skew['unsalted']['secs']:.2f} |\n\n"
+            "## Adversarial bucket cap (exact-dedup escape hatch)\n\n"
+            f"One shingle injected into 100% of the {n_adv} sf docs. The\n"
+            "universal bucket makes candidate volume quadratic no matter how\n"
+            "sub-salting spreads it; `bucket_cap` drops over-cap buckets from\n"
+            "candidate generation entirely. Documented semantics of the capped\n"
+            "run: pairs whose ONLY shared shingle sits in a capped bucket are\n"
+            "lost, and the capped shingle stops counting toward intersections\n"
+            "(Jaccard becomes a lower bound). Oracle-gated exported queries\n"
+            "keep `bucket_cap=None` (exact).\n\n"
+            "| run | candidate pairs | seconds |\n|---|---|---|\n"
+            f"| uncapped (lower-bounded by n*(n-1)/2 = {n_adv * (n_adv - 1) // 2}) | {cap_counts['uncapped']} | {timings['bucketcap_candidates_uncapped']:.2f} |\n"
+            f"| bucket_cap={adv_cap} | {cap_counts['capped']} | {timings['bucketcap_candidates_capped']:.2f} |\n\n"
             "## Embedding near-dup LSH recall (decision note)\n\n"
             "Sign-hyperplane banding, 10 bands x 6 bits. Analytic recall\n"
             "vs brute force = 1-(1-(1-theta/pi)^6)^10: ~0.9998 at cosine\n"
@@ -506,6 +552,9 @@ def main() -> None:
         "scaling_cpus": [lo_cpus, hi_cpus],
         "scaling_efficiency": round(eff, 4),
         "scaling_efficiency_cpu": round(cpu_eff, 4),
+        "scaling_efficiency_median": round(sc["eff_median"], 4),
+        "scaling_efficiency_cpu_median": round(sc["cpu_eff_median"], 4),
+        "bucket_cap_candidates": cap_counts,
         "frontcoding": {**fc, "parquet_bytes": fc_sizes},
         "skew_stress": skew,
         "bench_docs": BENCH_DOCS,

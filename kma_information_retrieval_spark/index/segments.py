@@ -829,9 +829,11 @@ class SegmentIndex:
         boolean fallback when no positional table exists."""
         return decoded_postings_frame(self.segments).select("term", "doc_id", "tf")
 
-    def wildcard_terms(self, pattern: str) -> DataFrame:
+    def wildcard_terms(self, pattern: str, strategy: str = "auto") -> DataFrame:
         """Wildcard -> matching vocabulary terms via the persisted gram
-        tables (same router as the in-memory path, J10-J13)."""
+        tables (same router as the in-memory path, J10-J13;
+        ``strategy="intersect"`` = the reference's multi-index Medium
+        tier)."""
         from ..operators.boolean import IndexBundle, wildcard_terms
 
         bundle = IndexBundle(
@@ -843,7 +845,7 @@ class SegmentIndex:
             grams2=self.grams2,
             suffixes=self.suffixes,
         )
-        return wildcard_terms(pattern, bundle)
+        return wildcard_terms(pattern, bundle, strategy=strategy)
 
     def wildcard_topk(self, pattern: str, k: int = 10,
                       use_wand: bool = True) -> list[tuple[int, float]]:
