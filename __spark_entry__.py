@@ -424,6 +424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_streaming_bm25"] = q_streaming_bm25
 
+    # wildcard -> BM25 over the streaming generations (distributed
+    # expansion, cross-generation WAND); tail entry — past the driver's
+    # 50-row cut, verifiable via scripts/check_entry.py
+    def q_streaming_wc_bm25(s, d):
+        gi = _generation_index(s, d, False)
+        return gi.wildcard_topk("qu*", 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    q["q_streaming_wildcard_bm25"] = q_streaming_wc_bm25
+
     # stateful streaming dedup (applyInPandasWithState): docs arrive as
     # two micro-batches (even doc_ids, then odd); each doc is flagged
     # against EVERYTHING seen so far — canonical = first-seen (earliest
@@ -952,6 +962,7 @@ SELECT DISTINCT term FROM tf"""
     o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
     o["q_streaming_wildcard_compacted"] = o["q_wildcard_contains"]
     o["q_streaming_bm25"] = o["q_bm25_topk"]
+    o["q_streaming_wildcard_bm25"] = o["q_wildcard_bm25_persisted"]
     o["q_streaming_trending"] = f"""
 WITH etoks AS (
   SELECT doc_id, {_TOK_EXPR} AS toks FROM documents WHERE doc_id % 2 = 0

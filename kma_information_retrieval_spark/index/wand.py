@@ -274,17 +274,22 @@ def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
     return run
 
 
-def make_rowidf_kernel(avgdl: float, k: int, use_wand: bool):
+def make_rowidf_kernel(avgdl: float, k: int, use_wand: bool,
+                       rescale_bounds: bool = False):
     """applyInPandas kernel for the distributed-expansion path: per-term
     idf arrives as an ``idf`` COLUMN on the segment rows (attached by a
     dictionary join) instead of a driver-side dict, so the term set
-    never materializes on the driver."""
+    never materializes on the driver. ``rescale_bounds`` as in
+    :func:`make_topk_kernel` (cross-generation avgdl)."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         idf_by_term = dict(zip(pdf["term"], pdf["idf"]))
-        kern = _wand_kernel if use_wand else _exact_kernel
-        top = kern(pdf, idf_by_term, avgdl, k)
+        if use_wand:
+            top = _wand_kernel(pdf, idf_by_term, avgdl, k,
+                               rescale_bounds=rescale_bounds)
+        else:
+            top = _exact_kernel(pdf, idf_by_term, avgdl, k)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )

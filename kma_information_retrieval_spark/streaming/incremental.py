@@ -243,6 +243,42 @@ class GenerationIndex:
         rows = self.bm25_topk_batch({"q": sorted(set(terms))}, k, use_wand).collect()
         return sorted(((r["doc_id"], r["score"]) for r in rows), key=lambda x: (-x[1], x[0]))
 
+    def wildcard_topk(self, pattern: str, k: int = 10, use_wand: bool = True,
+                      strategy: str = "auto") -> DataFrame:
+        """Wildcard -> BM25 over ALL generations, mirroring
+        ``SegmentIndex.wildcard_topk``'s distributed shape: the pattern
+        expands against the unioned per-generation gram tables, the
+        matched-term frame joins the merged dictionary for a Catalyst
+        idf (never collected), and scoring runs per (query, gen) with
+        cross-generation WAND bounds. Returns the (query_id, doc_id,
+        score) DataFrame (<= k rows)."""
+        from ..index.wand import RESULT_SCHEMA, make_rowidf_kernel, merge_local_topk
+        from ..operators.boolean import wildcard_terms
+
+        terms_df = wildcard_terms(pattern, self.bundle(), strategy=strategy)
+        n_docs = self.n_docs
+        idf_expr = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tdf = (
+            self.dictionary.join(terms_df.select("term").distinct(), "term")
+            .select("term", idf_expr.alias("idf"))
+        )
+        seg = self.segments.join(tdf, "term").withColumn("query_id", F.lit("q"))
+        rescale = len(self.gen_dirs) > 1
+        have_bounds = "block_max_tf" in self.segments.schema.fieldNames()
+        run = make_rowidf_kernel(
+            self.avgdl, k,
+            use_wand=use_wand and (not rescale or have_bounds),
+            rescale_bounds=rescale,
+        )
+        local = seg.groupBy("query_id", "gen").applyInPandas(
+            run, schema=RESULT_SCHEMA
+        )
+        return merge_local_topk(local, k)
+
 
 def compact_generations(
     spark: SparkSession,

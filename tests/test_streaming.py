@@ -326,3 +326,30 @@ def test_missing_docmap_raises_descriptive(spark, tmp_path):
     gi = load_generations(spark, out)
     with pytest.raises(ValueError, match="docmap"):
         gi.bundle()
+
+
+def test_generation_wildcard_topk(tiny_gi, monkeypatch):
+    """Wildcard->BM25 over the streaming generations: distributed
+    expansion (no collect during plan construction), results equal the
+    collected-terms batch path."""
+    from pyspark.sql import DataFrame
+
+    from kma_information_retrieval_spark.operators.boolean import wildcard_terms
+
+    terms = sorted(
+        r["term"] for r in wildcard_terms("doc*", tiny_gi.bundle()).collect()
+    )
+    assert terms
+    expected = tiny_gi.bm25_topk(terms, 10)
+
+    def boom(self):
+        raise AssertionError("driver-side collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    frame = tiny_gi.wildcard_topk("doc*", 10)
+    monkeypatch.undo()
+    got = sorted(
+        ((r["doc_id"], r["score"]) for r in frame.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == expected
