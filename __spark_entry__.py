@@ -735,6 +735,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return attach_metadata(media).select("media_id", "n_bytes", "sha256", "magic")
     q["q_media_metadata"] = q_media
 
+    # --- curation composition (tail entry): the keep-set a training-data
+    # pipeline actually materializes — drop non-canonical near-dups
+    # (jaccard pairs -> connected components, keep cluster minimum),
+    # drop low-quality docs, keep target-language docs. Pure composition
+    # of oracle-gated operators; the SQL oracle replays all three legs.
+    def q_curation(s, d):
+        docs = _docs(s, d)
+        prs = dedup.ngram_jaccard_pairs(
+            dedup.shingle_frame(docs, 3), JACCARD_THR
+        )
+        drop = dedup.duplicate_clusters(prs).filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        qual = textstats.quality_scores(docs).select("doc_id", "quality")
+        lang = textstats.language_id(docs).select("doc_id", "lang_pred")
+        return (
+            docs.select("doc_id")
+            .join(drop, "doc_id", "left_anti")
+            .join(qual, "doc_id")
+            .join(lang, "doc_id")
+            .filter((F.col("quality") >= 0.65) & (F.col("lang_pred") == "en"))
+            .select("doc_id")
+        )
+    q["q_curation_pipeline"] = q_curation
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-3 verdict #1: the 16 tail entries (the
     # source paths S1-S3/T11/A13 worst of all — never driver-checked in
@@ -1302,5 +1327,58 @@ SELECT doc_id AS media_id,
        sha256(text) AS sha256,
        substring(hex(encode(text)), 1, 8) AS magic
 FROM documents"""
+
+    # curation composition: near-dup clusters (recursive CTE) + quality
+    # + language legs, each stated identically to its standalone oracle
+    o["q_curation_pipeline"] = f"""WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+prs AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i::double / (sa.sz + sb.sz - i) >= {JACCARD_THR}),
+edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach AS (
+  SELECT x AS id, x AS label FROM edges
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.id = e.y
+),
+clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+m AS (
+  SELECT d.doc_id,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))::double / length(d.text)
+              ELSE 0.0 END AS alnum_ratio,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_filter(t.toks, x -> list_contains([{sw}], x)))::double / len(t.toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(t.toks) > 0
+              THEN list_reduce(list_transform(t.toks, x -> length(x)::double), (a, b) -> a + b) / len(t.toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM documents d JOIN toks t USING (doc_id)),
+qual AS (
+  SELECT doc_id, greatest(0.0, least(1.0,
+    0.4 * alnum_ratio + 0.3 * least(stopword_ratio * 10.0, 1.0)
+    + 0.3 * (1.0 - abs(mean_token_len - 5.0) / 10.0))) AS quality
+  FROM m),
+cnt AS (SELECT doc_id,
+        {lang_counts['en']} AS c_en, {lang_counts['de']} AS c_de,
+        {lang_counts['fr']} AS c_fr, {lang_counts['es']} AS c_es
+      FROM toks),
+lang AS (SELECT doc_id,
+  CASE
+    WHEN c_es > greatest(c_en, c_de, c_fr, 0) THEN 'es'
+    WHEN c_fr > greatest(c_en, c_de, 0) THEN 'fr'
+    WHEN c_de > greatest(c_en, 0) THEN 'de'
+    WHEN c_en > 0 THEN 'en'
+    ELSE 'und' END AS lang_pred
+  FROM cnt)
+SELECT d.doc_id FROM documents d
+JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND qual.quality >= 0.65 AND lang.lang_pred = 'en'"""
 
     return o
