@@ -122,6 +122,77 @@ def frame_sample_plan(video: DataFrame, every_n: int = 30,
     )
 
 
+def resize_spec(media_meta: DataFrame, max_side: int = 224,
+                id_col: str = "media_id") -> DataFrame:
+    """(media_id, width, height, out_width, out_height, scale) — the
+    aspect-preserving resize plan as pure Catalyst expressions (never
+    upscale; shortest-path integer dims, floor >= 1). The pixel
+    resample itself is the codec step and plugs into
+    :func:`resize_media`; THIS is the part a 100 TB pipeline plans,
+    filters and joins on, so it stays JVM-side."""
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    return media_meta.select(
+        F.col(id_col).alias("media_id"),
+        F.col("width"), F.col("height"),
+        F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("out_width"),
+        F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("out_height"),
+        scale.alias("scale"),
+    )
+
+
+def default_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real resampling needs Pillow/ffmpeg — STUB (clearly marked)."""
+    raise NotImplementedError(
+        "media resize requires an image library not present in this "
+        "environment; inject a resizer via resize_media(resizer=...)"
+    )
+
+
+def fake_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in: emits out_w*out_h bytes derived from the
+    payload hash — size-correct so partition/batch accounting tests
+    downstream of a 'resize' are meaningful."""
+    h = hashlib.sha256(payload).digest()
+    reps = (out_w * out_h) // len(h) + 1
+    return (h * reps)[: out_w * out_h]
+
+
+def resize_media(
+    media: DataFrame,
+    spec: DataFrame,
+    resizer: Callable[[bytes, int, int], bytes] = default_resizer,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Join the resize plan onto the payloads and run the (pluggable)
+    resampler via mapInPandas — same Arrow-batched shape as
+    :func:`extract_features`. Returns (media_id, out_width, out_height,
+    payload) with the resampled bytes."""
+    joined = media.select(id_col, payload_col).join(
+        spec.select(id_col, "out_width", "out_height"), id_col
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, ow, oh in zip(
+                pdf[id_col], pdf[payload_col], pdf["out_width"], pdf["out_height"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                out.append({
+                    "media_id": int(mid),
+                    "out_width": int(ow),
+                    "out_height": int(oh),
+                    "payload": resizer(raw, int(ow), int(oh)),
+                })
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        run, schema="media_id long, out_width int, out_height int, payload binary"
+    )
+
+
 def media_repartition(media: DataFrame, target_bytes: int = 64 << 20,
                       payload_col: str = "payload") -> DataFrame:
     """Size partitions by payload bytes (not rows) before a decode stage:

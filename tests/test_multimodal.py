@@ -76,3 +76,45 @@ def test_media_repartition(media):
     out = mm.media_repartition(media, target_bytes=16 << 10)
     assert out.count() == 30
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_resize_spec_math(spark):
+    """Aspect-preserving, never-upscaling integer dims from pure
+    Catalyst expressions — verified against the Python formula."""
+    rows = [(0, 640, 480), (1, 100, 50), (2, 224, 224), (3, 10_000, 1),
+            (4, 1, 1)]
+    meta = spark.createDataFrame(rows, "media_id long, width int, height int")
+    got = {r["media_id"]: r for r in mm.resize_spec(meta, max_side=224).collect()}
+    for mid, w, h in rows:
+        scale = min(1.0, 224.0 / max(w, h))
+        assert got[mid]["out_width"] == max(1, round(w * scale))
+        assert got[mid]["out_height"] == max(1, round(h * scale))
+        assert got[mid]["scale"] == pytest.approx(scale)
+    assert got[2]["out_width"] == 224  # exact fit: untouched
+    assert got[4]["scale"] == 1.0      # never upscale
+
+
+def test_default_resizer_is_stub(spark, media):
+    spec = spark.createDataFrame(
+        [(0, 8, 8)], "media_id long, out_width int, out_height int"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|resize requires"):
+        mm.resize_media(media, spec).collect()
+
+
+def test_resize_media_fake_plumbing(spark, media):
+    """mapInPandas resize with the injected deterministic resizer:
+    output payload sizes must equal out_width*out_height per row."""
+    meta = mm.extract_features(media, decoder=mm.fake_decoder).filter(
+        "kind = 'image'"
+    ).select("media_id", "width", "height")
+    spec = mm.resize_spec(meta, max_side=32)
+    out = mm.resize_media(media, spec, resizer=mm.fake_resizer).collect()
+    assert out
+    for r in out:
+        assert len(r["payload"]) == r["out_width"] * r["out_height"]
+    # deterministic: same inputs -> same bytes
+    again = mm.resize_media(media, spec, resizer=mm.fake_resizer).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
