@@ -93,7 +93,8 @@ def _jvm_cpu() -> float:
     return total / hz
 
 
-def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> None:
+def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str,
+                  shuffle_partitions: int = 16) -> None:
     """Subprocess body: time the segment build at a given parallelism.
     JVM sized to the simulated executor; a warm-up build (same code
     path, 5% corpus) runs first so JIT/codegen is excluded — at real
@@ -103,16 +104,20 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
 
     spark = get_spark(
         f"bench_build_{cpus}", master=f"local[{cpus}]",
-        driver_memory="16g",
+        # 16g measured best for the 1->4 experiment; KMA_BENCH_HEAP is
+        # the knob for wider levels (allocation rate scales with thread
+        # count, and GC on an undersized heap burns CPU superlinearly)
+        driver_memory=os.environ.get("KMA_BENCH_HEAP", "16g"),
         extra_java_options=f"-XX:ActiveProcessorCount={cpus}",
         # IDENTICAL plans at both parallelism levels — only the core
         # count may differ between lo and hi, or the wall ratio measures
         # plan differences instead of scaling. 16m maxPartitionBytes
         # (the default 128m coalesced the corpus into 3-4 uneven
         # straggler-prone scan tasks — event-log measured) and a FIXED
-        # shuffle partition count sized for the hi level (4 waves on 4
-        # cores; the lo level runs the same 16 tasks serially).
-        shuffle_partitions=16,
+        # shuffle partition count sized for the hi level (4 waves on
+        # hi cores, passed by the experiment; the lo level runs the
+        # same tasks at lower parallelism).
+        shuffle_partitions=shuffle_partitions,
         extra_configs={
             "spark.sql.files.maxPartitionBytes": "16m",
             # partition counts are already sized to the hi level (4
@@ -128,9 +133,12 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
     # stage codegen embeds num_segments/block_size as literals in the
     # generated classes, so a differently-parameterized warm-up leaves
     # the measured run recompiling every heavy stage (C2 time is fixed
-    # cost — 4x more impactful at the hi level's shorter wall)
+    # cost — 4x more impactful at the hi level's shorter wall).
+    # num_segments == shuffle_partitions: ONE level-independent value
+    # (sized to the hi level by the experiment) so lo and hi build the
+    # byte-identical plan.
     build_index(spark, wdocs, tempfile.mkdtemp(prefix="kma_warm_idx_", dir=FAST_TMP),
-                num_segments=max(cpus, 16), postings_per_group=50_000,
+                num_segments=shuffle_partitions, postings_per_group=50_000,
                 block_size=128, partition_by="term")
     docs = spark.read.parquet(corpus_path)
     n = docs.count()  # warm the scan; excluded from build timing
@@ -138,7 +146,7 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
     cpu0 = _jvm_cpu()
     # partition_by pinned to "term": the scaling experiment measures the
     # north-star layout (term-hash shuffle + explicit head-term salting)
-    m = build_index(spark, docs, out_dir, num_segments=max(cpus, 16),
+    m = build_index(spark, docs, out_dir, num_segments=shuffle_partitions,
                     postings_per_group=50_000, block_size=128,
                     partition_by="term")
     secs = time.time() - t0
@@ -150,7 +158,8 @@ def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str) -> 
     spark.stop()
 
 
-def _run_build_at(cpus: int, corpus_path: str, warm_path: str) -> dict:
+def _run_build_at(cpus: int, corpus_path: str, warm_path: str,
+                  parts: int = 16) -> dict:
     """One build in a fresh subprocess (honest core count via
     -XX:ActiveProcessorCount). Measured and rejected: taskset-pinning
     the whole tree to exactly N CPUs (the cgroup-faithful variant) made
@@ -162,7 +171,7 @@ def _run_build_at(cpus: int, corpus_path: str, warm_path: str) -> dict:
     with tempfile.TemporaryDirectory(prefix=f"kma_bench_idx{cpus}_", dir=FAST_TMP) as out:
         res = subprocess.run(
             [sys.executable, __file__, "--build-worker", str(cpus), corpus_path,
-             warm_path, out],
+             warm_path, out, str(parts)],
             capture_output=True, text=True, timeout=3600,
         )
         lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
@@ -186,13 +195,17 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
     KMA_BENCH_MAX_ATTEMPTS; every pair is still reported."""
     lo_cpus = int(os.environ.get("KMA_BENCH_LO_CPUS", "1"))
     hi_cpus = lo_cpus * 4
+    # shuffle/segment partition count: one level-independent value sized
+    # to the hi level (4 waves on hi cores) so lo and hi run identical
+    # plans — at lo=1/hi=4 this is the historical 16
+    parts = int(os.environ.get("KMA_BENCH_SHUFFLE", str(4 * hi_cpus)))
     attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "3"))
     max_attempts = int(os.environ.get("KMA_BENCH_MAX_ATTEMPTS", "6"))
     ratio = hi_cpus / lo_cpus
     lo_runs, hi_runs = [], []
     while True:
-        lo_runs.append(_run_build_at(lo_cpus, corpus_path, warm_path))
-        hi_runs.append(_run_build_at(hi_cpus, corpus_path, warm_path))
+        lo_runs.append(_run_build_at(lo_cpus, corpus_path, warm_path, parts))
+        hi_runs.append(_run_build_at(hi_cpus, corpus_path, warm_path, parts))
         n = len(lo_runs)
         # stop early only on a pair that is BOTH contention-clean (hi JVM
         # burns <= 1.3x the lo JVM's CPU for the same work; clean-window
@@ -563,6 +576,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
-        _build_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+        _build_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+                      int(sys.argv[6]) if len(sys.argv) > 6 else 16)
     else:
         main()
