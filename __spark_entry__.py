@@ -760,6 +760,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_curation_pipeline"] = q_curation
 
+    # --- deterministic dataset mixing (tail entry): language-stratified
+    # hash sampling — downsample the dominant language to 40%, keep all
+    # docs of everything else. md5-threshold sampling is reproducible
+    # across runs/partitionings and exactly replayable in SQL.
+    def q_strat_sample(s, d):
+        docs = _docs(s, d)
+        lang = textstats.language_id(docs).select("doc_id", "lang_pred")
+        tagged = docs.join(lang, "doc_id")
+        return textstats.stratified_sample(
+            tagged, {"en": 40}, "lang_pred", default_pct=100
+        ).select("doc_id", "lang_pred")
+    q["q_stratified_sample"] = q_strat_sample
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-3 verdict #1: the 16 tail entries (the
     # source paths S1-S3/T11/A13 worst of all — never driver-checked in
@@ -1380,5 +1393,23 @@ SELECT d.doc_id FROM documents d
 JOIN qual USING (doc_id) JOIN lang USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
   AND qual.quality >= 0.65 AND lang.lang_pred = 'en'"""
+
+    # deterministic stratified sampling: same md5-threshold arithmetic
+    o["q_stratified_sample"] = f"""WITH {SQL_TOKS},
+cnt AS (SELECT doc_id,
+        {lang_counts['en']} AS c_en, {lang_counts['de']} AS c_de,
+        {lang_counts['fr']} AS c_fr, {lang_counts['es']} AS c_es
+      FROM toks),
+lang AS (SELECT doc_id,
+  CASE
+    WHEN c_es > greatest(c_en, c_de, c_fr, 0) THEN 'es'
+    WHEN c_fr > greatest(c_en, c_de, 0) THEN 'fr'
+    WHEN c_de > greatest(c_en, 0) THEN 'de'
+    WHEN c_en > 0 THEN 'en'
+    ELSE 'und' END AS lang_pred
+  FROM cnt)
+SELECT d.doc_id, l.lang_pred FROM documents d JOIN lang l USING (doc_id)
+WHERE ('0x' || substr(md5('sample#' || d.doc_id::varchar), 1, 15))::bigint % 100
+      < (CASE WHEN l.lang_pred = 'en' THEN 40 ELSE 100 END)"""
 
     return o

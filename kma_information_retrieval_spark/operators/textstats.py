@@ -139,3 +139,44 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "conte
         F.col(id_col).alias("doc_id"),
         F.md5(canon).alias("fingerprint"),
     )
+
+
+def hash_sample(docs: DataFrame, rate_pct: int, id_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic reproducible sampling: keep a row iff
+    ``md5(salt#id) % 100 < rate_pct``. At 100 TB this is the sampling
+    primitive a curation pipeline needs — unlike ``rand()``/``sample``
+    it is stable across reruns, partitionings and cluster sizes, can be
+    replayed by any engine that has md5 (the SQL oracle does), and
+    composes: disjoint salts give independent samples, the same salt
+    with a higher rate gives a superset (growable splits)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.filter(F.pmod(h, 100) < rate_pct)
+
+
+def stratified_sample(docs: DataFrame, rates_pct: dict[str, int],
+                      strata_col: str, default_pct: int = 0,
+                      id_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing step of a
+    training pipeline (e.g. downsample the dominant language, keep all
+    of a rare one) as one Catalyst filter: keep a row iff
+    ``md5(salt#id) % 100 < rates_pct[stratum]`` (``default_pct`` for
+    unlisted strata). Same reproducibility contract as
+    :func:`hash_sample`; one scan, no shuffle, no RNG state."""
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.filter(F.pmod(h, 100) < rate)

@@ -90,3 +90,46 @@ def test_rolling_fingerprints_shift_robust(spark):
     }
     want = {h for h in want if h % 16 == 0}
     assert by_doc[1] == want
+
+
+def test_hash_sample_deterministic_and_growable(spark):
+    """md5-threshold sampling: stable across runs/partitionings, rate
+    close to nominal, and a higher rate with the same salt yields a
+    strict superset (growable splits)."""
+    import hashlib
+
+    from kma_information_retrieval_spark.operators.textstats import hash_sample
+
+    docs = spark.createDataFrame([(i, "x") for i in range(2000)],
+                                 "doc_id long, content string")
+    s30 = {r["doc_id"] for r in hash_sample(docs, 30).collect()}
+    s30b = {r["doc_id"] for r in hash_sample(docs.repartition(7), 30).collect()}
+    s60 = {r["doc_id"] for r in hash_sample(docs, 60).collect()}
+    assert s30 == s30b                      # partitioning-invariant
+    assert s30 <= s60                       # growable split
+    assert abs(len(s30) / 2000 - 0.30) < 0.04
+    # python replay of the exact predicate
+    def keep(i, pct):
+        return int(hashlib.md5(f"sample#{i}".encode()).hexdigest()[:15], 16) % 100 < pct
+    assert s30 == {i for i in range(2000) if keep(i, 30)}
+    # disjoint salts -> independent-ish samples (not identical sets)
+    other = {r["doc_id"] for r in hash_sample(docs, 30, salt="other").collect()}
+    assert other != s30
+
+
+def test_stratified_sample_rates(spark):
+    from kma_information_retrieval_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = stratified_sample(docs, {"a": 20, "b": 100}, "stratum",
+                            default_pct=0, id_col="doc_id").collect()
+    a = sum(1 for r in out if r["stratum"] == "a")
+    b = sum(1 for r in out if r["stratum"] == "b")
+    assert b == 1000                        # keep-all stratum intact
+    assert abs(a / 1000 - 0.20) < 0.05      # downsampled stratum near rate
+    # unlisted stratum with default 0 vanishes
+    docs2 = spark.createDataFrame([(1, "zz")], "doc_id long, stratum string")
+    assert stratified_sample(docs2, {"a": 50}, "stratum").count() == 0
