@@ -773,6 +773,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang_pred")
     q["q_stratified_sample"] = q_strat_sample
 
+    # --- within-doc repetition signals (tail entry; Gopher-style
+    # public quality filters: duplicate-line char fraction + top-bigram
+    # fraction)
+    def q_repetition(s, d):
+        return textstats.repetition_scores(_docs(s, d)).select(
+            "doc_id",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        )
+    q["q_repetition_scores"] = q_repetition
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-3 verdict #1: the 16 tail entries (the
     # source paths S1-S3/T11/A13 worst of all — never driver-checked in
@@ -1411,5 +1422,33 @@ lang AS (SELECT doc_id,
 SELECT d.doc_id, l.lang_pred FROM documents d JOIN lang l USING (doc_id)
 WHERE ('0x' || substr(md5('sample#' || d.doc_id::varchar), 1, 15))::bigint % 100
       < (CASE WHEN l.lang_pred = 'en' THEN 40 ELSE 100 END)"""
+
+    # Gopher-style repetition signals: duplicate-line char fraction +
+    # top-bigram fraction, same definitions as the engine
+    o["q_repetition_scores"] = f"""WITH {SQL_TOKS},
+lns AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+  WHERE length(line) > 0),
+per_line AS (
+  SELECT doc_id, line, count(*) AS n, length(line) AS chars
+  FROM lns GROUP BY doc_id, line),
+dup AS (
+  SELECT doc_id,
+         sum(CASE WHEN n > 1 THEN n * chars ELSE 0 END)::double
+           / sum(n * chars) AS dup_line_frac
+  FROM per_line GROUP BY doc_id),
+bgr AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+per_bg AS (SELECT doc_id, bg, count(*) AS n FROM bgr GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, max(n)::double / sum(n) AS top_bigram_frac
+  FROM per_bg GROUP BY doc_id)
+SELECT d.doc_id,
+  round(coalesce(dup.dup_line_frac, 0.0), 6) AS dup_line_frac,
+  round(coalesce(top.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+FROM documents d LEFT JOIN dup USING (doc_id) LEFT JOIN top USING (doc_id)"""
 
     return o

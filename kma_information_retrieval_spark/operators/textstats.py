@@ -180,3 +180,62 @@ def stratified_sample(docs: DataFrame, rates_pct: dict[str, int],
         16, 10,
     ).cast("long")
     return docs.filter(F.pmod(h, 100) < rate)
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "content") -> DataFrame:
+    """Within-document repetition signals, the public Gopher-style
+    quality filters (Rae et al. 2021, "Scaling Language Models" §A1.1):
+
+    * ``dup_line_frac`` — fraction of non-empty-line CHARACTERS that sit
+      in a line occurring more than once in the doc;
+    * ``top_bigram_frac`` — occurrences of the doc's most frequent token
+      bigram / total bigram count.
+
+    Both are single groupBy aggregations over exploded lines/bigrams —
+    no self-joins, no UDFs; 0.0 for docs with no lines/bigrams."""
+    from ..functions.tokenize import tokenize_expr
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.length("line") > 0)
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("n"), F.length("line").alias("chars")
+    )
+    dup = per_line.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("n") > 1, F.col("n") * F.col("chars")).otherwise(0))
+            / F.sum(F.col("n") * F.col("chars"))
+        ).alias("dup_line_frac")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, "code").alias("toks")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    top = per_bg.groupBy("doc_id").agg(
+        (F.max("n") / F.sum("n")).alias("top_bigram_frac")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dup, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from kma_information_retrieval_spark.oracle import tokenize
@@ -133,3 +135,32 @@ def test_stratified_sample_rates(spark):
     # unlisted stratum with default 0 vanishes
     docs2 = spark.createDataFrame([(1, "zz")], "doc_id long, stratum string")
     assert stratified_sample(docs2, {"a": 50}, "stratum").count() == 0
+
+
+def test_repetition_scores(spark):
+    """Gopher-style repetition signals vs hand-computed values."""
+    from kma_information_retrieval_spark.operators.textstats import (
+        repetition_scores,
+    )
+
+    rows = [
+        # doc 0: lines "aaa" x2 + "bbbb" once -> dup chars 6 of 10;
+        # tokens: aaa aaa bbbb -> bigrams (aaa aaa), (aaa bbbb) -> top 1/2
+        (0, "aaa\naaa\nbbbb"),
+        # doc 1: no repetition at all
+        (1, "alpha\nbeta"),
+        # doc 2: empty doc -> both 0.0
+        (2, ""),
+        # doc 3: one repeated bigram dominating: tok tok tok tok ->
+        # bigrams (tok tok) x3 -> top 3/3
+        (3, "tok tok tok tok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[0]["dup_line_frac"] == pytest.approx(6 / 10)
+    assert got[0]["top_bigram_frac"] == pytest.approx(1 / 2)
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == pytest.approx(1 / 1)
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == pytest.approx(1.0)
