@@ -5,10 +5,11 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops + the persisted-index query surface,
-                 66 total; the first 50 in insertion order are the
+                 71 total; the first 50 in insertion order are the
                  driver-gated set, curated to cover every operator
-                 family); each callable is (spark, sf_dir)
-                 -> DataFrame.
+                 family — tail entries are verifiable via
+                 scripts/check_entry.py); each callable is
+                 (spark, sf_dir) -> DataFrame.
 oracle_sql()   — DuckDB-runnable ANSI SQL computing the same result
                  with the same column names/aliases. Tokenization,
                  hashing (md5-prefix bigint), BM25 and all thresholds
