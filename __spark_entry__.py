@@ -5,7 +5,7 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops + the persisted-index query surface,
-                 71 total; the first 50 in insertion order are the
+                 72 total; the first 50 in insertion order are the
                  driver-gated set, curated to cover every operator
                  family — tail entries are verifiable via
                  scripts/check_entry.py); each callable is
@@ -807,6 +807,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_redact_secrets"] = q_redact
 
+    # --- benchmark decontamination (tail entry): docs sharing >= 1
+    # 3-gram shingle with the "benchmark" slice (doc_id % 97 == 0) are
+    # flagged with their overlap count — broadcast semi-join shape
+    def q_contamination(s, d):
+        docs = _docs(s, d)
+        sh = dedup.shingle_frame(docs, 3)
+        bench = sh.join(
+            docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"), "doc_id"
+        )
+        train = sh.join(
+            docs.filter(F.col("doc_id") % 97 != 0).select("doc_id"), "doc_id"
+        )
+        return dedup.contamination_overlap(train, bench).select(
+            "doc_id", "n_shared"
+        )
+    q["q_contamination"] = q_contamination
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-3 verdict #1: the 16 tail entries (the
     # source paths S1-S3/T11/A13 worst of all — never driver-checked in
@@ -1503,5 +1520,13 @@ s3 AS (
          regexp_replace(c2, '{_re_aws}', '<AWSKEY>', 'g') AS c3
   FROM s2)
 SELECT doc_id, n_email, n_ipv4, n_aws_key, md5(c3) AS redacted_md5 FROM s3"""
+
+    # decontamination: same shingle frames, same benchmark split
+    o["q_contamination"] = f"""WITH {SQL_TOKS}, {SQL_SHINGLES},
+bench AS (SELECT DISTINCT shingle_hash FROM shingles WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, shingle_hash FROM shingles WHERE doc_id % 97 != 0)
+SELECT t.doc_id, count(*)::bigint AS n_shared
+FROM train t JOIN bench b USING (shingle_hash)
+GROUP BY t.doc_id"""
 
     return o

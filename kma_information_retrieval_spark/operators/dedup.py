@@ -373,6 +373,31 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+# ------------------------------------------------------------ decontamination
+
+
+def contamination_overlap(doc_shingles: DataFrame,
+                          bench_shingles: DataFrame) -> DataFrame:
+    """(doc_id, n_shared) — how many of each training doc's DISTINCT
+    shingles appear anywhere in a benchmark/eval set: the
+    decontamination check every training pipeline runs before a data
+    release (docs with n-gram overlap against held-out benchmarks are
+    dropped or flagged).
+
+    Both inputs are :func:`shingle_frame` outputs (distinct per doc).
+    The benchmark side is tiny relative to the corpus (benchmarks are
+    thousands of docs, the corpus 10^12), so its distinct shingle set
+    is broadcast and the whole check is one map-side semi-join plus a
+    doc-keyed count — no shuffle of the corpus beyond the aggregation.
+    Docs with zero overlap are absent (flag semantics)."""
+    bench = bench_shingles.select("shingle_hash").distinct()
+    return (
+        doc_shingles.join(F.broadcast(bench), "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 _SIMHASH_BITS = 60  # md5_long yields 60 bits

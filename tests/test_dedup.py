@@ -408,3 +408,27 @@ def test_skew_salted_pairs_no_broadcast_hint(spark):
         ).collect()
     }
     assert unhinted == plain
+
+
+def test_contamination_overlap(spark):
+    """Decontamination semi-join: overlap counts vs a python replay;
+    clean docs absent."""
+    rows = [
+        (0, "alpha beta gamma delta"),          # benchmark doc
+        (1, "alpha beta gamma something else"), # shares 1 shingle
+        (2, "totally different words here now"),# clean
+        (3, "alpha beta gamma delta epsilon"),  # shares 2 shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    sh = dedup.shingle_frame(docs, 3)
+    bench = sh.filter(F.col("doc_id") == 0)
+    train = sh.filter(F.col("doc_id") != 0)
+    got = {r["doc_id"]: r["n_shared"]
+           for r in dedup.contamination_overlap(train, bench).collect()}
+    bench_set = py_shingles(rows[0][1])
+    want = {}
+    for i, text in rows[1:]:
+        n = len(py_shingles(text) & bench_set)
+        if n:
+            want[i] = n
+    assert got == want and 2 not in got and got[3] == 2
