@@ -88,3 +88,49 @@ def test_wildcard_intersect_strategy_parity(indexes, p):
         for r in wildcard_terms(p, indexes, strategy="intersect").collect()
     }
     assert inter == auto
+
+
+def _fuzz_settings():
+    from hypothesis import HealthCheck, settings
+
+    return settings(
+        max_examples=60, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+
+try:
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    _PATTERNS = st.text(alphabet="abest*?", min_size=1, max_size=6).filter(
+        lambda p: ("*" in p or "?" in p) and p.strip("*?")
+    )
+
+    @given(p=_PATTERNS)
+    @_fuzz_settings()
+    def test_wildcard_router_fuzz(indexes, p):
+        """Property: for ANY glob, every router tier (auto and
+        intersect) must return exactly the vocab-scan ground truth —
+        the prefilters are cost-only, never semantics."""
+        from kma_information_retrieval_spark.operators.boolean import (
+            glob_to_regex,
+            wildcard_terms,
+        )
+        from pyspark.sql import functions as F
+
+        truth = {
+            r["term"]
+            for r in indexes.vocab.filter(
+                F.col("term").rlike(glob_to_regex(p))
+            ).collect()
+        }
+        got_auto = {r["term"] for r in wildcard_terms(p, indexes).collect()}
+        got_inter = {
+            r["term"]
+            for r in wildcard_terms(p, indexes, strategy="intersect").collect()
+        }
+        assert got_auto == truth
+        assert got_inter == truth
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
