@@ -163,11 +163,21 @@ def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
     docs = np.concatenate(doc_parts)
     contrib = np.concatenate(contrib_parts)
     ranks = np.concatenate(rank_parts)
-    order = np.lexsort((ranks, docs))  # by doc, then term rank
-    docs, contrib = docs[order], contrib[order]
-    starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
-    scores = np.add.reduceat(contrib, starts)
-    uniq = docs[starts]
+    # Fold per-doc scores strictly LEFT-TO-RIGHT in term-rank order,
+    # vectorized across docs (one += per query term). np.add.reduceat
+    # was measured to associate right-to-left, which drifts a ULP from
+    # the WAND kernel's sequential fold on 3+-term docs — caught by the
+    # kernel fuzz (tests/test_wand_fuzz.py); rank identity must be
+    # bit-exact, not isclose.
+    uniq = np.unique(docs)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    for r in range(len(terms)):
+        sel = ranks == r
+        if not sel.any():
+            continue
+        # within one term rank, every doc appears at most once (salted
+        # sub-lists are doc-disjoint), so fancy-index += is safe
+        scores[np.searchsorted(uniq, docs[sel])] += contrib[sel]
     sel = np.lexsort((uniq, -scores))[:k]
     return [(int(uniq[i]), float(scores[i])) for i in sel]
 
