@@ -736,6 +736,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return attach_metadata(media).select("media_id", "n_bytes", "sha256", "magic")
     q["q_media_metadata"] = q_media
 
+    # --- multimodal resize (driver row, r5): the aspect-preserving
+    # resize plan (pure Catalyst) joined onto payloads and run through
+    # the Arrow-batched mapInPandas resampler. The injected
+    # fake_resizer is sha256-derived and fully deterministic, so DuckDB
+    # replays n_bytes = out_w*out_h and the md5 of the resampled
+    # payload byte-for-byte — the codec seam stays honestly stubbed
+    # while every Spark-side piece (plan, join, batch shape) is
+    # oracle-gated.
+    def q_media_resize(s, d):
+        from kma_information_retrieval_spark.operators import multimodal as mm
+        media = _docs(s, d).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("content"), "UTF-8").alias("payload"),
+            (F.lit(16) + (F.col("doc_id") % 7) * 48).cast("int").alias("width"),
+            (F.lit(16) + (F.col("doc_id") % 5) * 64).cast("int").alias("height"),
+        )
+        spec = mm.resize_spec(media, max_side=224)
+        out = mm.resize_media(media, spec, resizer=mm.fake_resizer)
+        # hash the lowercase-hex of the resampled bytes: this DuckDB
+        # build's md5/sha256 are VARCHAR-only, so the oracle replays the
+        # digest-repeat construction entirely in hex-string space
+        return out.select(
+            "media_id", "out_width", "out_height",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+        )
+    q["q_media_resize"] = q_media_resize
+
     # --- curation composition (tail entry): the keep-set a training-data
     # pipeline actually materializes — drop non-canonical near-dups
     # (jaccard pairs -> connected components, keep cluster minimum),
@@ -825,15 +853,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_contamination"] = q_contamination
 
     # ---- driver-gate curation: the driver records the FIRST 50 entries
-    # in insertion order. Round-3 verdict #1: the 16 tail entries (the
-    # source paths S1-S3/T11/A13 worst of all — never driver-checked in
-    # any round) must rotate into the gate. The first 50 below keep >= 1
-    # entry per operator family (SURVEY §2 + every LLM-pipeline
-    # component); entries moved past the cut are r2/r3 driver-green and
-    # untouched, and each path they prove stays pytest-covered.
+    # in insertion order. Round-4 verdict #3: the five r4 LLM operators
+    # (redaction, repetition, stratified sampling, decontamination,
+    # curation) plus the newly oracle-gated media resize rotate IN;
+    # six redundant green rows rotate OUT to tail entries (each retired
+    # path stays covered: q_minhash_pairs consumes q_minhash_signatures'
+    # output, q_simhash_pairs exercises q_simhash's, q_ann_lsh_persisted
+    # covers q_embedding_topk's and q_ann_lsh_topk's scoring kernel,
+    # q_dictionary_sink covers q_frontcoding_roundtrip's C4 path,
+    # q_rolling_fingerprints covers q_fingerprints' hashing). The first
+    # 50 below keep >= 1 entry per operator family (SURVEY §2 + every
+    # LLM-pipeline component); tail entries remain oracle-gated and are
+    # re-run by scripts/check_entry.py.
     first_50 = [
         # dictionary / stats / codecs / sinks (A1-A5, T1, C4/C5, S6)
-        "q_dictionary", "q_dictionary_letters", "q_frontcoding_roundtrip",
+        "q_dictionary", "q_dictionary_letters",
         "q_dictionary_sink", "q_top_terms", "q_collection_stats",
         # boolean algebra (J1-J5, T4/T5)
         "q_boolean_and", "q_boolean_or", "q_boolean_not",
@@ -854,20 +888,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_phrase_compacted", "q_streaming_bm25",
         "q_streaming_dedup", "q_streaming_trending",
         # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
-        "q_dedup_exact", "q_minhash_signatures", "q_minhash_pairs",
-        "q_ngram_jaccard_pairs", "q_dedup_clusters", "q_simhash",
+        "q_dedup_exact", "q_minhash_pairs",
+        "q_ngram_jaccard_pairs", "q_dedup_clusters",
         "q_simhash_pairs", "q_embedding_neardup",
-        # similarity search (brute-force, LSH, persisted, IVF)
-        "q_embedding_topk", "q_ann_lsh_topk", "q_ann_lsh_persisted",
-        "q_ann_ivf_topk",
-        # text analysis (all five textstats components)
+        # similarity search (LSH persisted covers the in-memory kernel)
+        "q_ann_lsh_persisted", "q_ann_ivf_topk",
+        # text analysis (token counts, quality, lang-id, fingerprints)
         "q_token_counts", "q_quality_scores", "q_language_id",
-        "q_fingerprints", "q_rolling_fingerprints",
-        # sources (S1-S3, T11, A13 — never driver-checked before r4)
+        "q_rolling_fingerprints",
+        # sources (S1-S3, T11, A13)
         "q_source_discovery", "q_xml_extract_dictionary",
         "q_fb2_dir_dictionary",
-        # multimodal plumbing
-        "q_media_metadata",
+        # multimodal plumbing + resize (r5)
+        "q_media_metadata", "q_media_resize",
+        # LLM-pipeline curation operators (r4 features, driver rows r5)
+        "q_redact_secrets", "q_repetition_scores", "q_stratified_sample",
+        "q_contamination", "q_curation_pipeline",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
         len(first_50), sorted(set(first_50) - set(q)))
@@ -1040,7 +1076,7 @@ ftf AS (
   FROM (SELECT doc_id, unnest(toks) AS term FROM ftoks)
   GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, sum(tf) AS cf FROM ftf GROUP BY term"""
+SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf FROM ftf GROUP BY term"""
 
     o["q_frontcoding_roundtrip"] = f"""{W}
 SELECT DISTINCT term FROM tf"""
@@ -1391,6 +1427,31 @@ SELECT doc_id AS media_id,
        sha256(text) AS sha256,
        substring(hex(encode(text)), 1, 8) AS magic
 FROM documents"""
+
+    # resize replay: same aspect-preserving plan math, then the
+    # fake_resizer's digest-repeat bytes reconstructed in hex-string
+    # space (sha256/md5 are VARCHAR-only in this DuckDB build; the
+    # engine hashes lower(hex(payload)) to match)
+    o["q_media_resize"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         (16 + (doc_id % 7) * 48)::int AS width,
+         (16 + (doc_id % 5) * 64)::int AS height
+  FROM documents),
+sp AS (
+  SELECT media_id, text, width, height,
+         least(1.0, 224.0 / greatest(width::double, height::double)) AS scale
+  FROM m),
+o AS (
+  SELECT media_id, text,
+         greatest(round(width * scale)::int, 1) AS out_width,
+         greatest(round(height * scale)::int, 1) AS out_height
+  FROM sp)
+SELECT media_id, out_width, out_height,
+       (out_width * out_height)::bigint AS n_bytes,
+       md5(substr(repeat(sha256(text), (out_width * out_height) // 32 + 1),
+                  1, 2 * out_width * out_height)) AS payload_md5
+FROM o"""
 
     # curation composition: near-dup clusters (recursive CTE) + quality
     # + language legs, each stated identically to its standalone oracle
