@@ -4,8 +4,9 @@ entry(spark)   — flagship: BM25 top-10 over sf0.001 documents through
                  the full segment pipeline (salted build -> block-max
                  WAND), returned as a DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
-                 training-data ops + the persisted-index query surface,
-                 72 total; the first 50 in insertion order are the
+                 training-data ops + the persisted-index query surface;
+                 exact count = len(queries()) — deliberately not
+                 hard-coded here; the first 50 in insertion order are the
                  driver-gated set, curated to cover every operator
                  family — tail entries are verifiable via
                  scripts/check_entry.py); each callable is
@@ -425,6 +426,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_streaming_bm25"] = q_streaming_bm25
 
+    # --- streaming deletes (r5): tombstone-delete doc_id % 5 == 0 from
+    # a two-generation index. Pre-compaction (Lucene semantics): results
+    # exclude deleted docs but stats (n_docs/avgdl/idf) stay build-time
+    # — the oracle scores the FULL corpus and filters deleted rows.
+    # Post-compaction: tombstones applied physically, stats recomputed —
+    # the oracle computes BM25 over the live subset from scratch.
+    def _deleted_generation_index(s, d, compacted: bool):
+        import os
+
+        from kma_information_retrieval_spark.index import build_index
+        from kma_information_retrieval_spark.streaming.incremental import (
+            compact_generations,
+            delete_docs,
+            load_generations,
+        )
+
+        key = (d, "delcompact" if compacted else "deleted")
+        out = _STREAMING_DIRS.get(key)
+        if out is None or not os.path.isdir(os.path.join(out, "generations")):
+            out = tempfile.mkdtemp(prefix="kma_ir_delgens_")
+            docs = _docs(s, d)
+            for i, gen in enumerate((
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )):
+                build_index(s, gen, os.path.join(out, "generations", f"gen={i + 1:010d}"),
+                            num_segments=8)
+            delete_docs(
+                s, out, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+            )
+            if compacted:
+                compact_generations(s, out, num_segments=8)
+            _STREAMING_DIRS[key] = out
+        return load_generations(s, out)
+
+    def q_sdel_phrase(s, d):
+        return _deleted_generation_index(s, d, False).query('"hash join"').select("doc_id")
+    q["q_streaming_delete_phrase"] = q_sdel_phrase
+
+    def q_sdel_bm25(s, d):
+        gi = _deleted_generation_index(s, d, False)
+        return gi.bm25_topk_batch({"q": ["spark", "query", "join"]}, 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    q["q_streaming_delete_bm25"] = q_sdel_bm25
+
+    def q_sdel_compacted(s, d):
+        gi = _deleted_generation_index(s, d, True)
+        return gi.bm25_topk_batch({"q": ["spark", "query", "join"]}, 10).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    q["q_streaming_delete_bm25_compacted"] = q_sdel_compacted
+
     # wildcard -> BM25 over the streaming generations (distributed
     # expansion, cross-generation WAND); tail entry — past the driver's
     # 50-row cut, verifiable via scripts/check_entry.py
@@ -541,7 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_ngram_jaccard_pairs"] = q_jaccard
 
     # transitive cluster resolution over the jaccard pair graph
-    # (connected components by iterative min-label propagation — the
+    # (connected components by large-star/small-star contraction — the
     # curation step that turns pair lists into keep-one dedup groups)
     def q_clusters(s, d):
         prs = dedup.ngram_jaccard_pairs(
@@ -869,14 +923,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dictionary / stats / codecs / sinks (A1-A5, T1, C4/C5, S6)
         "q_dictionary", "q_dictionary_letters",
         "q_dictionary_sink", "q_top_terms", "q_collection_stats",
-        # boolean algebra (J1-J5, T4/T5)
-        "q_boolean_and", "q_boolean_or", "q_boolean_not",
+        # boolean algebra (J1-J5, T4/T5; q_boolean_or rotated to tail —
+        # J1's union is exercised by q_boolean_complex and
+        # q_boolean_missing)
+        "q_boolean_and", "q_boolean_not",
         "q_boolean_complex", "q_boolean_missing",
         # phrase / proximity / bigram (J6-J8, T2/T6, A7/A8)
         "q_phrase_2", "q_proximity", "q_bigram_phrase",
-        # wildcards, one per router tier (T7-T10, A10-A12, J9-J13)
+        # wildcards, one per router tier (T7-T10, A10-A12, J10-J13;
+        # q_wildcard_terms rotated to tail — J9's expansion is the
+        # first step of every other wildcard row)
         "q_wildcard_prefix", "q_wildcard_contains", "q_wildcard_qmark",
-        "q_wildcard_singlechar", "q_wildcard_terms",
+        "q_wildcard_singlechar",
         # incidence matrix (A9)
         "q_incidence_boolean",
         # BM25 (north star) + composition
@@ -884,9 +942,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted-index surface (S5/S7 + WAND + wildcard->BM25)
         "q_boolean_persisted", "q_bm25_wand_persisted",
         "q_wildcard_bm25_persisted",
-        # streaming (incremental generations, stateful dedup, watermark)
+        # streaming (incremental generations, stateful dedup, watermark,
+        # tombstone deletes — r5)
         "q_streaming_phrase_compacted", "q_streaming_bm25",
         "q_streaming_dedup", "q_streaming_trending",
+        "q_streaming_delete_phrase", "q_streaming_delete_bm25",
         # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
         "q_dedup_exact", "q_minhash_pairs",
         "q_ngram_jaccard_pairs", "q_dedup_clusters",
@@ -1084,6 +1144,34 @@ SELECT DISTINCT term FROM tf"""
 
     o["q_streaming_boolean"] = o["q_boolean_complex"]
     o["q_streaming_phrase"] = o["q_phrase_2"]
+    # deletes, pre-compaction: live results, build-time stats — the
+    # full-corpus phrase/BM25 oracle filtered to live docs
+    o["q_streaming_delete_phrase"] = o["q_phrase_2"].replace(
+        "WHERE a.term = 'hash'", "WHERE a.term = 'hash' AND a.doc_id % 5 != 0"
+    )
+    o["q_streaming_delete_bm25"] = bm25_sql(["spark", "query", "join"]).replace(
+        "SELECT doc_id, round(score, 4) AS score FROM scores",
+        "SELECT doc_id, round(score, 4) AS score FROM scores "
+        "WHERE doc_id % 5 != 0",
+    )
+    # deletes, post-compaction: stats recomputed over the live corpus —
+    # BM25 from scratch over the surviving docs only
+    o["q_streaming_delete_bm25_compacted"] = f"""{W},
+live AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 5 != 0),
+ldl AS (SELECT doc_id, dl FROM dl WHERE doc_id % 5 != 0),
+st AS (SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 != 0) AS n,
+              (SELECT avg(dl) FROM ldl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM live GROUP BY term),
+scores AS (
+  SELECT live.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (live.tf * 2.2) / (live.tf + 1.2 * (1.0 - 0.75 + 0.75 * ldl.dl / st.avgdl)) ) AS score
+  FROM live JOIN dfreq USING (term) JOIN ldl USING (doc_id) CROSS JOIN st
+  WHERE live.term IN ('join', 'query', 'spark')
+  GROUP BY live.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
     o["q_streaming_phrase_compacted"] = o["q_phrase_2"]
     o["q_streaming_wildcard_compacted"] = o["q_wildcard_contains"]
     o["q_streaming_bm25"] = o["q_bm25_topk"]

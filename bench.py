@@ -93,6 +93,36 @@ def _jvm_cpu() -> float:
     return total / hz
 
 
+def _calibrate_cores(n_procs: int, window_secs: float = 3.0) -> float:
+    """Effective-core probe: ``n_procs`` busy-spin workers for
+    ``window_secs``; returns total CPU-seconds consumed / spin wall —
+    ~``n_procs`` on an unthrottled box, materially lower while the
+    hypervisor is clamping burst-CPU credit. The committed 8->32
+    experiment (BENCH_r4_scaling8x32.json) measured ~31.4/32 on short
+    bursts in a clean window, so a short probe is a faithful
+    "is this window throttled" signal at negligible credit cost."""
+    import multiprocessing as mp
+
+    def spin(deadline, q):
+        t0w, t0c = time.time(), time.process_time()
+        x = 1.0
+        while time.time() < deadline:
+            x = (x * 1.000001) % 97.0
+        q.put((time.process_time() - t0c, time.time() - t0w))
+
+    q: "mp.Queue" = mp.Queue()
+    deadline = time.time() + window_secs
+    procs = [mp.Process(target=spin, args=(deadline, q)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    results = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    cpu = sum(c for c, _ in results)
+    wall = max(w for _, w in results)
+    return cpu / max(wall, 1e-9)
+
+
 def _build_worker(cpus: int, corpus_path: str, warm_path: str, out_dir: str,
                   shuffle_partitions: int = 16) -> None:
     """Subprocess body: time the segment build at a given parallelism.
@@ -189,31 +219,57 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
     Runs FIRST in the bench (before the heavy query phase): the sandbox
     VM throttles on burst-CPU credit, so scaling runs right after the
     bench's own 32-thread query workload measure the throttle, not the
-    code. Pairs whose CPU accounting shows external contention (hi JVM
-    burns > 1.5x the lo JVM's CPU for the same work; clean-window runs
-    of this exact code measure <= ~1.3x) are retried up to
-    KMA_BENCH_MAX_ATTEMPTS; every pair is still reported."""
+    code.
+
+    Throttle-aware pair exclusion (round-4 verdict #2): an
+    effective-core calibration probe (~3 s busy-spin at hi_cpus procs)
+    brackets every build — a run is CLEAN only if both its bracketing
+    probes measured >= KMA_BENCH_CAL_THRESH (default 0.9) x hi_cpus
+    effective cores. Only pairs of two clean runs with wall efficiency
+    <= 1.0 are headline-eligible; this is measurement-based exclusion
+    on BOTH sides (the earlier >1.0-plausibility rule only caught
+    contamination that *helped* the number — a throttled HI run, which
+    *hurts* it, sailed through). Excluded pairs are still reported."""
     lo_cpus = int(os.environ.get("KMA_BENCH_LO_CPUS", "1"))
     hi_cpus = lo_cpus * 4
     # shuffle/segment partition count: one level-independent value sized
     # to the hi level (4 waves on hi cores) so lo and hi run identical
     # plans — at lo=1/hi=4 this is the historical 16
     parts = int(os.environ.get("KMA_BENCH_SHUFFLE", str(4 * hi_cpus)))
-    attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "3"))
-    max_attempts = int(os.environ.get("KMA_BENCH_MAX_ATTEMPTS", "6"))
+    attempts = int(os.environ.get("KMA_BENCH_ATTEMPTS", "5"))
+    max_attempts = int(os.environ.get("KMA_BENCH_MAX_ATTEMPTS", "8"))
+    cal_secs = float(os.environ.get("KMA_BENCH_CAL_SECS", "3"))
+    cal_thresh = float(os.environ.get("KMA_BENCH_CAL_THRESH", "0.9")) * hi_cpus
     ratio = hi_cpus / lo_cpus
+    cal_log: list[float] = []
+
+    def probe() -> float:
+        c = round(_calibrate_cores(hi_cpus, cal_secs), 2)
+        cal_log.append(c)
+        return c
+
+    def timed_run(cpus: int) -> dict:
+        before = cal_log[-1] if cal_log else probe()
+        r = _run_build_at(cpus, corpus_path, warm_path, parts)
+        r["cal_before"], r["cal_after"] = before, probe()
+        return r
+
+    def clean(r: dict) -> bool:
+        return min(r["cal_before"], r["cal_after"]) >= cal_thresh
+
+    probe()
     lo_runs, hi_runs = [], []
     while True:
-        lo_runs.append(_run_build_at(lo_cpus, corpus_path, warm_path, parts))
-        hi_runs.append(_run_build_at(hi_cpus, corpus_path, warm_path, parts))
+        lo_runs.append(timed_run(lo_cpus))
+        hi_runs.append(timed_run(hi_cpus))
         n = len(lo_runs)
-        # stop early only on a pair that is BOTH contention-clean (hi JVM
-        # burns <= 1.3x the lo JVM's CPU for the same work; clean-window
-        # runs of this code measure ~1.15x) and over the contract bar
-        # with margin — otherwise keep gathering same-weather evidence
-        # up to max_attempts (every pair is reported either way).
+        # stop early only once a CLEAN-window pair clears the contract
+        # bar with margin AND the contention guard (hi JVM <= 1.3x the
+        # lo JVM's CPU for the same work; clean-window runs measure
+        # ~1.15x) — otherwise keep gathering evidence to max_attempts.
         good = any(
-            h["jvm_cpu_secs"] <= 1.3 * l["jvm_cpu_secs"]
+            clean(l) and clean(h)
+            and h["jvm_cpu_secs"] <= 1.3 * l["jvm_cpu_secs"]
             and (h["docs_per_sec"] / l["docs_per_sec"]) / ratio >= 0.82
             for l, h in zip(lo_runs, hi_runs)
         )
@@ -232,28 +288,37 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
          l, h)
         for l, h in cand
     ]
-    # Headline = best PLAUSIBLE pair: wall efficiency > 1 on identical
-    # plans means the lo run was externally throttled (super-linear
-    # scaling is physically impossible here), so such pairs stay in the
-    # all-pairs table as weather evidence but are not eligible as the
-    # headline number.
+    # Eligibility ladder for the headline: (1) probe-clean pairs with
+    # wall eff <= 1.0 (the measured-clean-window evidence), else
+    # (2) plausible pairs (eff <= 1.0 — super-linear wall scaling on
+    # identical plans is physically impossible, so >1.0 proves the lo
+    # run was throttled), else (3) everything. The tier used is
+    # reported so BENCH.md can say which rule produced the number.
+    eligible = [p for p in pair_effs if clean(p[2]) and clean(p[3]) and p[0] <= 1.0]
     plausible = [p for p in pair_effs if p[0] <= 1.0]
-    eff, cpu_eff, lo, hi = max(plausible or pair_effs, key=lambda p: p[0])
-    # median over the plausible pairs (round-3 advice: best-of-many
+    tier, src = (
+        ("probe-clean", eligible) if eligible
+        else ("plausible", plausible) if plausible
+        else ("all", pair_effs)
+    )
+    eff, cpu_eff, lo, hi = max(src, key=lambda p: p[0])
+    # median over the same eligible set (round-3 advice: best-of-many
     # selection biases the headline upward; the median shows central
     # tendency under the same weather) — reported alongside, never
     # replacing the per-same-window-pair best.
     import statistics
 
-    med_src = plausible or pair_effs
-    eff_median = statistics.median(p[0] for p in med_src)
-    cpu_eff_median = statistics.median(p[1] for p in med_src)
+    eff_median = statistics.median(p[0] for p in src)
+    cpu_eff_median = statistics.median(p[1] for p in src)
     timings["index_build_lo"] = round(lo["secs"], 4)
     timings["index_build_hi"] = round(hi["secs"], 4)
     return {"lo_cpus": lo_cpus, "hi_cpus": hi_cpus, "attempts": len(lo_runs),
             "lo_runs": lo_runs, "hi_runs": hi_runs, "pair_effs": pair_effs,
             "eff": eff, "cpu_eff": cpu_eff, "lo": lo, "hi": hi,
-            "eff_median": eff_median, "cpu_eff_median": cpu_eff_median}
+            "eff_median": eff_median, "cpu_eff_median": cpu_eff_median,
+            "headline_tier": tier, "n_eligible": len(eligible),
+            "cal_log": cal_log, "cal_thresh": cal_thresh,
+            "cal_secs": cal_secs}
 
 
 def main() -> None:
@@ -464,7 +529,46 @@ def main() -> None:
     def phase_row(r):
         return ", ".join(f"{k} {v:.1f}s" for k, v in r.get("phases", {}).items())
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    # ---- rolling per-query history (round-4 verdict #6): per-query
+    # numbers swing up to 1.8x between byte-identical runs on this VM,
+    # so the BENCH.md table reports median + range over the last runs
+    # (committed in BENCH_runs.jsonl) instead of chasing single-run
+    # weather round-over-round.
+    import statistics
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(repo_dir, "BENCH_runs.jsonl")
+    history: list[dict] = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        history.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"queries": timings, "bench_docs": BENCH_DOCS,
+                            "sf": SF_DIR}) + "\n")
+    # medians over the last <= 5 comparable runs (same corpus size/sf),
+    # current run included
+    recent = [h["queries"] for h in history
+              if h.get("bench_docs") == BENCH_DOCS and h.get("sf") == SF_DIR]
+    recent = recent[-4:] + [timings]
+
+    lo_cal_row = ", ".join(
+        "{:.1f}/{:.1f}".format(r["cal_before"], r["cal_after"]) for r in sc["lo_runs"])
+    hi_cal_row = ", ".join(
+        "{:.1f}/{:.1f}".format(r["cal_before"], r["cal_after"]) for r in sc["hi_runs"])
+
+    def qrow(name: str, cur: float) -> str:
+        vals = [r[name] for r in recent if name in r]
+        med = statistics.median(vals)
+        return (f"| {name} | {cur:.3f} | {med:.3f} | "
+                f"{min(vals):.3f}-{max(vals):.3f} | {len(vals)} |\n")
+
+    with open(os.path.join(repo_dir, "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — measured numbers (bench.py)\n\n"
             f"corpus: {BENCH_DOCS} synthetic docs (build), `{SF_DIR}` (queries)\n\n"
@@ -474,11 +578,13 @@ def main() -> None:
             "heap — 48g or 8g — burned 30-75% extra CPU at 4 threads; heap/GC\n"
             "sizing was the largest single scaling loss.)\n\n"
             "| metric | value |\n|---|---|\n"
-            f"| build docs/sec @ local[{lo_cpus}] / local[{hi_cpus}] (best same-window pair of {attempts}) | {lo['docs_per_sec']:.1f} / {hi['docs_per_sec']:.1f} |\n"
+            f"| build docs/sec @ local[{lo_cpus}] / local[{hi_cpus}] (best eligible pair of {attempts}) | {lo['docs_per_sec']:.1f} / {hi['docs_per_sec']:.1f} |\n"
             f"| **wall scaling efficiency ({lo_cpus}->{hi_cpus} cores, best pair)** | **{eff:.3f}** (target >= 0.8) |\n"
             f"| JVM CPU-secs/build @ local[{lo_cpus}] / local[{hi_cpus}] (same pair) | {lo['jvm_cpu_secs']:.0f} / {hi['jvm_cpu_secs']:.0f} |\n"
             f"| **CPU efficiency (cpu_lo/cpu_hi, 1.0 = no parallel overhead)** | **{cpu_eff:.3f}** |\n"
-            f"| median pair efficiency (wall / cpu, plausible pairs) | {sc['eff_median']:.3f} / {sc['cpu_eff_median']:.3f} |\n"
+            f"| median pair efficiency (wall / cpu, over the eligible set) | {sc['eff_median']:.3f} / {sc['cpu_eff_median']:.3f} |\n"
+            f"| headline eligibility tier / eligible pairs | {sc['headline_tier']} / {sc['n_eligible']} of {len(pair_effs)} |\n"
+            f"| calibration probes (effective cores @ {hi_cpus} procs, {sc['cal_secs']:.0f}s each, clean >= {sc['cal_thresh']:.2f}) | {', '.join(f'{c:.2f}' for c in sc['cal_log'])} |\n"
             f"| all pair efficiencies (wall / cpu) | {', '.join(f'{w:.3f}/{c:.3f}' for w, c, _, _ in pair_effs)} |\n"
             f"| best-lo phases | {phase_row(lo)} |\n"
             f"| best-hi phases | {phase_row(hi)} |\n"
@@ -486,15 +592,26 @@ def main() -> None:
             f"| all hi runs (docs/sec) | {', '.join(str(round(r['docs_per_sec'])) for r in hi_runs)} |\n"
             f"| all lo runs (JVM cpu-s) | {', '.join(str(round(r['jvm_cpu_secs'])) for r in lo_runs)} |\n"
             f"| all hi runs (JVM cpu-s) | {', '.join(str(round(r['jvm_cpu_secs'])) for r in hi_runs)} |\n"
+            f"| all lo runs (cal before/after) | {lo_cal_row} |\n"
+            f"| all hi runs (cal before/after) | {hi_cal_row} |\n"
             "\nNote: this sandbox VM intermittently throttles burst CPU (wall\n"
             "times AND CPU-time vary up to ±50% between runs of identical\n"
             "code/config), so attempts are interleaved lo/hi and efficiency is\n"
-            "evaluated per same-window pair, best pair reported with all pairs\n"
-            "listed. The CPU-efficiency row compares total JVM CPU consumed\n"
-            "per build, i.e. how much extra work parallelism itself costs. On\n"
-            "a real multi-executor cluster the same job's scaling is governed\n"
-            "by the shuffle design (explicit salting, map-side combine, one\n"
-            "wide shuffle, concurrent side-table writes).\n\n"
+            "evaluated per same-window pair. **Pair-exclusion rule**: every\n"
+            "build is bracketed by a busy-spin calibration probe measuring\n"
+            "effective cores; a pair is headline-eligible only if all four\n"
+            "bracketing probes saw an unthrottled window (>= 0.9x nominal\n"
+            "cores) AND wall efficiency <= 1.0 (super-linear scaling on\n"
+            "identical plans is physically impossible, so >1.0 proves lo-side\n"
+            "throttle). This excludes contamination in BOTH directions — a\n"
+            "throttled hi run (which deflates the number) fails its probes\n"
+            "just like a throttled lo run (which inflates it). The tier row\n"
+            "says which rule produced the headline; the median is over the\n"
+            "same eligible set. The CPU-efficiency row compares total JVM CPU\n"
+            "consumed per build, i.e. how much extra work parallelism itself\n"
+            "costs. On a real multi-executor cluster the same job's scaling\n"
+            "is governed by the shuffle design (explicit salting, map-side\n"
+            "combine, one wide shuffle, concurrent side-table writes).\n\n"
             "## Skew stress (explicit head-term salting)\n\n"
             "One synthetic term injected into 50% of the sf docs (df =\n"
             "n_docs/2), term layout. With salting on, no encoder task ever\n"
@@ -548,8 +665,14 @@ def main() -> None:
             "(`dictionary.rs:420-473`); a columnar store gets the prefix "
             "sharing from general-purpose compression.\n\n"
             "## Query timings\n\n"
-            "| query | seconds |\n|---|---|\n"
-            + "".join(f"| {k} | {v:.3f} |\n" for k, v in sorted(timings.items()))
+            "Current run plus median and range over the last runs recorded\n"
+            "in `BENCH_runs.jsonl` (same corpus size / sf only) — per-query\n"
+            "numbers swing up to 1.8x between byte-identical runs on this VM\n"
+            "(committed evidence: BENCH_r4_localruns.json), so round-over-\n"
+            "round comparisons should read the median column.\n\n"
+            "| query | this run (s) | median (s) | range (s) | runs |\n"
+            "|---|---|---|---|---|\n"
+            + "".join(qrow(k, v) for k, v in sorted(timings.items()))
         )
 
     print(json.dumps({
@@ -567,6 +690,10 @@ def main() -> None:
         "scaling_efficiency_cpu": round(cpu_eff, 4),
         "scaling_efficiency_median": round(sc["eff_median"], 4),
         "scaling_efficiency_cpu_median": round(sc["cpu_eff_median"], 4),
+        "scaling_headline_tier": sc["headline_tier"],
+        "scaling_pairs_eligible": sc["n_eligible"],
+        "scaling_calibration_probes": sc["cal_log"],
+        "scaling_cal_thresh_cores": sc["cal_thresh"],
         "bucket_cap_candidates": cap_counts,
         "frontcoding": {**fc, "parquet_bytes": fc_sizes},
         "skew_stress": skew,

@@ -512,14 +512,11 @@ def build_index(
             "part_id int, term string, doc_id long, tf long, dl long, "
             "positions array<int>"
         ).parquet(pos_dir).select("term", "doc_id", "tf", "dl")
-        # dl is stored on every posting row; per-doc length = any row's dl
-        doclen = term_doc.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     else:
         # no positional table (doc-layout / BM25-only builds): the slim
         # (term, doc_id, tf, dl) aggregation is cheap to cache in memory
         cached = term_doc_full.cache()
         term_doc = cached.select("term", "doc_id", "tf", "dl")
-        doclen = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
     # ---- global stats + dictionary parquet: two independent narrow
     # aggregates over the materialized postings, submitted CONCURRENTLY
@@ -542,15 +539,22 @@ def build_index(
 
     with ThreadPoolExecutor(max_workers=1) as pre:
         f_dict = pre.submit(_write_dictionary)
-        stats = doclen.select(
-            F.count("*").alias("n_docs_tokened"),
-            F.sum("dl").alias("total_words"),
-        ).collect()[0]
+        # n_docs_tokened = docs holding >= 1 posting: a one-column
+        # distinct count. total_words comes free from the dictionary
+        # below (sum(cf) == sum of every posting's tf == total tokens),
+        # so the old doc-keyed doclen groupBy — a second full-postings
+        # shuffle that existed only to feed avgdl — is gone from the
+        # critical path (round-4 verdict #2c).
+        n_docs_tokened = int(
+            term_doc.select(F.countDistinct("doc_id").alias("n"))
+            .collect()[0]["n"]
+        )
         f_dict.result()
-    n_docs_tokened = int(stats["n_docs_tokened"])
-    total_words = int(stats["total_words"] or 0)
-    avgdl = (total_words / n_docs_tokened) if n_docs_tokened else 1.0
     dictionary = spark.read.schema("term string, df long, cf long").parquet(dict_dir)
+    total_words = int(
+        dictionary.agg(F.sum("cf").alias("tw")).collect()[0]["tw"] or 0
+    )
+    avgdl = (total_words / n_docs_tokened) if n_docs_tokened else 1.0
     saltmap = saltmap_frame(dictionary, postings_per_group, max_salt) \
         if partition_by == "term" else None
     _mark("stats_dictionary", _t)

@@ -138,8 +138,11 @@ _EXHAUSTED = 2**62
 # ------------------------------------------------------------------ kernels
 
 
-def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
-    """Full-decode scoring with deterministic term-ordered summation."""
+def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
+                  deleted: frozenset | None = None):
+    """Full-decode scoring with deterministic term-ordered summation.
+    ``deleted`` (tombstoned doc ids) are masked out before scoring —
+    exactly as if their postings were never indexed."""
     terms = sorted(idf_by_term)
     rank = {t: i for i, t in enumerate(terms)}
     doc_parts, contrib_parts, rank_parts = [], [], []
@@ -163,29 +166,37 @@ def _exact_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int):
     docs = np.concatenate(doc_parts)
     contrib = np.concatenate(contrib_parts)
     ranks = np.concatenate(rank_parts)
-    # Fold per-doc scores strictly LEFT-TO-RIGHT in term-rank order,
-    # vectorized across docs (one += per query term). np.add.reduceat
-    # was measured to associate right-to-left, which drifts a ULP from
-    # the WAND kernel's sequential fold on 3+-term docs — caught by the
-    # kernel fuzz (tests/test_wand_fuzz.py); rank identity must be
-    # bit-exact, not isclose.
-    uniq = np.unique(docs)
+    if deleted:
+        live = ~np.isin(docs, np.fromiter(deleted, dtype=np.int64))
+        docs, contrib, ranks = docs[live], contrib[live], ranks[live]
+        if docs.size == 0:
+            return []
+    # Fold per-doc scores strictly LEFT-TO-RIGHT in term-rank order in
+    # O(N log N): lexsort postings by (doc, rank), then np.add.at —
+    # which is unbuffered and applies additions in element order — so
+    # each doc's contributions accumulate sequentially in ascending
+    # rank order, bit-identical to the WAND kernel's term-sorted fold.
+    # (np.add.reduceat was measured to associate right-to-left, and the
+    # earlier one-mask-per-rank loop was O(n_terms * n_postings) — a
+    # quadratic blowup for million-term wildcard expansions. Both
+    # rejected; the fold order is pinned by tests/test_wand_fuzz.py —
+    # rank identity must be bit-exact, not isclose.)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    order = np.lexsort((ranks, docs))
     scores = np.zeros(uniq.size, dtype=np.float64)
-    for r in range(len(terms)):
-        sel = ranks == r
-        if not sel.any():
-            continue
-        # within one term rank, every doc appears at most once (salted
-        # sub-lists are doc-disjoint), so fancy-index += is safe
-        scores[np.searchsorted(uniq, docs[sel])] += contrib[sel]
+    np.add.at(scores, inv[order], contrib[order])
     sel = np.lexsort((uniq, -scores))[:k]
     return [(int(uniq[i]), float(scores[i])) for i in sel]
 
 
 def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
-                 rescale_bounds: bool = False):
+                 rescale_bounds: bool = False,
+                 deleted: frozenset | None = None):
     """Block-Max WAND. Exact top-k: pruning uses strict bounds, ties at
-    the threshold are still evaluated, final order (score DESC, doc ASC)."""
+    the threshold are still evaluated, final order (score DESC, doc ASC).
+    ``deleted`` docs are skipped at pivot evaluation (they contribute
+    nothing and never enter the heap); all upper bounds remain valid —
+    removing docs can only lower true block maxima."""
     cursors = [
         _Cursor(row, idf_by_term[row["term"]], avgdl, rescale=rescale_bounds)
         for _, row in rows.iterrows()
@@ -215,6 +226,12 @@ def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
         if pivot_doc == _EXHAUSTED:
             break
         if cursors[0].cur_doc == pivot_doc:
+            if deleted and pivot_doc in deleted:
+                # tombstoned: advance past without scoring
+                for c in cursors:
+                    if c.cur_doc == pivot_doc:
+                        c.advance(avgdl)
+                continue
             # block-max refinement: sum of *block* UBs at pivot_doc
             if len(heap) >= k:
                 block_acc = 0.0
@@ -261,22 +278,25 @@ def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
 
 
 def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
-                     use_wand: bool, rescale_bounds: bool = False):
+                     use_wand: bool, rescale_bounds: bool = False,
+                     deleted: frozenset | None = None):
     """applyInPandas kernel: group key[0] must be query_id; scores each
     group's segment rows and returns that group's top-k.
     ``rescale_bounds``: derive WAND bounds from the raw (block_max_tf,
     block_min_dl) metadata under ``avgdl`` instead of the stored
     impacts — required whenever ``avgdl`` differs from the avgdl the
-    segments were encoded with (cross-generation queries)."""
+    segments were encoded with (cross-generation queries).
+    ``deleted``: tombstoned doc ids masked out of scoring (streaming
+    deletes; Lucene semantics — stats stay build-time until compaction)."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
         if use_wand:
             top = _wand_kernel(pdf, idf_by_term, avgdl, k,
-                               rescale_bounds=rescale_bounds)
+                               rescale_bounds=rescale_bounds, deleted=deleted)
         else:
-            top = _exact_kernel(pdf, idf_by_term, avgdl, k)
+            top = _exact_kernel(pdf, idf_by_term, avgdl, k, deleted=deleted)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -284,22 +304,34 @@ def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
     return run
 
 
-def make_rowidf_kernel(avgdl: float, k: int, use_wand: bool,
-                       rescale_bounds: bool = False):
+def make_rowidf_kernel(n_docs: int, avgdl: float, k: int, use_wand: bool,
+                       rescale_bounds: bool = False,
+                       deleted: frozenset | None = None):
     """applyInPandas kernel for the distributed-expansion path: per-term
-    idf arrives as an ``idf`` COLUMN on the segment rows (attached by a
+    ``df`` arrives as a COLUMN on the segment rows (attached by a
     dictionary join) instead of a driver-side dict, so the term set
-    never materializes on the driver. ``rescale_bounds`` as in
+    never materializes on the driver; idf is then computed INSIDE the
+    kernel with the same CPython ``math.log`` the dict-idf path uses.
+    (An earlier version attached a Catalyst ``F.log`` idf column — JVM
+    ``Math.log`` and CPython's libm are each ~1-ulp-accurate but NOT
+    bit-identical: measured divergence on this platform at df=8,
+    n_docs=10, caught by ``tests/test_wand_fuzz.py``. Rank identity
+    across the dict/rowidf/streaming paths must be bit-exact, so both
+    paths now share one log implementation.) ``rescale_bounds`` as in
     :func:`make_topk_kernel` (cross-generation avgdl)."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
-        idf_by_term = dict(zip(pdf["term"], pdf["idf"]))
+        # "gdf" = corpus-global df from the dictionary join (the segment
+        # rows' own "df" is the per-(term,salt)-group posting count)
+        idf_by_term = {
+            t: _idf(int(d), n_docs) for t, d in zip(pdf["term"], pdf["gdf"])
+        }
         if use_wand:
             top = _wand_kernel(pdf, idf_by_term, avgdl, k,
-                               rescale_bounds=rescale_bounds)
+                               rescale_bounds=rescale_bounds, deleted=deleted)
         else:
-            top = _exact_kernel(pdf, idf_by_term, avgdl, k)
+            top = _exact_kernel(pdf, idf_by_term, avgdl, k, deleted=deleted)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -322,8 +354,12 @@ def bm25_topk_terms_frame(
 
     Fully distributed shape, mirroring the boolean path's
     ``_docs_of_terms`` (``operators/boolean.py``): the term frame joins
-    the dictionary for per-term df -> idf (computed as a Catalyst
-    expression, bit-identical to the driver-side ``math.log``), then —
+    the dictionary to attach each term's corpus-global df as a row
+    column (idf itself is computed inside the kernel with CPython
+    ``math.log`` — see :func:`make_rowidf_kernel`; a Catalyst ``F.log``
+    idf column was measured to diverge from ``math.log`` by 1 ulp on
+    this platform, breaking bit-exact rank identity with the dict-idf
+    path), then —
     term layout — joins the saltmap to enumerate each term's (salt,
     part_id) pairs so the segment join carries ``part_id`` equality —
     the broadcast hash join drops non-candidate (part_id, term) rows at
@@ -332,17 +368,22 @@ def bm25_topk_terms_frame(
     ``dynamicpruningexpression(part_id IN ...)`` in the audited plan),
     so only candidate part directories are read — the collected path's
     partition pruning, without driver materialization. Scoring reuses
-    the same exact/WAND kernels with idf read from a row column."""
+    the same exact/WAND kernels with idf read from a row column.
+
+    Scale limit (term layout): the joins are fully distributed, but
+    scoring groups by ``query_id`` alone, so one query's entire
+    expansion funnels into a single applyInPandas task — an unselective
+    pattern (``*a*``) at a 10^9-term vocab makes that task the
+    straggler/OOM point even though nothing touches the driver. For
+    such patterns build with ``partition_by="doc"``: the kernel then
+    runs per (query_id, part_id) with complete local scores and the
+    existing <= parts*k global merge distributes the scoring too."""
     from .segments import _part_id_col
 
     n_docs, avgdl = index.meta["n_docs"], index.meta["avgdl"]
-    idf_expr = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
     tdf = (
         index.dictionary.join(terms_df.select("term").distinct(), "term")
-        .select("term", idf_expr.alias("idf"))
+        .select("term", F.col("df").alias("gdf"))
     )
     doc_layout = index.meta.get("partition_by") == "doc"
     sm = None if doc_layout else index.saltmap
@@ -362,7 +403,7 @@ def bm25_topk_terms_frame(
                     F.col("term"), F.col("salt"), index.meta["num_segments"]
                 ).alias("part_id"),
                 "term",
-                "idf",
+                "gdf",
             )
             .distinct()  # two salts of one term may share a part_id
         )
@@ -370,7 +411,7 @@ def bm25_topk_terms_frame(
     else:
         tagged = index.segments.join(tdf, "term")
     tagged = tagged.withColumn("query_id", F.lit(query_id))
-    run = make_rowidf_kernel(avgdl, k, use_wand)
+    run = make_rowidf_kernel(n_docs, avgdl, k, use_wand)
     if doc_layout:
         local = tagged.groupBy("query_id", "part_id").applyInPandas(
             run, schema=RESULT_SCHEMA

@@ -297,80 +297,99 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     lists into dedup groups so a pipeline can keep one canonical doc
     per cluster (``doc_id == cluster_id``).
 
-    Min-label propagation with pointer doubling: each iteration (a)
-    takes the min over neighbor labels (one hop) and then (b) shortcuts
-    ``label <- label(label)`` by joining the vertex-sized label frame
-    to itself. The shortcut is sound — a vertex's label is always the
-    id of some vertex in its own component, so the label's label is
-    also reachable — and it contracts label chains multiplicatively,
-    so convergence needs O(log diameter) iterations instead of the
-    O(diameter) of plain propagation (a 60-hop near-dup chain converges
-    in ~10 rounds; ``max_iter=25`` covers diameters far beyond any real
-    corpus). Two vertex-sized shuffles per iteration.
+    Two-phase star contraction (the public large-star / small-star
+    algorithm of Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC 2014): each round rewrites the EDGE set —
+    large-star connects every strictly-larger neighbor of a node to
+    the minimum of its neighborhood, small-star connects the
+    smaller-or-equal neighbors likewise — until every component is a
+    star centered on its minimum id. Convergence is O(log^2 n) rounds
+    WORST CASE regardless of how ids are laid out along the graph
+    (and ~log n in practice). This replaced round-4's min-label
+    propagation + pointer doubling: the round-5 randomized-id chain
+    fuzz (tests/test_dedup.py) showed that label doubling only
+    contracts geometrically when ids happen to DECREASE toward the
+    component minimum along the path — with shuffled ids a 259-hop
+    chain needed O(diameter) rounds, i.e. the old O(log d) claim held
+    for the best case, not the worst. Star contraction's guarantee is
+    topology- and labeling-independent.
 
-    ``edges`` is localCheckpoint'd ONCE before the loop — otherwise
-    every iteration re-executes the whole upstream pair-generation
-    pipeline (shingle -> salted self-join -> jaccard), which round-3
-    profiling showed dominated the runtime. ``labels`` is checkpointed
-    per iteration to truncate plan lineage. If the loop exits without
-    converging a ``RuntimeError`` is raised — silently returning
-    partially-propagated labels would hand the caller wrong clusters.
+    Each round is two edge-keyed groupBy+join rounds over the current
+    edge set; the edge set only shrinks toward one star edge per
+    non-center vertex, so the shuffles get cheaper as rounds proceed.
+    The input ``pairs`` frame is localCheckpoint'd ONCE before the
+    loop (round-3 profiling: re-executing the upstream shingle ->
+    salted-join -> jaccard pipeline per iteration dominated runtime);
+    each round's output is checkpointed to truncate lineage. If the
+    loop exits without converging a ``RuntimeError`` is raised —
+    silently returning a half-contracted edge set would hand the
+    caller wrong clusters.
     """
-    edges = (
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    verts = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("x").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+    cur = (
+        pairs.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("y"), F.col("label").alias("ylab")),
-                "y",
-            )
-            .groupBy("x")
-            .agg(F.min("ylab").alias("nlab"))
-            .select(F.col("x").alias("id"), "nlab")
+        # large-star: per node u over BOTH edge orientations, m(u) =
+        # min(N(u) + {u}); emit (v, m) for every neighbor v > u
+        sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        # carry the old label through the checkpoint so the convergence
-        # check is a scan of the checkpointed frame, not a second join.
-        # hop is checkpointed BEFORE the shortcut self-join below, which
-        # reads it twice — uncheckpointed, the edge-sized neighbor join
-        # would execute twice per iteration
-        hop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
-        ).localCheckpoint()
-        # pointer doubling: label <- min(label, label(label))
-        lmap = hop.select(F.col("id").alias("lid"), F.col("label").alias("llab"))
-        stepped = (
-            hop.alias("h")
-            .join(lmap.alias("m"), F.col("h.label") == F.col("m.lid"), "left")
-            .select(
-                F.col("h.id").alias("id"),
-                F.col("h.old").alias("old"),
-                F.least(
-                    F.col("h.label"), F.coalesce(F.col("m.llab"), F.col("h.label"))
-                ).alias("label"),
-            )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        ls = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("label") != F.col("old")).limit(1).count()
-        labels = stepped.select("id", "label")
-        if changed == 0:
+        # small-star: orient (hi -> lo); m(hi) = min smaller neighbor;
+        # emit (v, m) for each smaller neighbor v plus (hi, m)
+        smin = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        nxt = (
+            ls.join(smin, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smin.select(F.col("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the round was a no-op (edge sets equal; both
+        # sides are distinct, so equal counts + empty one-way diff)
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            cur = nxt
             break
+        cur = nxt
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} iterations; "
             "the pair graph has a pathologically long chain — raise max_iter"
         )
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # converged: one star per component, centered on the component min —
+    # members are (hi=member, lo=center); centers label themselves
+    labels = cur.groupBy("hi").agg(F.min("lo").alias("label")).select(
+        F.col("hi").alias("id"), "label"
+    )
+    return verts.join(labels, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("label", F.col("id")).alias("cluster_id"),
+    )
 
 
 # ------------------------------------------------------------ decontamination

@@ -18,8 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (name, pattern, replacement) — applied IN ORDER (email first: an
-# address like a@1.2.3.4 must count as an email, not an IPv4).
+# (name, pattern, replacement) — applied IN ORDER (email first: in
+# user@10.0.0.7.example.com the email rule consumes the whole address;
+# run the IPv4 rule first and it would mangle the host to
+# user@<IP>.example.com and the email count would be lost. A purely
+# numeric-host address like a@1.2.3.4 intentionally falls through to
+# the IPv4 rule — the email pattern requires an alphabetic TLD).
 # Patterns use only syntax with identical semantics in Java regex and
 # RE2/DuckDB: character classes, bounded repeats, \b word boundaries.
 DEFAULT_RULES: list[tuple[str, str, str]] = [

@@ -194,7 +194,7 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
 
     Both are single groupBy aggregations over exploded lines/bigrams —
     no self-joins, no UDFs; 0.0 for docs with no lines/bigrams."""
-    from ..functions.tokenize import tokenize_expr
+    from ..functions.tokenize import bigrams_expr, tokenize_expr
 
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -212,18 +212,10 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, "code").alias("toks")
     )
+    # same bigram construction as the bigram index (functions.tokenize.
+    # bigrams_expr) — one shared implementation across the codebase
     bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.zip_with(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bg"),
+        "doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg")
     )
     per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
     top = per_bg.groupBy("doc_id").agg(

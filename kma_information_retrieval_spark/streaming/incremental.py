@@ -55,6 +55,27 @@ def incremental_index_stream(
     return writer.start()
 
 
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> None:
+    """Tombstone-delete documents from a generation index — Lucene
+    semantics: deleted docs vanish from every query result immediately
+    (boolean/phrase/wildcard via anti-join; BM25/WAND via a kernel-side
+    mask), while corpus statistics (n_docs, avgdl, df/idf) stay at
+    their build-time values until :func:`compact_generations` physically
+    drops the postings and recomputes them — the same contract Lucene
+    documents for deletes-before-merge. ``doc_ids`` is a DataFrame with
+    a ``doc_id`` column or an iterable of ids. Appends an immutable
+    parquet file under ``out_dir/tombstones/`` (dedup happens at read),
+    so deletes are themselves incremental and idempotent."""
+    df = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    )
+    df.select(F.col("doc_id").cast("long").alias("doc_id")).write.mode(
+        "append"
+    ).parquet(os.path.join(out_dir, "tombstones"))
+
+
 @dataclass
 class GenerationIndex:
     """Query view over all committed generations."""
@@ -86,7 +107,12 @@ class GenerationIndex:
     def segments(self) -> DataFrame:
         """Union of all generations' segments, tagged with a ``gen``
         column (a doc lives in exactly one generation, so generations
-        are doc-disjoint shards for scoring)."""
+        are doc-disjoint shards for scoring). Generations built before
+        the (max_tf, min_dl, block_max_tf, block_min_dl) bounds columns
+        existed union with ``allowMissingColumns=True`` (nulls in the
+        new columns), so a mixed old/new index stays queryable — the
+        WAND rescale path is gated on :attr:`have_bounds`, which
+        requires EVERY generation to carry real bounds."""
         dfs = [
             self.spark.read.parquet(os.path.join(g, "segments")).withColumn(
                 "gen", F.lit(i)
@@ -95,8 +121,47 @@ class GenerationIndex:
         ]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """Deleted doc ids (distinct), or None if nothing was deleted.
+        See :func:`delete_docs` for the semantics."""
+        p = os.path.join(self.out_dir, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p).select("doc_id").distinct()
+
+    def _deleted_set(self) -> frozenset:
+        """Tombstones as a frozenset for the scoring kernels. Collected
+        driver-side: the set is bounded by the delete volume BETWEEN
+        compactions (compaction applies and clears it), which a real
+        deployment keeps small by compacting regularly — the same
+        live-docs-bitmap trade Lucene makes. The boolean paths use the
+        anti-join instead and never collect."""
+        t = self.tombstones
+        if t is None:
+            return frozenset()
+        return frozenset(r["doc_id"] for r in t.collect())
+
+    @property
+    def have_bounds(self) -> bool:
+        """True only when every generation's segments carry the raw
+        WAND bounds columns (max_tf/min_dl/block_max_tf/block_min_dl).
+        Checked per generation from the parquet footers — the unioned
+        schema alone can't tell (allowMissingColumns fills nulls), and
+        cross-generation WAND must fall back to the exact kernel if ANY
+        generation predates the bounds columns."""
+        need = {"max_tf", "min_dl", "block_max_tf", "block_min_dl"}
+        for g in self.gen_dirs:
+            cols = set(
+                self.spark.read.parquet(os.path.join(g, "segments"))
+                .schema.fieldNames()
+            )
+            if not need <= cols:
+                return False
+        return True
 
     @property
     def dictionary(self) -> DataFrame:
@@ -180,10 +245,16 @@ class GenerationIndex:
         )
 
     def query(self, query_str: str, strict: bool = False) -> DataFrame:
-        """Boolean/phrase/proximity/wildcard over ALL generations."""
+        """Boolean/phrase/proximity/wildcard over ALL generations;
+        tombstoned docs are anti-joined out (fully distributed — no
+        driver-side delete set on this path)."""
         from ..operators.boolean import compile_query
 
-        return compile_query(query_str, self.bundle(), strict=strict)
+        out = compile_query(query_str, self.bundle(), strict=strict)
+        tomb = self.tombstones
+        if tomb is not None and "doc_id" in out.columns:
+            out = out.join(tomb, "doc_id", "left_anti")
+        return out
 
     def bm25_topk_batch(self, queries: dict[str, list[str]], k: int = 10,
                         use_wand: bool = True) -> DataFrame:
@@ -226,11 +297,12 @@ class GenerationIndex:
         idf = {t: _idf(d, self.n_docs) for t, d in gdf.items()}
         qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
         rescale = len(self.gen_dirs) > 1
-        have_bounds = "block_max_tf" in seg.schema.fieldNames()
+        have_bounds = self.have_bounds
         run = make_topk_kernel(
             idf, qterms, self.avgdl, k,
             use_wand=use_wand and (not rescale or have_bounds),
             rescale_bounds=rescale,
+            deleted=self._deleted_set() or None,
         )
         local = tagged.groupBy("query_id", "gen").applyInPandas(
             run, schema=RESULT_SCHEMA
@@ -257,22 +329,23 @@ class GenerationIndex:
 
         terms_df = wildcard_terms(pattern, self.bundle(), strategy=strategy)
         n_docs = self.n_docs
-        idf_expr = F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
+        # attach the merged corpus-global df as a row column; idf is
+        # computed inside the kernel with CPython math.log — the same
+        # implementation bm25_topk_batch's dict-idf path uses (a
+        # Catalyst F.log column measured 1 ulp off math.log on this
+        # platform, breaking bit-exact cross-path rank identity)
         tdf = (
             self.dictionary.join(terms_df.select("term").distinct(), "term")
-            .select("term", idf_expr.alias("idf"))
+            .select("term", F.col("df").alias("gdf"))
         )
         seg = self.segments.join(tdf, "term").withColumn("query_id", F.lit("q"))
         rescale = len(self.gen_dirs) > 1
-        have_bounds = "block_max_tf" in self.segments.schema.fieldNames()
+        have_bounds = self.have_bounds
         run = make_rowidf_kernel(
-            self.avgdl, k,
+            n_docs, self.avgdl, k,
             use_wand=use_wand and (not rescale or have_bounds),
             rescale_bounds=rescale,
+            deleted=self._deleted_set() or None,
         )
         local = seg.groupBy("query_id", "gen").applyInPandas(
             run, schema=RESULT_SCHEMA
@@ -308,6 +381,15 @@ def compact_generations(
     always-available coordinate index (``coordinate_index.rs:145-208``;
     round-2 verdict #3). Same for bigram tables. Old generation dirs
     are removed after the new manifest commits.
+
+    **Deletes** (:func:`delete_docs`) are applied here: tombstoned
+    postings/docmap/positional/bigram rows are dropped via anti-joins,
+    the dictionary and every corpus statistic (n_docs, avgdl, df/cf)
+    are recomputed over the live docs, and the tombstone set is cleared
+    — so the compacted index is indistinguishable from one built from
+    scratch over the surviving corpus (Lucene merge semantics; tested
+    against exactly that oracle). A single generation WITH tombstones
+    is also compacted (deletes alone justify the rewrite).
     """
     import shutil
     import time
@@ -334,14 +416,33 @@ def compact_generations(
     for g in glob.glob(os.path.join(out_dir, "generations", "gen=*")):
         if os.path.basename(g) in superseded:
             shutil.rmtree(g)
-    if len(gi.gen_dirs) < 2:
+    tomb = gi.tombstones
+    if len(gi.gen_dirs) < 2 and tomb is None:
         return gi
     last_epoch = max(int(os.path.basename(g).split("=")[1]) for g in gi.gen_dirs)
     gen_dir = os.path.join(out_dir, "generations", f"gen={last_epoch + 1:010d}")
-    n_docs, avgdl = gi.n_docs, gi.avgdl
 
     term_doc = decoded_postings_frame(gi.segments)
-    dictionary = gi.dictionary
+    if tomb is None:
+        n_docs, avgdl = gi.n_docs, gi.avgdl
+        n_docs_tokened = gi.n_docs_tokened
+        total_words = sum(m["total_words"] for m in gi.metas)
+        dictionary = gi.dictionary
+    else:
+        # deletes are APPLIED here (Lucene merge semantics): tombstoned
+        # postings are dropped and every statistic — n_docs, avgdl,
+        # df/cf — is recomputed over the live docs, so post-compaction
+        # BM25 equals a from-scratch index over the surviving corpus
+        term_doc = term_doc.join(tomb, "doc_id", "left_anti").localCheckpoint()
+        dictionary = term_doc.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        st = term_doc.agg(
+            F.countDistinct("doc_id").alias("nt"), F.sum("tf").alias("tw")
+        ).collect()[0]
+        n_docs_tokened = int(st["nt"] or 0)
+        total_words = int(st["tw"] or 0)
+        avgdl = (total_words / n_docs_tokened) if n_docs_tokened else 1.0
     salt_and_encode(
         spark, term_doc, dictionary, avgdl, os.path.join(gen_dir, "segments"),
         num_segments, postings_per_group, max_salt, block_size,
@@ -352,7 +453,11 @@ def compact_generations(
     dm = docmaps[0]
     for d in docmaps[1:]:
         dm = dm.unionByName(d)
+    if tomb is not None:
+        dm = dm.join(tomb, "doc_id", "left_anti")
     dm.write.mode("overwrite").parquet(os.path.join(gen_dir, "docmap"))
+    if tomb is not None:
+        n_docs = spark.read.parquet(os.path.join(gen_dir, "docmap")).count()
 
     # positional / bigram tables: doc-disjoint generations union cleanly;
     # re-partition positional by term hash (part_id is recomputed because
@@ -365,6 +470,8 @@ def compact_generations(
         for g in gi.gen_dirs:
             p = spark.read.parquet(os.path.join(g, "positional")).drop("part_id")
             pos = p if pos is None else pos.unionByName(p)
+        if tomb is not None:
+            pos = pos.join(tomb, "doc_id", "left_anti")
         (
             pos.withColumn(
                 "part_id",
@@ -381,6 +488,8 @@ def compact_generations(
         for g in gi.gen_dirs:
             b = spark.read.parquet(os.path.join(g, "bigrams"))
             bg = b if bg is None else bg.unionByName(b)
+        if tomb is not None:
+            bg = bg.join(tomb, "doc_id", "left_anti")
         bg.write.mode("overwrite").parquet(os.path.join(gen_dir, "bigrams"))
     dictionary.write.mode("overwrite").parquet(os.path.join(gen_dir, "dictionary"))
     dictionary = spark.read.parquet(os.path.join(gen_dir, "dictionary"))
@@ -396,10 +505,10 @@ def compact_generations(
     manifest = {
         "version": 2,
         "n_docs": n_docs,
-        "n_docs_tokened": sum(m.get("n_docs_tokened", m["n_docs"]) for m in gi.metas),
+        "n_docs_tokened": n_docs_tokened,
         "avgdl": avgdl,
         "avgdl_definition": "total_words / token-bearing docs",
-        "total_words": sum(m["total_words"] for m in gi.metas),
+        "total_words": total_words,
         "num_segments": num_segments,
         "partition_by": "term",
         "with_positions": with_positions,
@@ -418,6 +527,11 @@ def compact_generations(
         json.dump(manifest, f, indent=1)
     for g in gi.gen_dirs:
         shutil.rmtree(g)
+    if tomb is not None:
+        # tombstones are applied; clearing them is crash-safe — if the
+        # process dies first, re-applying them to the already-filtered
+        # index is an anti-join against absent ids (a no-op)
+        shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     return load_generations(spark, out_dir)
 
 

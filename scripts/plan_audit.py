@@ -103,7 +103,8 @@ def main() -> None:
                      fragments(plan_of(seg))))
 
     # 6. distributed wildcard->BM25: the expanded term frame joins the
-    # dictionary (Catalyst idf) and the segments on (part_id, term) —
+    # dictionary (attaching global df; idf computed kernel-side with
+    # CPython math.log) and the segments on (part_id, term) —
     # broadcast-hash shaped, NO driver-side term collect and therefore
     # no In-list of terms anywhere in the plan.
     from kma_information_retrieval_spark.index.wand import bm25_topk_terms_frame

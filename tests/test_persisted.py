@@ -185,8 +185,11 @@ def test_wildcard_bm25_expansion_stays_distributed(pidx, monkeypatch):
     """Round-3 verdict #3: the wildcard->BM25 composition must not
     collect the expanded term list to the driver. Plan construction is
     guarded against ANY DataFrame.collect; results must equal the
-    collected-terms batch path bit-for-bit (same kernels, idf now a
-    Catalyst column)."""
+    collected-terms batch path bit-for-bit (same kernels; global df
+    rides the rows and idf is computed kernel-side with the same
+    CPython math.log as the batch path — a Catalyst F.log idf column
+    measured 1 ulp off math.log on this platform, which would break
+    exactly this assertion for some (df, n_docs) values)."""
     from pyspark.sql import DataFrame
 
     from kma_information_retrieval_spark.index.wand import (

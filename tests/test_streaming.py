@@ -353,3 +353,92 @@ def test_generation_wildcard_topk(tiny_gi, monkeypatch):
         key=lambda x: (-x[1], x[0]),
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------- deletes
+
+
+@pytest.fixture(scope="module")
+def del_gi(spark, tmp_path_factory):
+    """Two-generation index with live tombstones (doc_id % 5 == 0
+    deleted, across both generations)."""
+    from kma_information_retrieval_spark.streaming.incremental import delete_docs
+
+    out = str(tmp_path_factory.mktemp("delgens") / "idx")
+    _tiny_gens(spark, out)
+    delete_docs(spark, out, [i for i in range(60) if i % 5 == 0])
+    return load_generations(spark, out)
+
+
+def _tiny_oracle(n=60, live=None):
+    return OracleIndex({
+        i: f"alpha beta doc{i % 7} gamma{i % 3} delta"
+        for i in range(n) if live is None or i in live
+    })
+
+
+def test_delete_masks_boolean(del_gi):
+    """Tombstoned docs vanish from boolean results immediately (anti-
+    join path, no compaction needed)."""
+    got = {r["doc_id"] for r in del_gi.query("alpha").collect()}
+    assert got == {i for i in range(60) if i % 5 != 0}
+
+
+def test_delete_masks_bm25_build_time_stats(del_gi):
+    """Lucene delete semantics pre-merge: results exclude deleted docs,
+    but n_docs/avgdl/idf stay at build-time values — scores of live
+    docs are bit-identical to the undeleted index's scores. Both the
+    WAND path (pivot skip) and the exact kernel (mask) must agree."""
+    oi = _tiny_oracle()
+    full = oi.bm25_topk(["doc1", "alpha"], 60)
+    want = [(d, s) for d, s in full if d % 5 != 0][:10]
+    for use_wand in (True, False):
+        got = del_gi.bm25_topk(["doc1", "alpha"], 10, use_wand=use_wand)
+        assert [d for d, _ in got] == [d for d, _ in want], use_wand
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), use_wand
+    # the two engine paths themselves stay bit-identical under deletes
+    assert del_gi.bm25_topk(["doc1", "alpha"], 10, use_wand=True) == \
+        del_gi.bm25_topk(["doc1", "alpha"], 10, use_wand=False)
+
+
+def test_delete_masks_wildcard_topk(del_gi):
+    """The distributed wildcard->BM25 path honors tombstones too."""
+    rows = del_gi.wildcard_topk("doc*", 60).collect()
+    assert rows and all(r["doc_id"] % 5 != 0 for r in rows)
+
+
+def test_delete_then_compact_refreshes_stats(spark, tmp_path_factory):
+    """Compaction applies tombstones physically: stats (n_docs, avgdl,
+    df/cf) are recomputed over the live corpus, so post-compaction BM25
+    equals a from-scratch index over the survivors; the tombstone set
+    is cleared; a later delete triggers single-generation compaction."""
+    from kma_information_retrieval_spark.streaming.incremental import (
+        compact_generations,
+        delete_docs,
+    )
+
+    out = str(tmp_path_factory.mktemp("delcompact") / "idx")
+    _tiny_gens(spark, out)
+    deleted = {i for i in range(60) if i % 5 == 0}
+    delete_docs(spark, out, sorted(deleted))
+    gi = compact_generations(spark, out, num_segments=2)
+    assert len(gi.gen_dirs) == 1
+    assert gi.n_docs == 60 - len(deleted)
+    assert not os.path.isdir(os.path.join(out, "tombstones"))
+
+    live = {i for i in range(60) if i % 5 != 0}
+    oi = _tiny_oracle(live=live)
+    assert abs(gi.avgdl - oi.avgdl) < 1e-12
+    want = oi.bm25_topk(["doc1", "alpha"], 10)
+    got = gi.bm25_topk(["doc1", "alpha"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    assert {r["doc_id"] for r in gi.query('"alpha beta"').collect()} == live
+
+    # single generation + fresh tombstones must still compact
+    delete_docs(spark, out, [1])
+    gi2 = compact_generations(spark, out, num_segments=2)
+    assert len(gi2.gen_dirs) == 1 and gi2.n_docs == 60 - len(deleted) - 1
+    assert 1 not in {r["doc_id"] for r in gi2.query("alpha").collect()}
