@@ -325,20 +325,39 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     silently returning a half-contracted edge set would hand the
     caller wrong clusters.
     """
+    # ONE checkpoint of the input pairs: verts and cur both derive from
+    # it, so the upstream pair pipeline executes exactly once (deriving
+    # each from `pairs` directly re-ran the whole shingle->join->jaccard
+    # pipeline twice — measured as the dominant cost at sf0.1)
+    base = pairs.select("a", "b").localCheckpoint()
     verts = (
-        pairs.select(F.col("a").alias("id"))
-        .unionByName(pairs.select(F.col("b").alias("id")))
+        base.select(F.col("a").alias("id"))
+        .unionByName(base.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     cur = (
-        pairs.select(
+        base.select(
             F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
         .localCheckpoint()
     )
+    # convergence detection: per round compare a cheap (count, hash-xor)
+    # signature of the edge set; only when the signature repeats run the
+    # exact one-sided exceptAll to CONFIRM (counts equal + both sides
+    # distinct + empty diff <=> set equality), so a hash collision can
+    # only cost one extra verification job, never a wrong answer — and
+    # the expensive set-compare runs once per call instead of per round
+    def _sig(df: DataFrame):
+        # bit_xor: order-independent, overflow-free under ANSI mode
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    cur_sig = _sig(cur)
     for _ in range(max_iter):
         # large-star: per node u over BOTH edge orientations, m(u) =
         # min(N(u) + {u}); emit (v, m) for every neighbor v > u
@@ -367,15 +386,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        # converged when the round was a no-op (edge sets equal; both
-        # sides are distinct, so equal counts + empty one-way diff)
-        if (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).limit(1).count() == 0
-        ):
+        # converged when the round was a no-op
+        nxt_sig = _sig(nxt)
+        if nxt_sig == cur_sig and nxt.exceptAll(cur).limit(1).count() == 0:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_sig = nxt, nxt_sig
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} iterations; "
