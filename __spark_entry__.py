@@ -583,6 +583,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "canonical_id", "group_size"
     )
 
+    # corpus-level exact paragraph dedup (C4 policy, r5): every line
+    # repeated across the corpus survives only at its first
+    # (doc_id, pos) occurrence; docs reassembled from survivors. The
+    # testdata docs are single-line and unique, so deterministic
+    # repeated lines are appended (a corpus-wide boilerplate line + a
+    # doc_id%7-keyed group line) to actually exercise the drop path —
+    # the oracle replays the same construction. Slim rows: md5 of the
+    # deduped content proves byte-identical reassembly.
+    def q_paragraph_dedup(s, d):
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("content"),
+                F.lit("license: common boilerplate"),
+                F.concat(F.lit("group line "), (F.col("doc_id") % 7).cast("string")),
+            ).alias("content"),
+        )
+        out = dedup.paragraph_dedup(docs)
+        return out.select(
+            "doc_id", F.md5("content").alias("dedup_md5"),
+            "n_paras", "n_dropped",
+        )
+    q["q_paragraph_dedup"] = q_paragraph_dedup
+
     def q_minhash(s, d):
         sig = dedup.minhash_signatures(dedup.shingle_frame(_docs(s, d), 3), N_MINHASH)
         return sig.select("doc_id", *[f"mh_{i}" for i in range(N_MINHASH)])
@@ -948,7 +973,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_dedup", "q_streaming_trending",
         "q_streaming_delete_phrase", "q_streaming_delete_bm25",
         # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
-        "q_dedup_exact", "q_minhash_pairs",
+        # (q_dedup_exact rotated to tail: 0 rows at sf0.01 — the
+        # testdata has no exact dups, so its green row proved little;
+        # q_paragraph_dedup exercises the same hash-key shuffle with
+        # 500 value-bearing rows)
+        "q_paragraph_dedup", "q_minhash_pairs",
         "q_ngram_jaccard_pairs", "q_dedup_clusters",
         "q_simhash_pairs", "q_embedding_neardup",
         # similarity search (LSH persisted covers the in-memory kernel)
@@ -1203,6 +1232,35 @@ g AS (SELECT doc_id, content_hash,
              count(*) OVER (PARTITION BY content_hash) AS group_size
       FROM h)
 SELECT doc_id, canonical_id, group_size::bigint AS group_size FROM g WHERE group_size > 1"""
+
+    # paragraph dedup: identical first-occurrence-wins policy — a
+    # row_number window over (doc_id, pos) per paragraph, empty lines
+    # always kept, docs reassembled with an ordered string_agg
+    o["q_paragraph_dedup"] = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'license: common boilerplate'
+              || chr(10) || 'group line ' || (doc_id % 7)::varchar AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, lst[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lst FROM aug),
+       LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) g
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+flagged AS (
+  SELECT doc_id, pos, para, (length(para) < 1 OR rn = 1) AS keep FROM ranked
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS dedup_md5,
+       count(*)::bigint AS n_paras,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS n_dropped
+FROM flagged GROUP BY doc_id"""
 
     # minhash: same universal hashes (a, b seeded identically via numpy)
     params = dedup._hash_params(N_MINHASH)

@@ -408,6 +408,57 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- paragraph dedup
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact paragraph (line) deduplication — the public
+    C4 policy (Raffel et al. 2020, §2.2: any repeated span is kept
+    only once corpus-wide): every paragraph occurring more than once
+    ACROSS the corpus survives only at its first occurrence (smallest
+    (doc_id, position)); later occurrences are dropped and each doc's
+    content is reassembled from its surviving paragraphs in order.
+    Returns (doc_id, content, n_paras, n_dropped) — one row per input
+    doc (a doc whose every paragraph was dropped keeps an empty
+    content).
+
+    Paragraphs shorter than ``min_chars`` (default: empty lines) are
+    structural, not content — always kept, never deduped.
+
+    Scale shape: posexplode -> ONE hash-keyed window (row_number over
+    (doc_id, pos) per paragraph hash — a single shuffle on md5(para),
+    the same key exact dedup shuffles on) -> one doc-keyed groupBy to
+    reassemble. No joins, no UDFs; the paragraph hash distributes
+    uniformly so the window has no hot keys beyond genuinely viral
+    paragraphs, which is the data's skew, not the plan's."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    flagged = paras.withColumn("rn", F.row_number().over(w)).withColumn(
+        # a hash partition is textually homogeneous, so short rows only
+        # ever share a partition with other short rows — the rn of a
+        # short row never shadows a real paragraph
+        "keep", (F.length("para") < min_chars) | (F.col("rn") == 1)
+    )
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "keep", "para"))),
+        lambda x: x["keep"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(sep, F.transform(kept_sorted, lambda x: x["para"])).alias("content"),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
 # ------------------------------------------------------------ decontamination
 
 

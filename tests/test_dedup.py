@@ -473,3 +473,34 @@ def test_contamination_overlap(spark):
         if n:
             want[i] = n
     assert got == want and 2 not in got and got[3] == 2
+
+
+def test_paragraph_dedup_c4_policy(spark):
+    """Corpus-level first-occurrence-wins paragraph dedup: a line
+    repeated across (or within) docs survives only at its smallest
+    (doc_id, pos); empty lines are structural and always kept."""
+    rows = [
+        (1, "alpha\n\nshared line\nunique one"),
+        (2, "shared line\nbeta\nshared line"),
+        (3, "unique three\n\nbeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["content"], r["n_paras"], r["n_dropped"])
+           for r in dedup.paragraph_dedup(df).collect()}
+    assert got == {
+        1: ("alpha\n\nshared line\nunique one", 4, 0),
+        # doc 2: first 'shared line' loses to doc 1's, the second to
+        # both; 'beta' is doc 2's first occurrence and survives
+        2: ("beta", 3, 2),
+        # doc 3: 'beta' already seen in doc 2; empty line kept
+        3: ("unique three\n", 3, 1),
+    }
+
+
+def test_paragraph_dedup_degenerate_docs(spark):
+    """Empty docs and all-duplicate docs still yield one output row."""
+    rows = [(1, ""), (2, "only"), (3, "only")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["content"], r["n_paras"], r["n_dropped"])
+           for r in dedup.paragraph_dedup(df).collect()}
+    assert got == {1: ("", 1, 0), 2: ("only", 1, 0), 3: ("", 1, 1)}
