@@ -494,6 +494,14 @@ def main() -> None:
     adv_sh.unpersist()
 
     # dedup + ANN
+    timed("paragraph_dedup", lambda: dedup.paragraph_dedup(
+        docs.withColumn(
+            "content",
+            F.concat_ws("\n", F.col("content"),
+                        F.lit("license: common boilerplate"),
+                        F.concat(F.lit("group line "),
+                                 (F.col("doc_id") % 7).cast("string"))),
+        )).count())
     timed("minhash_pairs", lambda: dedup.minhash_pairs(
         dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count())
     timed("dedup_clusters", lambda: dedup.duplicate_clusters(

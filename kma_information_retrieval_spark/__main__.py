@@ -15,8 +15,15 @@ reference can run the same commands against the Spark engine:
 Differences from the reference CLI, by design: ``--memory-limit`` maps
 to the salting target (``postings_per_group``) — Spark's shuffle spill
 handles the actual memory bound SPIMI enforced by hand; ``search``
-gains ``--topk`` (BM25 WAND) and ``--strict`` (reference J5
-missing-term abort).
+gains ``--topk`` (BM25 WAND), ``--strict`` (reference J5 missing-term
+abort) and ``--generations`` (query a streaming generation index,
+honoring tombstone deletes). ``delete`` / ``compact`` manage the
+streaming index's lifecycle (Lucene semantics: delete masks
+immediately, compact reclaims and refreshes stats):
+
+    python -m kma_information_retrieval_spark delete \
+        --index ./genidx --ids 17,42
+    python -m kma_information_retrieval_spark compact --index ./genidx
 """
 
 from __future__ import annotations
@@ -64,6 +71,23 @@ def cmd_build(args, spark: SparkSession) -> int:
 
 
 def cmd_search(args, spark: SparkSession) -> int:
+    if args.generations:
+        from .streaming.incremental import load_generations
+
+        gi = load_generations(spark, args.dict)
+        if args.topk:
+            for doc_id, score in gi.bm25_topk(args.query.split(), args.topk):
+                print(f"{doc_id}\t{score:.4f}")
+            return 0
+        try:
+            hits = gi.query(args.query, strict=args.strict)
+        except KeyError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in hits.orderBy("doc_id").collect():
+            print(r["doc_id"])
+        return 0
+
     from .index import load_index
     from .index.wand import bm25_topk_batch
 
@@ -82,6 +106,25 @@ def cmd_search(args, spark: SparkSession) -> int:
         return 2
     for r in hits.orderBy("doc_id").collect():
         print(r["doc_id"])
+    return 0
+
+
+def cmd_delete(args, spark: SparkSession) -> int:
+    from .streaming.incremental import delete_docs
+
+    ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    delete_docs(spark, args.index, ids)
+    print(f"tombstoned {len(ids)} doc id(s) in {args.index} "
+          "(applied at query time; run compact to reclaim space)")
+    return 0
+
+
+def cmd_compact(args, spark: SparkSession) -> int:
+    from .streaming.incremental import compact_generations
+
+    gi = compact_generations(spark, args.index,
+                             num_segments=args.num_segments)
+    print(f"compacted -> {len(gi.gen_dirs)} generation(s), {gi.n_docs} docs")
     return 0
 
 
@@ -144,7 +187,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="treat query as bag-of-words, print BM25 top-k")
     s.add_argument("--strict", action="store_true",
                    help="missing term aborts the query (reference J5)")
+    s.add_argument("--generations", action="store_true",
+                   help="--dict is a generation (streaming) index dir; "
+                        "honors tombstone deletes")
     s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("delete", help="tombstone-delete doc ids from a "
+                                      "generation index (Lucene semantics)")
+    d.add_argument("--index", required=True, help="generation index dir")
+    d.add_argument("--ids", required=True, help="comma-separated doc ids")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="merge generations into one; applies "
+                                       "tombstones and refreshes stats")
+    c.add_argument("--index", required=True, help="generation index dir")
+    c.add_argument("--num-segments", type=int, default=32)
+    c.set_defaults(fn=cmd_compact)
 
     pi = sub.add_parser("parquet-inspect", help="print schema + sample rows")
     pi.add_argument("--input", required=True)

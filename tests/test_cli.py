@@ -80,3 +80,45 @@ def test_cli_parquet_build_and_inspect(spark, parquet_corpus, tmp_path, capsys):
     assert idx.meta["partition_by"] == "doc"
     rows = bm25_topk_batch(idx, {"q": ["compute", "test"]}, 5).collect()
     assert len(rows) > 0
+
+
+def test_cli_delete_and_compact(spark, tmp_path, capsys):
+    """delete/compact verbs + --generations search: tombstoned docs
+    disappear immediately, compaction reclaims them physically."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.index import build_index
+
+    out = str(tmp_path / "genidx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 5} gamma") for i in range(20)],
+        "doc_id long, content string",
+    )
+    for i, gen in enumerate((docs.filter(F.col("doc_id") % 2 == 0),
+                             docs.filter(F.col("doc_id") % 2 == 1))):
+        build_index(spark, gen,
+                    _os.path.join(out, "generations", f"gen={i + 1:010d}"),
+                    num_segments=2)
+
+    rc = main(["delete", "--index", out, "--ids", "0,1,2"], spark=spark)
+    assert rc == 0
+    assert "tombstoned 3" in capsys.readouterr().out
+
+    rc = main(["search", "--query", "alpha", "--dict", out, "--generations"],
+              spark=spark)
+    assert rc == 0
+    ids = {int(x) for x in capsys.readouterr().out.split()}
+    assert ids == set(range(3, 20))
+
+    rc = main(["search", "--query", "alpha beta", "--dict", out,
+               "--generations", "--topk", "5"], spark=spark)
+    assert rc == 0
+    top = capsys.readouterr().out.strip().splitlines()
+    assert len(top) == 5 and all(int(l.split("\t")[0]) >= 3 for l in top)
+
+    rc = main(["compact", "--index", out, "--num-segments", "2"], spark=spark)
+    assert rc == 0
+    assert "17 docs" in capsys.readouterr().out
+    assert not _os.path.isdir(_os.path.join(out, "tombstones"))

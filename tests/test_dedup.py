@@ -504,3 +504,41 @@ def test_paragraph_dedup_degenerate_docs(spark):
     got = {r["doc_id"]: (r["content"], r["n_paras"], r["n_dropped"])
            for r in dedup.paragraph_dedup(df).collect()}
     assert got == {1: ("", 1, 0), 2: ("only", 1, 0), 3: ("", 1, 1)}
+
+
+def test_paragraph_dedup_fuzz_vs_python(spark):
+    """Randomized corpora (shared and unique lines, blanks, repeated
+    lines within one doc) against a direct pure-Python statement of the
+    first-occurrence-wins policy."""
+    import random
+
+    rnd = random.Random(7)
+    pool = [f"line {i}" for i in range(12)]
+    for trial in range(5):
+        rows = []
+        for doc_id in range(rnd.randint(2, 10)):
+            n = rnd.randint(0, 6)
+            lines = [
+                rnd.choice([rnd.choice(pool), f"uniq {doc_id} {j}", ""])
+                for j in range(n)
+            ]
+            rows.append((doc_id, "\n".join(lines)))
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        got = {r["doc_id"]: (r["content"], r["n_paras"], r["n_dropped"])
+               for r in dedup.paragraph_dedup(df).collect()}
+
+        seen: set[str] = set()
+        want = {}
+        for doc_id, content in rows:  # rows are doc_id-ascending
+            paras = content.split("\n")
+            kept, dropped = [], 0
+            for p in paras:
+                if len(p) < 1:
+                    kept.append(p)
+                elif p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+                else:
+                    dropped += 1
+            want[doc_id] = ("\n".join(kept), len(paras), dropped)
+        assert got == want, (trial, rows)
