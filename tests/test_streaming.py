@@ -442,3 +442,44 @@ def test_delete_then_compact_refreshes_stats(spark, tmp_path_factory):
     gi2 = compact_generations(spark, out, num_segments=2)
     assert len(gi2.gen_dirs) == 1 and gi2.n_docs == 60 - len(deleted) - 1
     assert 1 not in {r["doc_id"] for r in gi2.query("alpha").collect()}
+
+
+def test_mixed_old_new_generation_schemas(spark, tmp_path_factory):
+    """Round-4 advice: a streaming index whose OLD generations predate
+    the (max_tf, min_dl, block_max_tf, block_min_dl) bounds columns
+    must stay queryable next to post-upgrade generations (union with
+    allowMissingColumns), with have_bounds False (ANY old generation
+    forces the exact kernel) and results still rank-identical."""
+    out = str(tmp_path_factory.mktemp("mixedgens") / "idx")
+    _tiny_gens(spark, out)
+    gi = load_generations(spark, out)
+    assert gi.have_bounds is True
+    want = gi.bm25_topk(["doc1", "alpha"], 10)
+
+    # simulate a pre-upgrade generation: rewrite gen 1's segments
+    # without the bounds columns (partition layout preserved)
+    g0 = gi.gen_dirs[0]
+    seg_dir = os.path.join(g0, "segments")
+    old = spark.read.parquet(seg_dir).drop(
+        "max_tf", "min_dl", "block_max_tf", "block_min_dl"
+    ).cache()
+    old.count()
+    tmp_out = seg_dir + "_old"
+    old.write.mode("overwrite").partitionBy("part_id").parquet(tmp_out)
+    old.unpersist()
+    import shutil
+
+    shutil.rmtree(seg_dir)
+    shutil.move(tmp_out, seg_dir)
+
+    gi2 = load_generations(spark, out)
+    assert gi2.have_bounds is False
+    # the union itself must not raise, and the exact-kernel fallback
+    # must produce the same ranking (scores are avgdl/idf math only —
+    # unaffected by missing bounds metadata)
+    assert gi2.segments.count() > 0
+    got = gi2.bm25_topk(["doc1", "alpha"], 10)
+    assert got == want
+    # wildcard->BM25 path shares the same gate
+    rows = gi2.wildcard_topk("doc*", 5).collect()
+    assert len(rows) == 5
