@@ -118,6 +118,41 @@ def main() -> None:
     sections.append(
         ("distributed wildcard->BM25 (qu*, term layout)", frag))
 
+    # 7. corpus-level paragraph dedup: ONE hash-keyed exchange for the
+    # first-occurrence window + ONE doc-keyed exchange for reassembly —
+    # no joins anywhere (the C4 policy as two shuffles, not a self-join)
+    pd_plan = plan_of(dedup.paragraph_dedup(docs))
+    frag = fragments(pd_plan)
+    frag.append(
+        f"joins={pd_plan.count('Join')} (first-occurrence wins via one "
+        "window, reassembly via one groupBy — no self-join)")
+    sections.append(("corpus-level paragraph dedup (C4 policy)", frag))
+
+    # 8. streaming deletes, boolean path: tombstones anti-join the
+    # result frame — broadcast-hash left-anti (tombstone side is the
+    # small one), nothing collected driver-side on this path
+    import os
+
+    from kma_information_retrieval_spark.streaming.incremental import (
+        delete_docs,
+        load_generations,
+    )
+
+    gout = tempfile.mkdtemp(prefix="kma_plan_audit_gens_")
+    for i, gen in enumerate((docs.filter(F.col("doc_id") % 2 == 0),
+                             docs.filter(F.col("doc_id") % 2 == 1))):
+        build_index(spark, gen,
+                    os.path.join(gout, "generations", f"gen={i + 1:010d}"),
+                    num_segments=4)
+    delete_docs(spark, gout, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"))
+    gi = load_generations(spark, gout)
+    del_plan = plan_of(gi.query("spark and query"))
+    frag = fragments(del_plan)
+    frag.append(
+        f"left_anti_joins={del_plan.count('LeftAnti')} "
+        "(tombstone mask is a distributed anti-join, never collected)")
+    sections.append(("streaming delete mask (boolean path, 2 generations)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
