@@ -608,6 +608,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_paragraph_dedup"] = q_paragraph_dedup
 
+    # exact-substring duplication signal (Lee et al. 2022, r5 — tail
+    # entry): hash every 8-token window corpus-wide; docs tagged
+    # doc_id % 3 == 0 get an appended shared 8-token run so the
+    # duplicated-window path is actually exercised on this corpus.
+    def q_span_dup(s, d):
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("content"), F.lit(
+                    " shared boilerplate alpha beta gamma delta epsilon zeta")),
+            ).otherwise(F.col("content")).alias("content"),
+        )
+        return dedup.span_dup_stats(docs, 8).select(
+            "doc_id", "n_windows", "n_dup_windows",
+            F.round("dup_span_frac", 6).alias("dup_span_frac"),
+        )
+    q["q_span_dup_stats"] = q_span_dup
+
     def q_minhash(s, d):
         sig = dedup.minhash_signatures(dedup.shingle_frame(_docs(s, d), 3), N_MINHASH)
         return sig.select("doc_id", *[f"mh_{i}" for i in range(N_MINHASH)])
@@ -1261,6 +1280,34 @@ SELECT doc_id,
        count(*)::bigint AS n_paras,
        sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS n_dropped
 FROM flagged GROUP BY doc_id"""
+
+    # exact-substring duplication: same augmented text, same 8-token
+    # windows, duplication = analytic count over the window hash
+    o["q_span_dup_stats"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' shared boilerplate alpha beta gamma delta epsilon zeta'
+              ELSE text END AS text
+  FROM documents
+),
+atoks AS (SELECT doc_id, {_TOK_EXPR} AS toks FROM aug),
+wins AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM atoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) g
+  WHERE len(toks) >= 8
+),
+counted AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM wins),
+per_doc AS (
+  SELECT doc_id, count(*) AS nw, sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS nd
+  FROM counted GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(nw, 0)::bigint AS n_windows,
+       coalesce(nd, 0)::bigint AS n_dup_windows,
+       round(CASE WHEN coalesce(nw, 0) > 0 THEN nd::double / nw ELSE 0.0 END, 6)
+         AS dup_span_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 
     # minhash: same universal hashes (a, b seeded identically via numpy)
     params = dedup._hash_params(N_MINHASH)

@@ -459,6 +459,65 @@ def paragraph_dedup(
     )
 
 
+def span_dup_stats(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_span_frac) — the exact-
+    substring duplication signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", public): hash every
+    ``w``-token window of every doc; a window whose hash occurs at ANY
+    other (doc, position) in the corpus — another doc or a repeat
+    inside the same doc — counts as duplicated, and ``dup_span_frac``
+    is the duplicated fraction of the doc's windows. (The paper
+    REMOVES one copy of each duplicated 50-token span; at curation
+    time the per-doc fraction is the filter signal, and
+    :func:`paragraph_dedup` is this repo's removal-shaped variant at
+    line granularity.)
+
+    Shape for scale: tokenize -> explode window starts -> hash (all
+    codegen) -> ONE hash-keyed analytic count (count(*) OVER
+    (PARTITION BY window hash) — a single shuffle, no self-join) ->
+    one doc-keyed aggregation. Docs shorter than ``w`` tokens have 0
+    windows and report 0.0."""
+    from ..functions.tokenize import tokenize_expr
+
+    tokf = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - F.lit(w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = tokf.select(
+        "doc_id", "toks", F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        md5_long(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), w))).alias("h"),
+    )
+    counted = wins.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_dup_windows") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
 # ------------------------------------------------------------ decontamination
 
 

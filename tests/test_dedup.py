@@ -542,3 +542,26 @@ def test_paragraph_dedup_fuzz_vs_python(spark):
                     dropped += 1
             want[doc_id] = ("\n".join(kept), len(paras), dropped)
         assert got == want, (trial, rows)
+
+
+def test_span_dup_stats(spark):
+    """Exact-substring duplication signal: shared w-token windows count
+    at every occurrence (cross-doc AND within-doc); short docs report
+    zero windows."""
+    rows = [
+        # tokens must be >= 3 chars (code tokenizer drops shorter)
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta xray yankee"),   # shares window 1 with doc 1
+        (3, "ppp qqq rrr sss ppp qqq rrr sss"),      # self-repeat at starts 1 and 5
+        (4, "tiny doc"),                             # < w tokens -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         round(r["dup_span_frac"], 6))
+           for r in dedup.span_dup_stats(df, w=4).collect()}
+    assert got == {
+        1: (3, 1, round(1 / 3, 6)),
+        2: (3, 1, round(1 / 3, 6)),
+        3: (5, 2, 0.4),
+        4: (0, 0, 0.0),
+    }
