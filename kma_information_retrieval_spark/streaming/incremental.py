@@ -17,6 +17,12 @@ rewritten, so:
 
 A compaction job (merge small generations into one) is the same build
 re-run over the union of their docmaps — not implemented separately.
+
+Deletes (:func:`delete_docs`) follow Lucene semantics: tombstones mask
+docs from every query path immediately (boolean anti-join; kernel-side
+mask for BM25/WAND, with corpus statistics frozen at build time), and
+:func:`compact_generations` applies them physically — postings dropped,
+n_docs/avgdl/df/cf recomputed over the survivors, tombstones cleared.
 """
 
 from __future__ import annotations
