@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kma_information_retrieval_spark import operators as ops
-from kma_information_retrieval_spark.operators import ann, dedup, textstats
+from kma_information_retrieval_spark.operators import ann, curation, dedup, textstats
 from kma_information_retrieval_spark.operators.bm25 import bm25_topk
 from kma_information_retrieval_spark.operators.boolean import IndexBundle, compile_query
 
@@ -950,6 +950,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_contamination"] = q_contamination
 
+    # --- corpus-wide boilerplate line removal (tail entry; the C4
+    # policy's fractional-df half — paragraph_dedup keeps a repeated
+    # span's first occurrence, this removes high-df lines EVERYWHERE).
+    # A banner line is appended to every doc (df = n_docs, removed) and
+    # a doc_id%29-keyed group line (df ~ n_docs/29 < the 5% threshold,
+    # kept) so both sides of the cut are exercised; md5 of the rebuilt
+    # content proves byte-identical reassembly.
+    def q_boilerplate(s, d):
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("content"),
+                F.lit("license: common boilerplate"),
+                F.concat(F.lit("group line "), (F.col("doc_id") % 29).cast("string")),
+            ).alias("content"),
+        )
+        out = curation.remove_boilerplate_lines(docs, min_doc_frac=0.05)
+        return out.select(
+            "doc_id", F.md5("content").alias("clean_md5"),
+            "n_lines", "n_removed",
+        )
+    q["q_boilerplate_removal"] = q_boilerplate
+
+    # --- per-source document cap (tail entry): keep at most 15 docs
+    # per source, ranked by the portable md5 hash — the per-domain cap
+    # of web-corpus curation, deterministic and growable.
+    def q_cap_source(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        return curation.cap_per_group(docs, 15, group_col="source").select(
+            "doc_id", "source", "rk"
+        )
+    q["q_cap_per_source"] = q_cap_source
+
+    # --- greedy sequence packing (tail entry): hash-shard then pack
+    # docs into 128-token training sequences; the SQL oracle replays
+    # the sequential fold with a recursive CTE.
+    def q_pack(s, d):
+        return curation.pack_sequences(_docs(s, d), budget=128, n_shards=8).select(
+            "shard", "doc_id", "n_tokens", "seq_id"
+        )
+    q["q_pack_sequences"] = q_pack
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -1782,5 +1825,71 @@ train AS (SELECT doc_id, shingle_hash FROM shingles WHERE doc_id % 97 != 0)
 SELECT t.doc_id, count(*)::bigint AS n_shared
 FROM train t JOIN bench b USING (shingle_hash)
 GROUP BY t.doc_id"""
+
+    # boilerplate removal: same appended-line construction; threshold
+    # arithmetic forced to double (0.05::double) so DuckDB's decimal
+    # literal typing can't diverge from Spark's double math
+    o["q_boilerplate_removal"] = """
+WITH docs2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'license: common boilerplate'
+              || chr(10) || 'group line ' || (doc_id % 29)::varchar AS text
+  FROM documents),
+lns AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs2),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+ldf AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lns
+  WHERE length(line) >= 1 GROUP BY line),
+thresh AS (
+  SELECT greatest(2, cast(ceil(0.05::double * count(*)) AS bigint)) AS t
+  FROM docs2),
+boiler AS (SELECT line FROM ldf, thresh WHERE df >= t),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (length(l.line) < 1 OR b.line IS NULL) AS keep
+  FROM lns l LEFT JOIN boiler b ON l.line = b.line)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '')) AS clean_md5,
+       count(*)::bigint AS n_lines,
+       (count(*) FILTER (WHERE NOT keep))::bigint AS n_removed
+FROM flagged GROUP BY doc_id"""
+
+    # per-source cap: identical hash-rank window
+    o["q_cap_per_source"] = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         (row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('cap#' || doc_id::varchar), doc_id))::bigint AS rk
+  FROM documents) WHERE rk <= 15"""
+
+    # sequence packing: the greedy per-shard fold as a recursive CTE
+    # walking rows in doc_id order (rn links), same overflow rule as
+    # the engine (new sequence iff cum + tok > budget; an oversized doc
+    # keeps its own sequence)
+    o["q_pack_sequences"] = """
+WITH RECURSIVE base AS (
+  SELECT (('0x' || substr(md5('pack#' || doc_id::varchar), 1, 15))::bigint % 8)::int
+           AS shard,
+         doc_id,
+         len(regexp_split_to_array(text, '\\s+'))::bigint AS n_tokens
+  FROM documents),
+numbered AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::bigint AS seq_id, n_tokens AS cum
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+         CASE WHEN p.cum + n.n_tokens > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.cum + n.n_tokens > 128 THEN n.n_tokens
+              ELSE p.cum + n.n_tokens END
+  FROM packed p JOIN numbered n ON n.shard = p.shard AND n.rn = p.rn + 1)
+SELECT shard, doc_id, n_tokens, seq_id FROM packed"""
 
     return o

@@ -1,0 +1,171 @@
+"""Corpus-curation operators for training-data pipelines: corpus-wide
+boilerplate line removal, deterministic per-group document caps, and
+greedy sequence packing.
+
+These extend the engine beyond the reference's IR pipeline (no
+counterpart in /root/reference) with curation steps a web-scale
+training corpus needs; the policies are public ones — C4's repeated
+span / boilerplate handling (Raffel et al. 2020 §2.2), per-domain
+caps as used in Common Crawl curation, and the greedy fixed-budget
+example packing of T5/GPT-style training data loaders.
+
+All operators are deterministic and partitioning-invariant (hash
+ordering / hash sharding via the portable md5 prefix used across the
+repo), so every one has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_long(expr) -> "F.Column":
+    """Portable 60-bit integer from md5 — identical in Spark and DuckDB
+    (``('0x' || substr(md5(x),1,15))::bigint``)."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_doc_frac: float = 0.05,
+    min_count: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide boilerplate line removal (the C4 policy's second
+    half, Raffel et al. 2020 §2.2: while :func:`paragraph_dedup` keeps
+    a repeated span's FIRST occurrence, license banners / navigation
+    chrome that appear in a large FRACTION of documents should be
+    removed everywhere). A line counts as boilerplate when it occurs in
+    at least ``greatest(min_count, ceil(min_doc_frac * n_docs))``
+    distinct documents; every occurrence of such a line is dropped and
+    each doc's content is reassembled from its surviving lines in
+    order. Lines shorter than ``min_chars`` (default: empty lines) are
+    structural, never removed. Returns one row per input doc:
+    ``(doc_id, content, n_lines, n_removed)``.
+
+    Scale shape: detection is one distinct (line, doc) projection plus
+    one line-keyed count — two shuffles over the exploded lines, both
+    map-side combined. The boilerplate set is small BY CONSTRUCTION
+    (only lines in >= min_doc_frac of the corpus qualify — at most
+    ``1/min_doc_frac`` distinct lines per average doc length), so the
+    removal pass broadcasts it into the exploded scan: no third
+    shuffle keyed on line, and the reassembly groupBy is doc-keyed
+    (uniform). The threshold is computed inside the plan (count
+    aggregate cross-joined in), keeping the whole operator one lazy
+    DAG."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    content = lines.filter(F.length("line") >= min_chars)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    line_df = (
+        content.select("line", "doc_id").distinct()
+        .groupBy("line").agg(F.count("*").alias("df"))
+    )
+    boiler = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= F.greatest(
+            F.lit(min_count).cast("long"),
+            F.ceil(F.lit(min_doc_frac) * F.col("n_docs")),
+        ))
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
+        "keep", (F.length("line") < min_chars) | F.col("is_boiler").isNull()
+    )
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "keep", "line"))),
+        lambda x: x["keep"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(sep, F.transform(kept_sorted, lambda x: x["line"])).alias("content"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+    )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group document cap — the per-domain /
+    per-source limit of web-corpus curation (keep at most ``cap`` docs
+    from any one domain so no single site dominates the mixture).
+    Docs within a group are ranked by ``md5(salt#id)`` (ties by id),
+    and rows ranked past ``cap`` are dropped; the same reproducibility
+    contract as :func:`hash_sample` — stable across reruns,
+    partitionings and cluster sizes, and growable (a larger cap keeps
+    a superset). Returns the input columns plus the rank ``rk``.
+
+    Scale shape: ONE shuffle keyed on the group column. A pathological
+    group (one domain = 10^9 rows) makes that partition's sort the
+    straggler; because the rank order is a uniform hash, a two-pass
+    refinement bounds it — pre-filter with a hash threshold ~
+    ``cap / est_group_size`` (any superset-selective cut), then rank
+    only the survivors. The single-pass version here is the exact
+    semantics both passes converge to."""
+    h = _md5_long(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing — the step that turns a
+    curated document set into training sequences (T5/GPT-style data
+    loaders concatenate documents up to the model's context budget).
+    Documents are hash-sharded (``md5(salt#id) % n_shards``), ordered
+    by id within a shard, and greedily packed: a new sequence starts
+    whenever adding the next doc would exceed ``budget`` tokens (a doc
+    longer than the budget gets a sequence of its own — packing never
+    splits documents; truncation is the trainer's policy call). Token
+    counts are whitespace tokens, matching
+    :func:`~.textstats.token_counts`'s ``n_ws_tokens``. Returns
+    ``(shard, doc_id, n_tokens, seq_id)`` with ``seq_id`` dense per
+    shard.
+
+    Scale shape: ONE shuffle keyed on the uniform hash shard, then a
+    per-shard sequential fold in applyInPandas — packing is inherently
+    sequential WITHIN a sequence stream, so shards ARE the parallelism
+    (a 1000-executor run uses n_shards >> cores; each shard is an
+    independent stream). Sharding by hash rather than by partition
+    makes the assignment partitioning-invariant, hence oracle-
+    replayable and stable across cluster sizes."""
+    h = _md5_long(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, seq, cum = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > budget:
+                seq, cum = seq + 1, 0
+            cum += t
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["shard", "doc_id", "n_tokens", "seq_id"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "shard int, doc_id long, n_tokens long, seq_id long"
+    )

@@ -1,0 +1,123 @@
+"""Curation operators (boilerplate removal, per-group caps, sequence
+packing) vs pure-Python recomputation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.operators import curation
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_remove_boilerplate_lines(spark):
+    # 40 docs: a banner in every doc (df=40), a group line in ~8 docs
+    # each (df<threshold at frac=0.25 -> kept), a unique body line.
+    rows = [
+        (i, "\n".join([f"body line {i}", "LICENSE BANNER", f"group {i % 5}", ""]))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {
+        r["doc_id"]: r
+        for r in curation.remove_boilerplate_lines(docs, min_doc_frac=0.25).collect()
+    }
+    assert len(out) == 40
+    for i in range(40):
+        r = out[i]
+        # banner (df=40 >= ceil(0.25*40)=10) removed; group line (df=8)
+        # and the empty structural line survive
+        assert r["content"] == f"body line {i}\ngroup {i % 5}\n"
+        assert r["n_lines"] == 4 and r["n_removed"] == 1
+
+
+def test_remove_boilerplate_min_count_floor(spark):
+    # 3 docs sharing one line: frac threshold would be ceil(0.5*3)=2,
+    # min_count=4 floors above it -> nothing removed
+    docs = spark.createDataFrame(
+        [(i, "shared line\nown " + str(i)) for i in range(3)],
+        "doc_id long, content string",
+    )
+    out = curation.remove_boilerplate_lines(
+        docs, min_doc_frac=0.5, min_count=4
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert sorted(r["content"] for r in out) == [
+        f"shared line\nown {i}" for i in range(3)
+    ]
+
+
+def test_cap_per_group_matches_python(spark, docs):
+    grouped = docs.withColumn("grp", (F.col("doc_id") % 3).cast("string"))
+    got = {
+        r["doc_id"]: (r["grp"], r["rk"])
+        for r in curation.cap_per_group(grouped, 10, group_col="grp").collect()
+    }
+    # python recomputation: rank by (md5('cap#'+id), id) within group
+    rows = [(r["doc_id"], r["grp"]) for r in grouped.select("doc_id", "grp").collect()]
+    want = {}
+    for g in {g for _, g in rows}:
+        members = sorted(
+            (d for d, gg in rows if gg == g),
+            key=lambda d: (hashlib.md5(f"cap#{d}".encode()).hexdigest(), d),
+        )
+        for rk, d in enumerate(members[:10], start=1):
+            want[d] = (g, rk)
+    assert got == want
+
+
+def test_cap_per_group_growable(spark, docs):
+    grouped = docs.withColumn("grp", (F.col("doc_id") % 3).cast("string"))
+    small = {r["doc_id"] for r in curation.cap_per_group(grouped, 5, "grp").collect()}
+    big = {r["doc_id"] for r in curation.cap_per_group(grouped, 20, "grp").collect()}
+    assert small < big
+
+
+def _py_pack(rows, budget, n_shards, salt="pack"):
+    """Greedy packing recomputed in pure Python."""
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in rows:
+        sh = _md5_long(f"{salt}#{doc_id}") % n_shards
+        shards.setdefault(sh, []).append((doc_id, len(text.split())))
+    want = {}
+    for sh, members in shards.items():
+        seq, cum = 0, 0
+        for doc_id, t in sorted(members):
+            if cum > 0 and cum + t > budget:
+                seq, cum = seq + 1, 0
+            cum += t
+            want[doc_id] = (sh, t, seq)
+    return want
+
+
+def test_pack_sequences_matches_python(spark, docs):
+    out = curation.pack_sequences(docs, budget=120, n_shards=8).collect()
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"]) for r in out}
+    rows = [(r["doc_id"], r["content"]) for r in docs.collect()]
+    assert got == _py_pack(rows, 120, 8)
+
+
+def test_pack_sequences_budget_invariant(spark, docs):
+    out = curation.pack_sequences(docs, budget=120, n_shards=8).collect()
+    # per-(shard, seq) token totals respect the budget unless the
+    # sequence is a single oversized doc
+    totals: dict[tuple, list[int]] = {}
+    for r in out:
+        totals.setdefault((r["shard"], r["seq_id"]), []).append(r["n_tokens"])
+    for toks in totals.values():
+        assert sum(toks) <= 120 or len(toks) == 1
+
+
+def test_pack_sequences_partitioning_invariant(spark, docs):
+    a = sorted(
+        map(tuple, curation.pack_sequences(docs, 120, 8).collect())
+    )
+    b = sorted(
+        map(tuple, curation.pack_sequences(docs.repartition(13), 120, 8).collect())
+    )
+    assert a == b
