@@ -240,6 +240,13 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
     max_attempts = int(os.environ.get("KMA_BENCH_MAX_ATTEMPTS", "8"))
     cal_secs = float(os.environ.get("KMA_BENCH_CAL_SECS", "3"))
     cal_thresh = float(os.environ.get("KMA_BENCH_CAL_THRESH", "0.9")) * hi_cpus
+    # cool-down budget: when the pre-run probe reads throttled, SLEEP
+    # (burst credit recovers while idle) and re-probe instead of
+    # spending a ~2-minute build inside a window the eligibility rule
+    # will discard anyway. Total sleep across the experiment is capped;
+    # seconds actually slept are reported (BENCH.md transparency).
+    cooldown_left = float(os.environ.get("KMA_BENCH_COOLDOWN_SECS", "360"))
+    cooldown_used = 0.0
     ratio = hi_cpus / lo_cpus
     cal_log: list[float] = []
 
@@ -249,7 +256,14 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
         return c
 
     def timed_run(cpus: int) -> dict:
+        nonlocal cooldown_left, cooldown_used
         before = cal_log[-1] if cal_log else probe()
+        while before < cal_thresh and cooldown_left > 0:
+            nap = min(45.0, cooldown_left)
+            time.sleep(nap)
+            cooldown_left -= nap
+            cooldown_used += nap
+            before = probe()
         r = _run_build_at(cpus, corpus_path, warm_path, parts)
         r["cal_before"], r["cal_after"] = before, probe()
         return r
@@ -318,7 +332,7 @@ def _scaling_experiment(corpus_path: str, warm_path: str, timings: dict) -> dict
             "eff_median": eff_median, "cpu_eff_median": cpu_eff_median,
             "headline_tier": tier, "n_eligible": len(eligible),
             "cal_log": cal_log, "cal_thresh": cal_thresh,
-            "cal_secs": cal_secs}
+            "cal_secs": cal_secs, "cooldown_secs": cooldown_used}
 
 
 def main() -> None:
@@ -593,6 +607,7 @@ def main() -> None:
             f"| median pair efficiency (wall / cpu, over the eligible set) | {sc['eff_median']:.3f} / {sc['cpu_eff_median']:.3f} |\n"
             f"| headline eligibility tier / eligible pairs | {sc['headline_tier']} / {sc['n_eligible']} of {len(pair_effs)} |\n"
             f"| calibration probes (effective cores @ {hi_cpus} procs, {sc['cal_secs']:.0f}s each, clean >= {sc['cal_thresh']:.2f}) | {', '.join(f'{c:.2f}' for c in sc['cal_log'])} |\n"
+            f"| throttle cool-down slept before runs (probe below threshold) | {sc['cooldown_secs']:.0f}s |\n"
             f"| all pair efficiencies (wall / cpu) | {', '.join(f'{w:.3f}/{c:.3f}' for w, c, _, _ in pair_effs)} |\n"
             f"| best-lo phases | {phase_row(lo)} |\n"
             f"| best-hi phases | {phase_row(hi)} |\n"
@@ -702,6 +717,7 @@ def main() -> None:
         "scaling_pairs_eligible": sc["n_eligible"],
         "scaling_calibration_probes": sc["cal_log"],
         "scaling_cal_thresh_cores": sc["cal_thresh"],
+        "scaling_cooldown_secs": sc["cooldown_secs"],
         "bucket_cap_candidates": cap_counts,
         "frontcoding": {**fc, "parquet_bytes": fc_sizes},
         "skew_stress": skew,

@@ -1,0 +1,101 @@
+"""Unit tests for bench.py's scaling-experiment throttle handling
+(probe-gated eligibility + cool-down), with probes, builds and sleeps
+all monkeypatched — no JVM, no wall-clock cost."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import time
+
+
+def _load_bench():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    return importlib.reload(bench)
+
+
+def _fake_build(seq):
+    """_run_build_at stub: pops (docs_per_sec, jvm_cpu) pairs."""
+
+    def run(cpus, corpus, warm, parts):
+        dps, cpu = seq.pop(0)
+        return {"cpus": cpus, "docs": 1000, "secs": 1000 / dps,
+                "docs_per_sec": dps, "jvm_cpu_secs": cpu,
+                "phases": {}, "jobs": {}}
+
+    return run
+
+
+def test_cooldown_sleeps_until_probe_clean(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setenv("KMA_BENCH_COOLDOWN_SECS", "360")
+    # probes: throttled (1.5) until two naps have elapsed, then clean
+    probes = [1.5, 1.5, 1.5, 3.99]
+    state = {"slept": 0.0, "i": 0}
+
+    def fake_cal(n, secs=3.0):
+        v = probes[min(state["i"], len(probes) - 1)]
+        state["i"] += 1
+        return v
+
+    def fake_sleep(s):
+        state["slept"] += s
+        # after 90s of napping, credit is back
+        if state["slept"] >= 90:
+            probes[min(state["i"], len(probes) - 1):] = [3.99]
+
+    monkeypatch.setattr(bench, "_calibrate_cores", fake_cal)
+    monkeypatch.setattr(time, "sleep", fake_sleep)
+    # lo=600 d/s @140cpu, hi=2100 d/s @160cpu -> eff 0.875, clean
+    monkeypatch.setattr(
+        bench, "_run_build_at",
+        _fake_build([(600.0, 140.0), (2100.0, 160.0)] * 10),
+    )
+    monkeypatch.setenv("KMA_BENCH_ATTEMPTS", "1")
+    monkeypatch.setenv("KMA_BENCH_MAX_ATTEMPTS", "2")
+    bench = importlib.reload(bench)
+    monkeypatch.setattr(bench, "_calibrate_cores", fake_cal)
+    monkeypatch.setattr(bench, "_run_build_at",
+                        _fake_build([(600.0, 140.0), (2100.0, 160.0)] * 10))
+    sc = bench._scaling_experiment("c", "w", {})
+    assert sc["cooldown_secs"] >= 90
+    assert sc["headline_tier"] == "probe-clean"
+    assert abs(sc["eff"] - 0.875) < 1e-9
+
+
+def test_no_cooldown_when_probes_clean(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setenv("KMA_BENCH_ATTEMPTS", "1")
+    monkeypatch.setenv("KMA_BENCH_MAX_ATTEMPTS", "2")
+    bench = importlib.reload(bench)
+    monkeypatch.setattr(bench, "_calibrate_cores", lambda n, s=3.0: 3.99)
+    monkeypatch.setattr(
+        time, "sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("slept in clean window")),
+    )
+    monkeypatch.setattr(bench, "_run_build_at",
+                        _fake_build([(600.0, 140.0), (2100.0, 160.0)] * 10))
+    sc = bench._scaling_experiment("c", "w", {})
+    assert sc["cooldown_secs"] == 0.0
+    assert sc["headline_tier"] == "probe-clean"
+
+
+def test_budget_exhaustion_stops_sleeping(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setenv("KMA_BENCH_COOLDOWN_SECS", "90")
+    monkeypatch.setenv("KMA_BENCH_ATTEMPTS", "1")
+    monkeypatch.setenv("KMA_BENCH_MAX_ATTEMPTS", "1")
+    bench = importlib.reload(bench)
+    slept = []
+    monkeypatch.setattr(bench, "_calibrate_cores", lambda n, s=3.0: 1.2)
+    monkeypatch.setattr(time, "sleep", slept.append)
+    monkeypatch.setattr(bench, "_run_build_at",
+                        _fake_build([(600.0, 140.0), (2100.0, 160.0)] * 10))
+    sc = bench._scaling_experiment("c", "w", {})
+    # budget spent once (90s), never clean -> runs proceed anyway and
+    # the pair falls to the 'plausible' tier instead of hanging
+    assert sum(slept) == 90.0
+    assert sc["cooldown_secs"] == 90.0
+    assert sc["headline_tier"] == "plausible"
