@@ -153,6 +153,38 @@ def main() -> None:
         "(tombstone mask is a distributed anti-join, never collected)")
     sections.append(("streaming delete mask (boolean path, 2 generations)", frag))
 
+    # 9. boilerplate line removal: detection is two map-side-combined
+    # shuffles over exploded lines; the removal set and the n_docs
+    # scalar come back as BROADCASTS (no third line-keyed shuffle);
+    # reassembly is one doc-keyed exchange
+    from kma_information_retrieval_spark.operators import curation
+
+    bp_plan = plan_of(curation.remove_boilerplate_lines(docs))
+    frag = fragments(bp_plan)
+    frag.append(
+        f"broadcast_exchanges={bp_plan.count('BroadcastExchange')} "
+        "(boilerplate set + n_docs scalar broadcast into the scan; "
+        "no shuffle keyed on line for the removal pass)")
+    sections.append(("boilerplate line removal (fractional-df cut)", frag))
+
+    # 10. per-group cap: exactly ONE exchange (the group key) feeding
+    # the rank window — no joins at all
+    cap_plan = plan_of(curation.cap_per_group(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source"),
+        15, group_col="source"))
+    frag = fragments(cap_plan)
+    frag.append(f"joins={cap_plan.count('Join')} windows={cap_plan.count('Window')}")
+    sections.append(("per-source document cap (hash-rank window)", frag))
+
+    # 11. sequence packing: ONE exchange on the uniform hash shard into
+    # the per-shard Arrow fold — shards are the parallelism
+    pk_plan = plan_of(curation.pack_sequences(docs, 128, 8))
+    frag = fragments(pk_plan)
+    frag.append(
+        f"arrow_group_folds={pk_plan.count('FlatMapGroupsInPandas')} "
+        "(sequential fold confined to applyInPandas per shard)")
+    sections.append(("greedy sequence packing (hash shards)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
