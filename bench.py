@@ -537,6 +537,24 @@ def main() -> None:
     timed("ann_lsh_persisted_topk", lambda: ann.lsh_bucket_topk(
         aidx, qv, 10, n_bits=8, probe_hamming=1).collect())
 
+    # ---- curation operators (round 5): boilerplate removal over the
+    # same banner-injected corpus the paragraph-dedup bench uses,
+    # per-source caps, greedy sequence packing
+    from kma_information_retrieval_spark.operators import curation
+
+    banner_docs = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("content"),
+                    F.lit("license: common boilerplate")).alias("content"))
+    timed("boilerplate_removal",
+          lambda: curation.remove_boilerplate_lines(banner_docs).count())
+    srcdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source")
+    timed("cap_per_source",
+          lambda: curation.cap_per_group(srcdocs, 15, group_col="source").count())
+    timed("pack_sequences",
+          lambda: curation.pack_sequences(docs, 2048, n_shards=64).count())
+
     spark.stop()
 
     lo_cpus, hi_cpus = sc["lo_cpus"], sc["hi_cpus"]

@@ -24,6 +24,15 @@ immediately, compact reclaims and refreshes stats):
     python -m kma_information_retrieval_spark delete \
         --index ./genidx --ids 17,42
     python -m kma_information_retrieval_spark compact --index ./genidx
+
+``curate`` (no reference counterpart) chains the training-corpus
+operators — boilerplate-line removal, quality floor, language keep,
+per-group cap, sequence packing — over a parquet corpus:
+
+    python -m kma_information_retrieval_spark curate \
+        --input docs.parquet --output ./curated \
+        --boilerplate-frac 0.05 --min-quality 0.65 --lang en \
+        --cap source:1000 --pack-budget 2048
 """
 
 from __future__ import annotations
@@ -151,6 +160,57 @@ def cmd_parquet_build(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_curate(args, spark: SparkSession) -> int:
+    """Training-corpus curation chain over a parquet corpus: optional
+    boilerplate-line removal -> quality floor -> language keep ->
+    per-group cap, writing ``curated.parquet`` (and, with
+    ``--pack-budget``, the greedy ``packing.parquet`` assignment).
+    Every stage is one of the oracle-gated operators; the chain is the
+    CLI form of the q_curation_pipeline composition."""
+    import os
+
+    from .operators import curation, textstats
+
+    raw = spark.read.parquet(args.input)
+    docs = raw.select(F.col(args.id_col).alias("doc_id"),
+                      F.col(args.text_col).alias("content"))
+    stages = [("input", docs.count())]
+    if args.boilerplate_frac is not None:
+        cleaned = curation.remove_boilerplate_lines(
+            docs, min_doc_frac=args.boilerplate_frac)
+        removed = cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+        docs = cleaned.select("doc_id", "content")
+        stages.append(("boilerplate_lines_removed", removed))
+    if args.min_quality is not None:
+        keep = textstats.quality_scores(docs).filter(
+            F.col("quality") >= args.min_quality).select("doc_id")
+        docs = docs.join(keep, "doc_id")
+        stages.append(("quality", docs.count()))
+    if args.lang:
+        keep = textstats.language_id(docs).filter(
+            F.col("lang_pred") == args.lang).select("doc_id")
+        docs = docs.join(keep, "doc_id")
+        stages.append(("lang", docs.count()))
+    if args.cap:
+        col, cap = args.cap.rsplit(":", 1)
+        grouped = docs.join(
+            raw.select(F.col(args.id_col).alias("doc_id"), col), "doc_id")
+        docs = curation.cap_per_group(
+            grouped, int(cap), group_col=col).select("doc_id", "content")
+        stages.append((f"cap[{col}<={cap}]", docs.count()))
+    docs.write.mode("overwrite").parquet(os.path.join(args.output, "curated.parquet"))
+    stages.append(("curated", docs.count()))
+    if args.pack_budget:
+        packed = curation.pack_sequences(
+            docs, args.pack_budget, n_shards=args.pack_shards)
+        packed.write.mode("overwrite").parquet(
+            os.path.join(args.output, "packing.parquet"))
+        stages.append(
+            ("sequences", packed.select("shard", "seq_id").distinct().count()))
+    print(" ".join(f"{n}={c}" for n, c in stages))
+    return 0
+
+
 def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default=default_mode,
@@ -213,6 +273,24 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--input", required=True)
     _common_build_args(pb, default_mode="code")
     pb.set_defaults(fn=cmd_parquet_build)
+
+    cu = sub.add_parser("curate", help="curation chain: boilerplate removal, "
+                        "quality/language filters, per-group caps, packing")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--boilerplate-frac", type=float, default=None,
+                    help="remove lines occurring in >= this fraction of docs")
+    cu.add_argument("--min-quality", type=float, default=None)
+    cu.add_argument("--lang", default=None,
+                    help="keep only docs language_id predicts as this")
+    cu.add_argument("--cap", default=None, metavar="COL:N",
+                    help="keep at most N docs per value of column COL")
+    cu.add_argument("--pack-budget", type=int, default=None,
+                    help="also emit packing.parquet at this token budget")
+    cu.add_argument("--pack-shards", type=int, default=64)
+    cu.set_defaults(fn=cmd_curate)
 
     return ap
 

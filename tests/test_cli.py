@@ -122,3 +122,31 @@ def test_cli_delete_and_compact(spark, tmp_path, capsys):
     assert rc == 0
     assert "17 docs" in capsys.readouterr().out
     assert not _os.path.isdir(_os.path.join(out, "tombstones"))
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """curate verb: banner lines removed, per-group cap applied,
+    packing manifest emitted, curated parquet loadable."""
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(i, f"the cat and the dog are here doc{i}\nSHARED BANNER LINE",
+          f"grp{i % 2}") for i in range(30)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out = str(tmp_path / "cur")
+    rc = main(["curate", "--input", src, "--output", out,
+               "--boilerplate-frac", "0.5", "--lang", "en",
+               "--cap", "source:10", "--pack-budget", "32",
+               "--pack-shards", "4"], spark=spark)
+    assert rc == 0
+    line = capsys.readouterr().out.strip()
+    assert "boilerplate_lines_removed=30" in line
+    assert "cap[source<=10]=20" in line and "curated=20" in line
+
+    cur = spark.read.parquet(os.path.join(out, "curated.parquet"))
+    rows = cur.collect()
+    assert len(rows) == 20
+    assert all("SHARED BANNER LINE" not in r["content"] for r in rows)
+    packed = spark.read.parquet(os.path.join(out, "packing.parquet"))
+    assert packed.count() == 20
+    assert set(packed.columns) == {"shard", "doc_id", "n_tokens", "seq_id"}
