@@ -121,3 +121,64 @@ def test_pack_sequences_partitioning_invariant(spark, docs):
         map(tuple, curation.pack_sequences(docs.repartition(13), 120, 8).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------- property fuzz
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _line_corpora():
+    """Small random corpora exercising the boilerplate edge cases:
+    empty docs, empty lines, within-doc duplicate lines, shared lines
+    sitting exactly on the frac threshold."""
+    line = st.sampled_from(["", "x", "shared one", "shared two", "aa bb", "zz"])
+    doc = st.lists(line, min_size=0, max_size=5).map("\n".join)
+    return st.lists(doc, min_size=1, max_size=8)
+
+
+def _py_boilerplate(texts, frac, min_count, min_chars=1):
+    lines = [(i, t.split("\n")) for i, t in enumerate(texts)]
+    df: dict[str, set] = {}
+    for i, ls in lines:
+        for l in ls:
+            if len(l) >= min_chars:
+                df.setdefault(l, set()).add(i)
+    thresh = max(min_count, math.ceil(frac * len(texts)))
+    boiler = {l for l, d in df.items() if len(d) >= thresh}
+    out = {}
+    for i, ls in lines:
+        kept = [l for l in ls if len(l) < min_chars or l not in boiler]
+        out[i] = ("\n".join(kept), len(ls), len(ls) - len(kept))
+    return out
+
+
+@given(texts=_line_corpora(), frac=st.sampled_from([0.25, 0.5, 1.0]),
+       min_count=st.sampled_from([1, 2, 3]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_fuzz_boilerplate_vs_python(spark, texts, frac, min_count):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, content string")
+    got = {
+        r["doc_id"]: (r["content"], r["n_lines"], r["n_removed"])
+        for r in curation.remove_boilerplate_lines(
+            docs, min_doc_frac=frac, min_count=min_count).collect()
+    }
+    assert got == _py_boilerplate(texts, frac, min_count)
+
+
+@given(toks=st.lists(st.integers(1, 40), min_size=1, max_size=40),
+       budget=st.sampled_from([1, 8, 64]),
+       n_shards=st.sampled_from([1, 3]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_fuzz_pack_vs_python(spark, toks, budget, n_shards):
+    rows = [(i, " ".join(["w"] * t)) for i, t in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = curation.pack_sequences(docs, budget, n_shards).collect()
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"]) for r in out}
+    assert got == _py_pack(rows, budget, n_shards)
