@@ -993,6 +993,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_pack_sequences"] = q_pack
 
+    # --- hashing-trick TF-IDF vectors (tail entry): the text->vector
+    # step feeding the ANN/near-dup operators; idf quantized to 1e-6
+    # as int64 before summation so every element is exact integer
+    # arithmetic / 1e6 — deterministic under any aggregation order.
+    # Exposed as dense (doc_id, feature, weight) rows via posexplode.
+    def q_tfidf(s, d):
+        return textstats.tfidf_vectors(_docs(s, d), 64).select(
+            "doc_id", F.posexplode("tfidf").alias("f", "w")
+        )
+    q["q_tfidf_vectors"] = q_tfidf
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -1891,5 +1902,24 @@ packed AS (
               ELSE p.cum + n.n_tokens END
   FROM packed p JOIN numbered n ON n.shard = p.shard AND n.rn = p.rn + 1)
 SELECT shard, doc_id, n_tokens, seq_id FROM packed"""
+
+    # hashing-trick TF-IDF: identical quantized-integer arithmetic
+    # (round-half-away ln*1e6 as int64, summed exactly, /1e6 at the end)
+    o["q_tfidf_vectors"] = f"""WITH {SQL_TOKS}, {SQL_TF},
+ndocs AS (SELECT count(*) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cells AS (
+  SELECT t.doc_id,
+         (('0x' || substr(md5(t.term), 1, 15))::bigint % 64)::int AS f,
+         sum(t.tf * round(ln(1.0 + n.n::double / d.df) * 1000000)::bigint)::bigint
+           AS wq
+  FROM tf t JOIN dfreq d USING (term), ndocs n
+  GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, g.f
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       (SELECT unnest(generate_series(0, 63)) AS f) g)
+SELECT grid.doc_id, grid.f::int AS f, coalesce(c.wq, 0) / 1000000.0 AS w
+FROM grid LEFT JOIN cells c ON grid.doc_id = c.doc_id AND grid.f = c.f"""
 
     return o

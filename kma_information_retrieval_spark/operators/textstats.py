@@ -231,3 +231,61 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors — the step that produces
+    an embedding column from raw text, closing the loop for the
+    ANN / embedding-near-dup operators (which otherwise consume
+    precomputed vectors). Each term hashes to ``md5(term) % dim``
+    (portable, partitioning-invariant); colliding terms sum. Weight is
+    ``tf * ln(1 + n_docs/df)``, with the idf quantized to 1e-6 BEFORE
+    summation (``round(ln(..) * 1e6)`` as int64), so per-bucket sums
+    are exact integer arithmetic — element values are deterministic
+    regardless of aggregation order, and the SQL oracle replays them
+    exactly. Returns ``(doc_id, tfidf: array<double>)`` with dense
+    length-``dim`` vectors (docs with no terms get the zero vector).
+
+    Scale shape: one (doc, term) tf aggregation, one term-keyed df
+    aggregation joined back on term (both map-side combined), then one
+    doc-keyed collect of <= dim entries — no collect_list over raw
+    tokens, vectors bounded at ``dim`` entries per doc. ``dim`` is a
+    plan literal; the n_docs scalar joins in as a broadcast."""
+    toks = tokenize_expr(text_col, mode)
+    terms = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    feat = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    idf_q = F.round(
+        F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")) * 1e6, 0
+    ).cast("long")
+    cells = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", feat.alias("f"), (F.col("tf") * idf_q).alias("wq"))
+        .groupBy("doc_id", "f")
+        .agg(F.sum("wq").alias("wq"))
+    )
+    maps = cells.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "wq"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0))
+        / F.lit(1000000.0),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(maps, "doc_id", "left")
+        .select("doc_id", dense.alias("tfidf"))
+    )

@@ -164,3 +164,48 @@ def test_repetition_scores(spark):
     assert got[2]["dup_line_frac"] == 0.0 and got[2]["top_bigram_frac"] == 0.0
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_tfidf_vectors_matches_python(spark, docs):
+    import math
+
+    from kma_information_retrieval_spark.operators.textstats import tfidf_vectors
+
+    dim = 32
+    got = {r["doc_id"]: r["tfidf"] for r in tfidf_vectors(docs, dim).collect()}
+    rows = [(r["doc_id"], r["content"]) for r in docs.collect()]
+    n = len(rows)
+    tf: dict[tuple, int] = {}
+    df: dict[str, int] = {}
+    for d, text in rows:
+        terms = tokenize(text, "code")
+        for t in terms:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+        for t in set(terms):
+            df[t] = df.get(t, 0) + 1
+    want = {d: [0] * dim for d, _ in rows}
+    for (d, t), c in tf.items():
+        f = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        # round-half-away quantization, matching Spark/DuckDB round()
+        x = math.log(1.0 + n / df[t]) * 1e6
+        want[d][f] += c * int(math.floor(x + 0.5))
+    want = {d: [v / 1e6 for v in vec] for d, vec in want.items()}
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == want[d], d
+
+
+def test_tfidf_vectors_feed_ann(spark, docs):
+    """The vectors compose with the ANN operators (self-contained
+    text -> vector -> cosine top-k retrieval)."""
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.operators import ann
+    from kma_information_retrieval_spark.operators.textstats import tfidf_vectors
+
+    vecs = tfidf_vectors(docs, 32).withColumnRenamed("tfidf", "embedding") \
+        .withColumnRenamed("doc_id", "vec_id").cache()
+    q = vecs.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    top = ann.cosine_topk(vecs, list(q), 5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 1  # self-similarity wins
