@@ -1004,6 +1004,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_tfidf_vectors"] = q_tfidf
 
+    # --- fielded BM25 (tail entry): BM25F-lite over (content, meta)
+    # with per-field df/avgdl and a 2x meta boost — the code-search
+    # shape (content=body, meta=path-like metadata). The meta field is
+    # synthesized deterministically (source + a doc_id%7 group token)
+    # so both fields contribute matches.
+    def q_bm25_fielded(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import (
+            bm25_topk_fielded,
+        )
+        fielded = s.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", F.col("text").alias("content"),
+            F.concat_ws(
+                " ", F.col("source"),
+                F.concat(F.lit("grp"), (F.col("doc_id") % 7).cast("string")),
+            ).alias("meta"),
+        )
+        out = bm25_topk_fielded(
+            fielded, ["spark", "grp3"], {"content": 1.0, "meta": 2.0}, k=10
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+    q["q_bm25_fielded"] = q_bm25_fielded
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -1921,5 +1943,50 @@ grid AS (
        (SELECT unnest(generate_series(0, 63)) AS f) g)
 SELECT grid.doc_id, grid.f::int AS f, coalesce(c.wq, 0) / 1000000.0 AS w
 FROM grid LEFT JOIN cells c ON grid.doc_id = c.doc_id AND grid.f = c.f"""
+
+    # fielded BM25: per-field tf/dl/df CTEs (meta = source + grpN),
+    # per-field exact-integer avgdl, weighted full-outer combine; the
+    # 2x boost is an exact power-of-two scale. ORDER BY qualified to
+    # the unrounded score (rounded-alias shadowing gotcha).
+    _MTOK_EXPR = _TOK_EXPR.replace("translate(text,", "translate(mtext,")
+    o["q_bm25_fielded"] = f"""WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL},
+mdocs AS (
+  SELECT doc_id, source || ' grp' || (doc_id % 7)::varchar AS mtext
+  FROM documents),
+mtoks AS (SELECT doc_id, {_MTOK_EXPR} AS toks FROM mdocs),
+mtf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM mtoks)
+  GROUP BY doc_id, term),
+mdl AS (SELECT doc_id, sum(tf) AS dl FROM mtf GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl)::double / count(*) FROM dl) AS avgdl_c,
+              (SELECT sum(dl)::double / count(*) FROM mdl) AS avgdl_m),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+mdfreq AS (SELECT term, count(*) AS df FROM mtf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl_c)) )
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('grp3', 'spark')
+  GROUP BY tf.doc_id),
+s2 AS (
+  SELECT mtf.doc_id,
+         sum( ln(1.0 + (st.n - mdfreq.df + 0.5) / (mdfreq.df + 0.5))
+              * (mtf.tf * 2.2)
+              / (mtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * mdl.dl / st.avgdl_m)) )
+           AS score
+  FROM mtf JOIN mdfreq USING (term) JOIN mdl USING (doc_id) CROSS JOIN st
+  WHERE mtf.term IN ('grp3', 'spark')
+  GROUP BY mtf.doc_id),
+comb AS (
+  SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         coalesce(s1.score, 0.0) + 2.0 * coalesce(s2.score, 0.0) AS score
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM comb
+ORDER BY comb.score DESC, doc_id LIMIT 10"""
 
     return o

@@ -116,3 +116,68 @@ def bm25_topk_filtered(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_topk_fielded(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    mode: str = "code",
+) -> DataFrame:
+    """Fielded BM25 (BM25F-lite) for the code-corpus shape: score =
+    sum over fields of ``weight * bm25_field(doc)``, each field scored
+    with its OWN df/avgdl statistics (a path/metadata hit should not
+    be drowned by content-field length normalization — the standard
+    simple-linear-combination variant of Robertson's BM25F). No
+    reference counterpart; extends the north-star BM25 contract to
+    per-field boosts (e.g. content=1.0, path=2.0 for code search).
+
+    Determinism contract: per-field scores use :func:`bm25_scores`'s
+    fixed lexicographic fold; the cross-field sum is a fixed
+    expression in sorted-field-name order over a full outer join —
+    rank-identical under any partitioning. Per-field ``avgdl`` is the
+    mean dl over docs that HAVE tokens in that field (matching the
+    SQL oracle's ``avg(dl)``); idf uses the global doc count.
+
+    Scale shape: each field is one independent bm25_scores plan (tiny
+    broadcast term set, doc-keyed reduce); the combiner is a k-field
+    outer join on doc_id followed by TakeOrderedAndProject — no global
+    sort, no new shuffle class beyond the per-field scorers."""
+    from .indexes import dictionary as dict_of
+    from .indexes import doc_lengths, postings as postings_of, token_frame
+
+    n_docs = docs.count()
+    combined = None
+    for i, fcol in enumerate(sorted(fields)):
+        w = fields[fcol]
+        fdocs = docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(fcol).alias("content"))
+        toks = token_frame(fdocs, mode=mode)
+        post = postings_of(toks)
+        dic = dict_of(post)
+        dl = doc_lengths(toks)
+        # exact-integer mean (long sum / count), deterministic under any
+        # aggregation order — F.avg's double accumulation is not
+        avgdl = dl.agg(
+            (F.sum("dl").cast("double") / F.count("dl")).alias("avgdl")
+        ).collect()[0][0]
+        if avgdl is None:
+            continue  # field has no tokens anywhere
+        s = bm25_scores(post, dic, n_docs, float(avgdl), query_terms,
+                        doclen=dl).select(
+            "doc_id", (F.col("score") * F.lit(float(w))).alias(f"s{i}"))
+        combined = s if combined is None else combined.join(
+            s, "doc_id", "full_outer")
+    if combined is None:
+        raise ValueError("no field produced any tokens")
+    score_cols = [c for c in combined.columns if c != "doc_id"]
+    expr = F.coalesce(F.col(score_cols[0]), F.lit(0.0))
+    for c in score_cols[1:]:
+        expr = expr + F.coalesce(F.col(c), F.lit(0.0))
+    return (
+        combined.select("doc_id", expr.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

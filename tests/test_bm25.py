@@ -92,3 +92,50 @@ def test_bm25_topk_filtered_semantics(indexes, oracle):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert math.isclose(r["score"], s, rel_tol=1e-12)
+
+
+def test_bm25_fielded_matches_python(spark, docs):
+    """BM25F-lite: weighted sum of per-field BM25 (own df/avgdl per
+    field), rank-identical to a pure-Python recompute."""
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.operators.bm25 import bm25_topk_fielded
+    from kma_information_retrieval_spark.oracle import tokenize
+
+    fielded = docs.withColumn(
+        "meta", F.concat_ws(" ", F.lit("repo"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit("module"),
+                            (F.col("doc_id") % 3).cast("string")))
+    terms = ["compute", "module"]
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk_fielded(
+        fielded, terms, {"content": 1.0, "meta": 2.0}, k=10).collect()]
+
+    rows = [(r["doc_id"], r["content"], r["meta"])
+            for r in fielded.select("doc_id", "content", "meta").collect()]
+    n = len(rows)
+    totals: dict[int, float] = {}
+    for col_i, (fi, w) in enumerate(sorted(
+            {"content": 1.0, "meta": 2.0}.items())):
+        field_toks = {d: tokenize(c if fi == "content" else m, "code")
+                      for d, c, m in rows}
+        dl = {d: len(t) for d, t in field_toks.items() if t}
+        avgdl = sum(dl.values()) / len(dl)
+        df: dict[str, int] = {}
+        for t in field_toks.values():
+            for term in set(t):
+                df[term] = df.get(term, 0) + 1
+        for d, toks in field_toks.items():
+            s = 0.0
+            for term in sorted(set(terms)):
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+            if s:
+                totals[d] = totals.get(d, 0.0) + w * s
+    want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (gd, gs, ws)
