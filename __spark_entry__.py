@@ -1035,10 +1035,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # output, q_simhash_pairs exercises q_simhash's, q_ann_lsh_persisted
     # covers q_embedding_topk's and q_ann_lsh_topk's scoring kernel,
     # q_dictionary_sink covers q_frontcoding_roundtrip's C4 path,
-    # q_rolling_fingerprints covers q_fingerprints' hashing). The first
-    # 50 below keep >= 1 entry per operator family (SURVEY §2 + every
-    # LLM-pipeline component); tail entries remain oracle-gated and are
-    # re-run by scripts/check_entry.py.
+    # q_rolling_fingerprints covers q_fingerprints' hashing). Late-r5
+    # rotation, same policy — the newest features get the driver rows:
+    # IN q_bm25_fielded, q_tfidf_vectors, q_span_dup_stats,
+    # q_pack_sequences; OUT (to tail, each path still driver-covered)
+    # q_streaming_delete_phrase (tombstone mask driver-checked by
+    # q_streaming_delete_bm25; streaming phrase by
+    # q_streaming_phrase_compacted), q_quality_scores and q_language_id
+    # (both legs replayed verbatim inside q_curation_pipeline's oracle,
+    # lang-id also inside q_stratified_sample's), q_media_metadata
+    # (binary-payload plumbing superset driver-checked by
+    # q_media_resize). The first 50 below keep >= 1 entry per operator
+    # family (SURVEY §2 + every LLM-pipeline component); tail entries
+    # remain oracle-gated and are re-run by scripts/check_entry.py.
     first_50 = [
         # dictionary / stats / codecs / sinks (A1-A5, T1, C4/C5, S6)
         "q_dictionary", "q_dictionary_letters",
@@ -1066,7 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tombstone deletes — r5)
         "q_streaming_phrase_compacted", "q_streaming_bm25",
         "q_streaming_dedup", "q_streaming_trending",
-        "q_streaming_delete_phrase", "q_streaming_delete_bm25",
+        "q_streaming_delete_bm25",
         # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
         # (q_dedup_exact rotated to tail: 0 rows at sf0.01 — the
         # testdata has no exact dups, so its green row proved little;
@@ -1077,17 +1086,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs", "q_embedding_neardup",
         # similarity search (LSH persisted covers the in-memory kernel)
         "q_ann_lsh_persisted", "q_ann_ivf_topk",
-        # text analysis (token counts, quality, lang-id, fingerprints)
-        "q_token_counts", "q_quality_scores", "q_language_id",
-        "q_rolling_fingerprints",
+        # text analysis (token counts, fingerprints; quality + lang-id
+        # legs are driver-checked inside q_curation_pipeline /
+        # q_stratified_sample)
+        "q_token_counts", "q_rolling_fingerprints",
         # sources (S1-S3, T11, A13)
         "q_source_discovery", "q_xml_extract_dictionary",
         "q_fb2_dir_dictionary",
         # multimodal plumbing + resize (r5)
-        "q_media_metadata", "q_media_resize",
+        "q_media_resize",
         # LLM-pipeline curation operators (r4 features, driver rows r5)
         "q_redact_secrets", "q_repetition_scores", "q_stratified_sample",
         "q_contamination", "q_curation_pipeline",
+        # late-r5 features (fielded BM25, TF-IDF document vectors,
+        # exact-substring duplication, sequence packing)
+        "q_bm25_fielded", "q_tfidf_vectors", "q_span_dup_stats",
+        "q_pack_sequences",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
         len(first_50), sorted(set(first_50) - set(q)))
