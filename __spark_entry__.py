@@ -1026,6 +1026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
     q["q_bm25_fielded"] = q_bm25_fielded
 
+    # --- corpus-trained bigram-LM fluency scores (tail entry): the
+    # CCNet-style quality filter — mean per-bigram -log2 P under an
+    # add-one-smoothed bigram model trained on the corpus itself.
+    # Per-type nll quantized to micro-bits pre-sum (exact ints), so
+    # the SQL oracle replays the mean bit-for-bit.
+    def q_lm_fluency(s, d):
+        return textstats.lm_bigram_scores(_docs(s, d)).select(
+            "doc_id", "n_bigrams", "mean_nll_bits"
+        )
+    q["q_lm_fluency"] = q_lm_fluency
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -2002,5 +2013,34 @@ comb AS (
   FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM comb
 ORDER BY comb.score DESC, doc_id LIMIT 10"""
+
+    # bigram-LM fluency: P(w2|w1) = (c12+1)/(c1+V) with c1 = sum_w2 c12
+    # (the conditional normalizes exactly) and V = distinct vocab;
+    # per-TYPE -log2 P quantized to micro-bits, per-doc sum exact int64
+    o["q_lm_fluency"] = f"""WITH {SQL_TOKS},
+bgr AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+doc_bg AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY doc_id, bg),
+pair AS (SELECT bg, sum(tf)::bigint AS c12 FROM doc_bg GROUP BY bg),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c12)::bigint AS c1
+  FROM pair GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(toks) AS term FROM toks)),
+model AS (
+  SELECT bg,
+         round(-log2((c12 + 1)::double / (c1 + v)::double) * 1000000)::bigint
+           AS nll_q
+  FROM pair JOIN ctx ON string_split(pair.bg, ' ')[1] = ctx.w1 CROSS JOIN voc),
+scored AS (
+  SELECT doc_id, sum(tf * nll_q)::bigint AS sq, sum(tf)::bigint AS n
+  FROM doc_bg JOIN model USING (bg) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::bigint AS n_bigrams,
+       round(s.sq::double / s.n / 1000000.0, 6) AS mean_nll_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
     return o

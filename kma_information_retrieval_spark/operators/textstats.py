@@ -289,3 +289,90 @@ def tfidf_vectors(
         .join(maps, "doc_id", "left")
         .select("doc_id", dense.alias("tfidf"))
     )
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency signal — the CCNet
+    (Wenzek et al. 2020) quality-filter shape: score every document by
+    the mean per-bigram negative log-likelihood under an n-gram LM.
+    The LM is trained on the corpus itself in the same job (no external
+    model files), which is the self-supervised variant used when no
+    trusted LM corpus exists; gibberish and machine-mangled text score
+    high, repeated boilerplate scores near zero.
+
+    Model: ``P(w2|w1) = (c12 + 1) / (c1 + V)`` (add-one smoothing),
+    where ``c12`` is the corpus count of the adjacent pair, ``c1 =
+    sum_w2 c12`` (occurrences of ``w1`` in bigram-left position — this
+    choice makes the conditional normalize to exactly 1), and ``V`` is
+    the distinct corpus vocabulary. Each bigram TYPE's ``-log2 P`` is
+    quantized to integer micro-bits BEFORE the per-doc sum (the same
+    exact-int idiom as :func:`tfidf_vectors`), so ``mean_nll_bits`` is
+    deterministic under any aggregation/partitioning order and the
+    DuckDB oracle replays it bit-for-bit.
+
+    Returns ``(doc_id, n_bigrams, mean_nll_bits)``; docs with < 2
+    tokens get ``n_bigrams = 0`` and a null score.
+
+    Scale shape: one bigram explode feeding two map-side-combined
+    aggregations (pair counts; left-context counts derived from the
+    pair table, not a second corpus pass) plus a vocab distinct-count
+    that broadcasts as a scalar; scoring is one shuffle join of the
+    per-doc bigram tf against the pair model (hot pairs are handled by
+    AQE skew-join — the model side is per-TYPE, so no row explosion)
+    and a doc-keyed sum. No UDFs, no windows, no collect.
+    """
+    from ..functions.tokenize import bigrams_expr
+
+    toks = tokenize_expr(text_col, mode)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    doc_bg = (
+        base.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("tf"))
+    )
+    c12 = doc_bg.groupBy("bg").agg(F.sum("tf").alias("c12"))
+    c1 = (
+        c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = base.select(F.explode("toks").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    nll_q = F.round(
+        -F.log2(
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    model = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", nll_q.alias("nll_q"))
+    )
+    scored = (
+        doc_bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("nll_q")).alias("sq"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("sq").cast("double") / F.col("n_bigrams") / 1e6, 6
+            ).alias("mean_nll_bits"),
+        )
+    )

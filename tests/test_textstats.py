@@ -209,3 +209,67 @@ def test_tfidf_vectors_feed_ann(spark, docs):
     top = ann.cosine_topk(vecs, list(q), 5).collect()
     assert len(top) == 5
     assert top[0]["vec_id"] == 1  # self-similarity wins
+
+
+def test_lm_bigram_scores_matches_python(spark, docs):
+    """Corpus-trained bigram-LM fluency vs an independent pure-Python
+    recomputation of the add-one-smoothed model and the quantized
+    micro-bit fold."""
+    import math
+
+    from kma_information_retrieval_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    got = {r["doc_id"]: r for r in lm_bigram_scores(docs).collect()}
+    rows = [(r["doc_id"], r["content"]) for r in docs.collect()]
+    c12: dict[str, int] = {}
+    doc_bg: dict[int, dict[str, int]] = {}
+    vocab: set[str] = set()
+    for d, text in rows:
+        toks = tokenize(text, "code")
+        vocab.update(toks)
+        per = doc_bg.setdefault(d, {})
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            c12[bg] = c12.get(bg, 0) + 1
+            per[bg] = per.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    for bg, c in c12.items():
+        c1[bg.split(" ")[0]] = c1.get(bg.split(" ")[0], 0) + c
+    v = len(vocab)
+    nll_q = {
+        bg: int(math.floor(
+            -math.log2((c + 1) / (c1[bg.split(" ")[0]] + v)) * 1e6 + 0.5
+        ))
+        for bg, c in c12.items()
+    }
+    for d, per in doc_bg.items():
+        n = sum(per.values())
+        assert got[d]["n_bigrams"] == n
+        if n == 0:
+            assert got[d]["mean_nll_bits"] is None
+            continue
+        sq = sum(tf * nll_q[bg] for bg, tf in per.items())
+        # the quantized fold is exact; the only freedom left is the
+        # final round-to-6-decimals, where Python's banker's rounding
+        # can differ from Spark/DuckDB's half-away by one micro-unit
+        # (engine-vs-oracle equality is the hard check, in the gate)
+        assert got[d]["mean_nll_bits"] == pytest.approx(
+            sq / n / 1e6, abs=5.001e-7
+        )
+    # sanity on the signal itself: a doc of one repeated head bigram
+    # must score strictly lower (more predictable) than the corpus mean
+    extra = spark.createDataFrame(
+        [(9001, "the the the the the the the the")],
+        "doc_id long, content string",
+    )
+    allscores = lm_bigram_scores(
+        docs.select("doc_id", "content").union(extra)
+    ).collect()
+    rep = next(r for r in allscores if r["doc_id"] == 9001)
+    others = [
+        r["mean_nll_bits"] for r in allscores
+        if r["doc_id"] != 9001 and r["mean_nll_bits"] is not None
+    ]
+    assert rep["mean_nll_bits"] < sum(others) / len(others)
