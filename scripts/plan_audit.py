@@ -185,6 +185,22 @@ def main() -> None:
         "(sequential fold confined to applyInPandas per shard)")
     sections.append(("greedy sequence packing (hash shards)", frag))
 
+    # 12. bigram-LM fluency: train + score in one plan — the pair
+    # model joins back on bg as a SHUFFLE join (the model side is
+    # per-TYPE and corpus-sized, never assumed broadcastable; AQE
+    # handles hot-pair skew), only the vocab scalar broadcasts, and
+    # there is no Python stage anywhere
+    from kma_information_retrieval_spark.operators import textstats
+
+    lm_plan = plan_of(textstats.lm_bigram_scores(docs))
+    frag = fragments(lm_plan)
+    frag.append(
+        f"python_stages={lm_plan.count('InPandas')} "
+        f"broadcast_exchanges={lm_plan.count('BroadcastExchange')} "
+        "(vocab scalar + the doc-id backfill; the bg-keyed model join "
+        "stays a shuffle join)")
+    sections.append(("bigram-LM fluency scores (corpus-trained)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
