@@ -1,0 +1,86 @@
+"""Result presentation: best-window snippet extraction (highlighting).
+
+Given a set of query terms, return — for every document containing at
+least one of them — the fixed-width token window covering the most
+DISTINCT query terms, with the leftmost such window winning ties, plus
+the snippet text reassembled from the token stream. This is the
+result-presentation step a search frontend runs over the engine's
+top-k: the same token positions the phrase/proximity operators consume
+(reference positions semantics, ``parser.rs:65-114``), folded into a
+display window.
+
+Scale shape: the position stream is filtered to the query terms BEFORE
+any join, so both sides of the window self-join are bounded by the
+query's posting volume (the proximity-join shape, ``J7``) — never by
+corpus size. Window scoring is one (doc, anchor)-keyed aggregation;
+the per-doc argmax is an exact lexicographic ``max(struct(...))``
+(no window function, no collect); snippet reassembly slices the token
+array in place. No UDFs, deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_expr
+
+
+def snippets(
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """``(doc_id, win_start, n_terms, snippet)`` — the best
+    ``width``-token window per matching document.
+
+    ``win_start`` is the 0-based token position of the window anchor
+    (always an occurrence of a query term — the optimal window can
+    always be anchored on one), ``n_terms`` the distinct query terms
+    inside ``[win_start, win_start + width)``, and ``snippet`` the
+    space-joined tokens of the window (truncated at the document end).
+    Ties in ``n_terms`` resolve to the LEFTMOST window, making output
+    deterministic regardless of partitioning or fold order.
+    """
+    if not terms:
+        raise ValueError("snippets() needs at least one query term")
+    lower = [t.lower() for t in terms]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
+    )
+    pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).filter(F.col("term").isin(lower))
+    anchors = pos.select("doc_id", F.col("pos").alias("p0"))
+    cand = (
+        anchors.join(pos, "doc_id")
+        .filter((F.col("pos") >= F.col("p0")) & (F.col("pos") < F.col("p0") + width))
+        .groupBy("doc_id", "p0")
+        .agg(F.countDistinct("term").alias("n_terms"))
+    )
+    # argmax by (n_terms, -p0): lexicographic struct max = most terms,
+    # then leftmost anchor — exact integer comparison, order-free
+    best = (
+        cand.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_terms"), (-F.col("p0")).alias("neg_p0"))
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            (-F.col("b.neg_p0")).cast("int").alias("win_start"),
+            F.col("b.n_terms").cast("long").alias("n_terms"),
+        )
+    )
+    return best.join(base, "doc_id").select(
+        "doc_id",
+        "win_start",
+        "n_terms",
+        F.concat_ws(
+            " ", F.expr(f"slice(toks, win_start + 1, {int(width)})")
+        ).alias("snippet"),
+    )

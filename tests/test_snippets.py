@@ -1,0 +1,64 @@
+"""Best-window snippet extraction vs hand-computed windows."""
+
+from __future__ import annotations
+
+import pytest
+
+from kma_information_retrieval_spark.operators.snippets import snippets
+
+
+def test_snippets_best_window_and_ties(spark):
+    rows = [
+        # doc 0: q-terms alpha@2, beta@4, alpha@6 (width 3):
+        # anchor 2 -> [2,5): alpha,beta = 2 terms; anchor 4 -> [4,7):
+        # beta,alpha = 2 terms; anchor 6 -> 1. Tie resolves LEFTMOST.
+        (0, "pad one alpha ccc beta ddd alpha"),
+        # doc 1: single hit at the last token — snippet truncates
+        (1, "one two three beta"),
+        # doc 2: no query terms at all -> no output row
+        (2, "nothing here matches"),
+        # doc 3: both terms adjacent at the start
+        (3, "alpha beta tail tail tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        r["doc_id"]: r
+        for r in snippets(docs, ["alpha", "beta"], width=3).collect()
+    }
+    assert set(got) == {0, 1, 3}
+    assert got[0]["win_start"] == 2 and got[0]["n_terms"] == 2
+    assert got[0]["snippet"] == "alpha ccc beta"
+    assert got[1]["win_start"] == 3 and got[1]["n_terms"] == 1
+    assert got[1]["snippet"] == "beta"
+    assert got[3]["win_start"] == 0 and got[3]["n_terms"] == 2
+    assert got[3]["snippet"] == "alpha beta tail"
+
+
+def test_snippets_case_folding_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(0, "Alpha BETA gamma")], "doc_id long, content string"
+    )
+    got = snippets(docs, ["ALPHA", "beta"], width=2).collect()
+    assert len(got) == 1 and got[0]["n_terms"] == 2
+    assert got[0]["snippet"] == "alpha beta"
+    with pytest.raises(ValueError):
+        snippets(docs, [])
+
+
+def test_snippets_partitioning_invariant(spark):
+    """Same result at 1 and 8 shuffle partitions (the argmax is an
+    exact struct max, not a fold-order-dependent reduction)."""
+    rows = [(i, f"pad{i} alpha w{i % 3} beta alpha end{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+
+    def run():
+        return sorted(
+            tuple(r) for r in snippets(docs, ["alpha", "beta"], 4).collect()
+        )
+
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    one = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    eight = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert one == eight and len(one) == 40
