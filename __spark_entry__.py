@@ -1048,6 +1048,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snippets(_docs(s, d), ["table", "scan", "hash"], width=8)
     q["q_snippets"] = q_snippets
 
+    # --- PMI term associations (tail entry): collocation / related-
+    # terms mining over adjacent bigrams (Church & Hanks). Ratio built
+    # in double space before the log (int64 products would overflow at
+    # corpus scale), micro-bit quantized; ties break on the right term.
+    def q_pmi(s, d):
+        return textstats.pmi_associations(
+            _docs(s, d), min_pair_count=3, top_k=5
+        )
+    q["q_pmi_associations"] = q_pmi
+
+    # --- BM25 top-k + snippets (tail entry): the composed "search
+    # results page" — WAND-shaped DataFrame BM25 top-10 joined to the
+    # best-window snippet for the same query terms.
+    def q_bm25_snip(s, d):
+        from kma_information_retrieval_spark.operators.snippets import snippets
+        topk = _bm25(["spark", "query", "join"])(s, d)
+        snip = snippets(_docs(s, d), ["spark", "query", "join"], width=8)
+        return topk.join(snip, "doc_id").select(
+            "doc_id", "score", "win_start", "n_terms", "snippet"
+        )
+    q["q_bm25_snippets"] = q_bm25_snip
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -2055,16 +2077,18 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
     # best-window snippets: anchor on every query-term occurrence,
-    # count distinct query terms in [p0, p0+8), argmax with leftmost
+    # count distinct query terms in [p0, p0+W), argmax with leftmost
     # tie-break, snippet = 1-based inclusive list slice (DuckDB) ==
-    # slice(toks, p0+1, 8) (Spark) — both truncate at doc end
-    o["q_snippets"] = f"""WITH {SQL_TOKS}, {SQL_POS},
+    # slice(toks, p0+1, W) (Spark) — both truncate at doc end
+    def snippet_sql(terms: list[str], width: int) -> str:
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""WITH {SQL_TOKS}, {SQL_POS},
 qp AS (SELECT doc_id, pos, term FROM pos
-       WHERE term IN ('table', 'scan', 'hash')),
+       WHERE term IN ({tlist})),
 cand AS (
   SELECT a.doc_id, a.pos AS p0, count(DISTINCT b.term) AS n_terms
   FROM qp a JOIN qp b
-    ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+    ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + {width}
   GROUP BY a.doc_id, a.pos),
 best AS (
   SELECT doc_id, p0, n_terms,
@@ -2072,7 +2096,46 @@ best AS (
                             ORDER BY n_terms DESC, p0) AS rn
   FROM cand)
 SELECT b.doc_id, b.p0::int AS win_start, b.n_terms::bigint AS n_terms,
-       array_to_string(t.toks[b.p0 + 1 : b.p0 + 8], ' ') AS snippet
+       array_to_string(t.toks[b.p0 + 1 : b.p0 + {width}], ' ') AS snippet
 FROM best b JOIN toks t USING (doc_id) WHERE rn = 1"""
+
+    o["q_snippets"] = snippet_sql(["table", "scan", "hash"], 8)
+
+    # PMI associations: the ratio is (c12*N)/(c1*c2) with every
+    # operand cast to double BEFORE multiplying — the exact expression
+    # shape the engine uses (int64 products overflow at corpus scale)
+    o["q_pmi_associations"] = f"""WITH {SQL_TOKS},
+bgr AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+pair AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         count(*) AS c12
+  FROM bgr GROUP BY 1, 2),
+lm AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1),
+rm AS (SELECT w2, sum(c12) AS c2 FROM pair GROUP BY w2),
+tot AS (SELECT sum(c12) AS n FROM pair),
+scored AS (
+  SELECT p.w1, p.w2, p.c12,
+         round(log2((p.c12::double * t.n::double)
+                    / (l.c1::double * r.c2::double)) * 1000000)::bigint
+           AS pmi_q
+  FROM pair p JOIN lm l USING (w1) JOIN rm r USING (w2) CROSS JOIN tot t
+  WHERE p.c12 >= 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w1
+                               ORDER BY pmi_q DESC, w2) AS rn
+  FROM scored)
+SELECT w1 AS term, w2 AS other, c12::bigint AS pair_count,
+       pmi_q / 1000000.0 AS pmi_bits
+FROM ranked WHERE rn <= 5"""
+
+    # composed results page: BM25 top-10 joined to the best-window
+    # snippet for the same terms (both legs are the oracles above)
+    o["q_bm25_snippets"] = f"""
+SELECT tk.doc_id, tk.score, sn.win_start, sn.n_terms, sn.snippet
+FROM ({bm25_sql(["spark", "query", "join"])}) tk
+JOIN ({snippet_sql(["spark", "query", "join"], 8)}) sn USING (doc_id)"""
 
     return o

@@ -376,3 +376,81 @@ def lm_bigram_scores(
             ).alias("mean_nll_bits"),
         )
     )
+
+
+def pmi_associations(
+    docs: DataFrame,
+    min_pair_count: int = 3,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Pointwise-mutual-information term associations over adjacent
+    bigrams — the "related terms" miner behind query expansion and
+    collocation discovery (Church & Hanks 1990). For every left term,
+    the ``top_k`` right neighbours by
+    ``pmi = log2( P(w1,w2) / (P(w1) P(w2)) )`` with the left/right
+    marginals of the bigram distribution, reported as
+    ``(term, other, pair_count, pmi_bits)``.
+
+    Determinism: all counts are exact integers; the PMI ratio is
+    computed as ``(c12 * N) / (c1 * c2)`` with every operand cast to
+    double BEFORE multiplying (products of corpus-scale counts
+    overflow int64; doubles are exact below 2^53 and the expression
+    shape is replayed verbatim by the oracle), then quantized to
+    micro-bits; ranking orders by ``(pmi_q DESC, other ASC)`` so
+    ties break lexicographically. ``min_pair_count`` filters AFTER
+    the marginals are computed, so rare-pair noise is dropped without
+    distorting the distribution.
+
+    Scale shape: one bigram explode into a pair-keyed count, two
+    vocab-sized marginal aggregations joined back (broadcastable at
+    real vocab sizes, left as hash joins for Catalyst/AQE to pick),
+    a scalar N broadcast, and ONE w1-keyed window for the top-k.
+    No UDFs, no collect.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.tokenize import bigrams_expr
+
+    toks = tokenize_expr(text_col, mode)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    pair = (
+        base.select(F.explode(bigrams_expr(F.col("toks"))).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    left = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = pair.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = pair.agg(F.sum("c12").alias("n"))
+    pmi_q = F.round(
+        F.log2(
+            (F.col("c12").cast("double") * F.col("n").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    scored = (
+        pair.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("c12") >= min_pair_count)
+        .select("w1", "w2", "c12", pmi_q.alias("pmi_q"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("pmi_q"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            F.col("w1").alias("term"),
+            F.col("w2").alias("other"),
+            F.col("c12").cast("long").alias("pair_count"),
+            (F.col("pmi_q") / 1e6).alias("pmi_bits"),
+        )
+    )

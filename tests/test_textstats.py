@@ -273,3 +273,48 @@ def test_lm_bigram_scores_matches_python(spark, docs):
         if r["doc_id"] != 9001 and r["mean_nll_bits"] is not None
     ]
     assert rep["mean_nll_bits"] < sum(others) / len(others)
+
+
+def test_pmi_associations_matches_python(spark, docs):
+    """PMI collocations vs pure-Python recomputation of marginals,
+    double-space ratio, micro-bit quantization, and the
+    (pmi DESC, other ASC) tie-break."""
+    import math
+
+    from kma_information_retrieval_spark.operators.textstats import (
+        pmi_associations,
+    )
+
+    k, minc = 3, 2
+    got = [
+        (r["term"], r["other"], r["pair_count"], r["pmi_bits"])
+        for r in pmi_associations(docs, min_pair_count=minc, top_k=k).collect()
+    ]
+    pair: dict[tuple, int] = {}
+    for r in docs.collect():
+        toks = tokenize(r["content"], "code")
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for (a, b), c in pair.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    n = sum(pair.values())
+    scored = [
+        (a, b, c, int(math.floor(
+            math.log2((float(c) * float(n)) / (float(c1[a]) * float(c2[b])))
+            * 1e6 + 0.5)))
+        for (a, b), c in pair.items() if c >= minc
+    ]
+    want = []
+    for a in sorted({x[0] for x in scored}):
+        rows = sorted(
+            (x for x in scored if x[0] == a), key=lambda x: (-x[3], x[1])
+        )[:k]
+        want.extend((a, b, c, q / 1e6) for _, b, c, q in
+                    ((x[0], x[1], x[2], x[3]) for x in rows))
+    assert sorted(got) == sorted(want)
+    # collocation sanity: every reported pair beats independence floor
+    # only when pmi > 0; at least one genuinely associated pair exists
+    assert any(p[3] > 0 for p in got)
