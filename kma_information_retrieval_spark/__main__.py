@@ -79,15 +79,46 @@ def cmd_build(args, spark: SparkSession) -> int:
     return 0
 
 
+def _emit_topk(spark, scored, terms, args) -> int:
+    """Print BM25 top-k lines, optionally with a best-window snippet
+    per hit (computed only over the k result docs — the corpus scan is
+    id-pruned before tokenization)."""
+    scored = sorted(scored, key=lambda x: (-x[1], x[0]))
+    if not args.snippets:
+        for doc_id, score in scored:
+            print(f"{doc_id}\t{score:.4f}")
+        return 0
+    if not args.corpus:
+        print("error: --snippets requires --corpus", file=sys.stderr)
+        return 2
+    from .operators.snippets import snippets as snip
+    from .sources.loader import read_corpus
+
+    # read through the same loader as parquet-build so the stable
+    # md5-prefix doc ids line up with the index's
+    ids = [d for d, _ in scored]
+    corpus = read_corpus(
+        spark, args.corpus,
+        explicit={"id": args.id_col, "text": args.text_col},
+    ).select("doc_id", "content").filter(F.col("doc_id").isin(ids))
+    sn = {
+        r["doc_id"]: r["snippet"]
+        for r in snip(corpus, terms, args.snippets).collect()
+    }
+    for doc_id, score in scored:
+        print(f"{doc_id}\t{score:.4f}\t{sn.get(doc_id, '')}")
+    return 0
+
+
 def cmd_search(args, spark: SparkSession) -> int:
     if args.generations:
         from .streaming.incremental import load_generations
 
         gi = load_generations(spark, args.dict)
         if args.topk:
-            for doc_id, score in gi.bm25_topk(args.query.split(), args.topk):
-                print(f"{doc_id}\t{score:.4f}")
-            return 0
+            terms = args.query.split()
+            return _emit_topk(
+                spark, list(gi.bm25_topk(terms, args.topk)), terms, args)
         try:
             hits = gi.query(args.query, strict=args.strict)
         except KeyError as e:
@@ -104,10 +135,8 @@ def cmd_search(args, spark: SparkSession) -> int:
     if args.topk:
         terms = args.query.split()
         rows = bm25_topk_batch(idx, {"q": terms}, args.topk).collect()
-        for doc_id, score in sorted(((r["doc_id"], r["score"]) for r in rows),
-                                    key=lambda x: (-x[1], x[0])):
-            print(f"{doc_id}\t{score:.4f}")
-        return 0
+        return _emit_topk(
+            spark, [(r["doc_id"], r["score"]) for r in rows], terms, args)
     try:
         hits = idx.query(args.query, strict=args.strict)
     except KeyError as e:
@@ -211,6 +240,25 @@ def cmd_curate(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_related(args, spark: SparkSession) -> int:
+    """PMI collocations over a parquet corpus — the query-expansion /
+    related-terms miner; optionally filtered to one left term."""
+    from .operators import textstats
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("content"),
+    )
+    out = textstats.pmi_associations(
+        docs, min_pair_count=args.min_count, top_k=args.topk)
+    if args.term:
+        out = out.filter(F.col("term") == args.term.lower())
+    for r in out.orderBy("term", F.desc("pmi_bits"), "other").collect():
+        print(f"{r['term']}\t{r['other']}\t{r['pair_count']}"
+              f"\t{r['pmi_bits']:.6f}")
+    return 0
+
+
 def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default=default_mode,
@@ -250,7 +298,26 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--generations", action="store_true",
                    help="--dict is a generation (streaming) index dir; "
                         "honors tombstone deletes")
+    s.add_argument("--snippets", type=int, default=0, metavar="WIDTH",
+                   help="with --topk: append a best-window snippet of "
+                        "WIDTH tokens per hit (needs --corpus)")
+    s.add_argument("--corpus", default=None,
+                   help="parquet corpus with the document text "
+                        "(snippet source; only the k hit docs are read)")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
     s.set_defaults(fn=cmd_search)
+
+    r = sub.add_parser("related", help="PMI collocations / related terms "
+                                       "over a parquet corpus")
+    r.add_argument("--input", required=True)
+    r.add_argument("--term", default=None,
+                   help="only associations for this left term")
+    r.add_argument("--topk", type=int, default=5)
+    r.add_argument("--min-count", type=int, default=3)
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--text-col", default="text")
+    r.set_defaults(fn=cmd_related)
 
     d = sub.add_parser("delete", help="tombstone-delete doc ids from a "
                                       "generation index (Lucene semantics)")

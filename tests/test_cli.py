@@ -150,3 +150,46 @@ def test_cli_curate(spark, tmp_path, capsys):
     packed = spark.read.parquet(os.path.join(out, "packing.parquet"))
     assert packed.count() == 20
     assert set(packed.columns) == {"shard", "doc_id", "n_tokens", "seq_id"}
+
+
+def test_cli_search_snippets_and_related(spark, parquet_corpus, tmp_path, capsys):
+    """search --topk --snippets prints doc_id<TAB>score<TAB>snippet with
+    every query term present in at least one snippet; related prints
+    PMI collocation lines."""
+    out = str(tmp_path / "idx3")
+    rc = main(["parquet-build", "--input", parquet_corpus, "--output", out,
+               "--num-segments", "4"], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+
+    # --snippets without --corpus is a usage error
+    rc = main(["search", "--dict", out, "--query", "compute test",
+               "--topk", "3", "--snippets", "6"], spark=spark)
+    assert rc == 2
+
+    rc = main(["search", "--dict", out, "--query", "compute test",
+               "--topk", "3", "--snippets", "6",
+               "--corpus", parquet_corpus], spark=spark)
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l and not l.startswith("error")]
+    assert 0 < len(lines) <= 3
+    for l in lines:
+        doc_id, score, snippet = l.split("\t")
+        int(doc_id); float(score)
+        assert any(t in snippet.split() for t in ("compute", "test"))
+
+    rc = main(["related", "--input", parquet_corpus, "--topk", "3",
+               "--min-count", "2"], spark=spark)
+    assert rc == 0
+    rel = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert rel
+    terms = set()
+    for l in rel:
+        t, other, cnt, pmi = l.split("\t")
+        terms.add(t)
+        assert int(cnt) >= 2
+        float(pmi)
+    # per-term cap respected
+    assert all(sum(1 for l in rel if l.split("\t")[0] == t) <= 3
+               for t in terms)
