@@ -555,6 +555,16 @@ def main() -> None:
     timed("pack_sequences",
           lambda: curation.pack_sequences(docs, 2048, n_shards=64).count())
 
+    # ---- late-round-5 analysis/presentation operators
+    from kma_information_retrieval_spark.operators import textstats
+    from kma_information_retrieval_spark.operators.snippets import snippets
+
+    timed("lm_fluency", lambda: textstats.lm_bigram_scores(docs).count())
+    timed("pmi_associations",
+          lambda: textstats.pmi_associations(docs, 3, 5).count())
+    timed("snippets",
+          lambda: snippets(docs, ["table", "scan", "hash"], 8).count())
+
     spark.stop()
 
     lo_cpus, hi_cpus = sc["lo_cpus"], sc["hi_cpus"]
