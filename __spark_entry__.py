@@ -1070,6 +1070,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_bm25_snippets"] = q_bm25_snip
 
+    # --- more-like-this (tail entry): top-k docs by TF-IDF cosine to
+    # one query document — Lucene MoreLikeThis from text alone. Cells
+    # at milli quantization keep the dot/norm sums exact int64; the
+    # cosine divides exact ints under IEEE sqrt, so ranks replay.
+    def q_mlt(s, d):
+        return textstats.more_like_this(_docs(s, d), 7, k=10)
+    q["q_more_like_this"] = q_mlt
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -2130,6 +2138,33 @@ ranked AS (
 SELECT w1 AS term, w2 AS other, c12::bigint AS pair_count,
        pmi_q / 1000000.0 AS pmi_bits
 FROM ranked WHERE rn <= 5"""
+
+    # more-like-this: tfidf cells at MILLI quantization (dot/norm sums
+    # stay int64-exact), cosine = exact-int dot / IEEE-exact sqrts,
+    # ORDER BY the unrounded cosine (rounded-alias shadowing gotcha)
+    o["q_more_like_this"] = f"""WITH {SQL_TOKS}, {SQL_TF},
+ndocs AS (SELECT count(*) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cells AS (
+  SELECT t.doc_id,
+         (('0x' || substr(md5(t.term), 1, 15))::bigint % 64)::int AS f,
+         sum(t.tf * round(ln(1.0 + n.n::double / d.df) * 1000)::bigint)::bigint
+           AS wq
+  FROM tf t JOIN dfreq d USING (term), ndocs n
+  GROUP BY 1, 2),
+qc AS (SELECT f, wq AS qw FROM cells WHERE doc_id = 7),
+norms AS (SELECT doc_id, sum(wq * wq)::bigint AS n2 FROM cells GROUP BY doc_id),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 7),
+dots AS (
+  SELECT c.doc_id, sum(c.wq * qc.qw)::bigint AS dot
+  FROM cells c JOIN qc USING (f) GROUP BY c.doc_id),
+cosd AS (
+  SELECT d.doc_id,
+         d.dot::double / (sqrt(n.n2::double) * sqrt(qn.qn2::double)) AS cos_raw
+  FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+  WHERE d.doc_id <> 7)
+SELECT doc_id, round(cos_raw, 6) AS cosine
+FROM cosd ORDER BY cosd.cos_raw DESC, doc_id LIMIT 10"""
 
     # composed results page: BM25 top-10 joined to the best-window
     # snippet for the same terms (both legs are the oracles above)

@@ -233,6 +233,40 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _tfidf_cells(
+    docs: DataFrame,
+    dim: int,
+    quant: float,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Sparse hashed-TF-IDF cells ``(doc_id, f, wq)`` with the idf
+    quantized to int64 at ``quant`` BEFORE summation — the shared
+    exact-integer core of :func:`tfidf_vectors` (quant=1e6) and
+    :func:`more_like_this` (quant=1e3, keeping integer dot products
+    inside int64)."""
+    toks = tokenize_expr(text_col, mode)
+    terms = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    feat = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    idf_q = F.round(
+        F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")) * quant, 0
+    ).cast("long")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", feat.alias("f"), (F.col("tf") * idf_q).alias("wq"))
+        .groupBy("doc_id", "f")
+        .agg(F.sum("wq").alias("wq"))
+    )
+
+
 def tfidf_vectors(
     docs: DataFrame,
     dim: int = 64,
@@ -257,25 +291,7 @@ def tfidf_vectors(
     doc-keyed collect of <= dim entries — no collect_list over raw
     tokens, vectors bounded at ``dim`` entries per doc. ``dim`` is a
     plan literal; the n_docs scalar joins in as a broadcast."""
-    toks = tokenize_expr(text_col, mode)
-    terms = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.select(F.count("*").alias("n_docs"))
-    feat = F.pmod(
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-        F.lit(dim),
-    ).cast("int")
-    idf_q = F.round(
-        F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")) * 1e6, 0
-    ).cast("long")
-    cells = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", feat.alias("f"), (F.col("tf") * idf_q).alias("wq"))
-        .groupBy("doc_id", "f")
-        .agg(F.sum("wq").alias("wq"))
-    )
+    cells = _tfidf_cells(docs, dim, 1e6, id_col, text_col, mode)
     maps = cells.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("f", "wq"))).alias("m")
     )
@@ -453,4 +469,64 @@ def pmi_associations(
             F.col("c12").cast("long").alias("pair_count"),
             (F.col("pmi_q") / 1e6).alias("pmi_bits"),
         )
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """"More like this" — top-``k`` documents by TF-IDF cosine to one
+    query document (the Lucene MoreLikeThis shape, built from text
+    alone: no precomputed embedding column needed).
+
+    Exactness: weights come from :func:`_tfidf_cells` at MILLI
+    quantization (1e3, not tfidf_vectors' 1e6), so every pairwise
+    product and the 64-term dot/norm sums stay inside int64
+    (wq <= tf * ln(1+n_docs) * 1e3 — below 2^25 for realistic token
+    counts, products below 2^50, sums exact) and are identical under
+    any aggregation order. The final cosine divides the exact integer
+    dot by IEEE-exact sqrt of exact integer norms — deterministic and
+    SQL-replayable; ranking orders by the unrounded cosine with
+    doc_id tie-break.
+
+    Scale shape: the query doc's <= ``dim`` cells BROADCAST into a
+    feature-keyed join against the corpus cells (one shuffle-free
+    multiply + doc-keyed sum), norms are one doc-keyed aggregation,
+    and the top-k is TakeOrdered — no pairwise doc x doc join
+    anywhere, so "find similar to X" costs one corpus pass at any
+    scale.
+    """
+    cells = _tfidf_cells(docs, dim, 1e3, id_col, text_col, mode)
+    qcells = cells.filter(F.col("doc_id") == query_doc_id).select(
+        "f", F.col("wq").alias("qw")
+    )
+    norms = cells.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+    )
+    qnorm = norms.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("n2").alias("qn2")
+    )
+    dots = (
+        cells.join(F.broadcast(qcells), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wq") * F.col("qw")).alias("dot"))
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .filter(F.col("doc_id") != query_doc_id)
+        .select("doc_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("cos_raw", 6).alias("cosine"))
     )

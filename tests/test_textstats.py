@@ -318,3 +318,50 @@ def test_pmi_associations_matches_python(spark, docs):
     # collocation sanity: every reported pair beats independence floor
     # only when pmi > 0; at least one genuinely associated pair exists
     assert any(p[3] > 0 for p in got)
+
+
+def test_more_like_this(spark):
+    """MLT finds the near-copy first, excludes the query doc, and
+    matches a pure-Python exact-integer cosine recompute."""
+    import math
+
+    from kma_information_retrieval_spark.operators.textstats import (
+        more_like_this,
+    )
+
+    rows = [
+        (0, "spark shuffle join partition executor spark shuffle"),
+        (1, "spark shuffle join partition executor spark stage"),   # near-copy
+        (2, "banana orchard harvest banana tree orchard"),
+        (3, "spark banana"),                                        # mild overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = [(r["doc_id"], r["cosine"]) for r in more_like_this(docs, 0, k=3).collect()]
+    assert [d for d, _ in got][0] == 1          # near-copy ranks first
+    assert 0 not in [d for d, _ in got]         # query doc excluded
+
+    # exact recompute: milli-quantized idf cells, int dot / IEEE sqrt
+    dim, n = 64, len(rows)
+    cells: dict[int, dict[int, int]] = {}
+    tf: dict[tuple, int] = {}
+    df: dict[str, int] = {}
+    for d, text in rows:
+        toks = tokenize(text, "code")
+        for t in toks:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for (d, t), c in tf.items():
+        f = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        wq = c * int(math.floor(math.log(1.0 + n / df[t]) * 1e3 + 0.5))
+        cells.setdefault(d, {})
+        cells[d][f] = cells[d].get(f, 0) + wq
+    n2 = {d: sum(v * v for v in m.values()) for d, m in cells.items()}
+    want = []
+    for d in (1, 2, 3):
+        dot = sum(w * cells[0].get(f, 0) for f, w in cells[d].items())
+        want.append((d, dot / (math.sqrt(n2[d]) * math.sqrt(n2[0]))))
+    want = [(d, round(c, 6)) for d, c in
+            sorted(want, key=lambda x: (-x[1], x[0]))][:3]
+    for (gd, gc), (wd, wc) in zip(got, want):
+        assert gd == wd and gc == pytest.approx(wc, abs=1.1e-6)
