@@ -1097,17 +1097,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (both legs replayed verbatim inside q_curation_pipeline's oracle,
     # lang-id also inside q_stratified_sample's), q_media_metadata
     # (binary-payload plumbing superset driver-checked by
-    # q_media_resize). The first 50 below keep >= 1 entry per operator
+    # q_media_resize). Final-r5 rotation, same policy, so the last six
+    # features (boilerplate removal, per-source caps, bigram-LM fluency,
+    # PMI associations, BM25+snippets page, more-like-this) also get
+    # driver rows instead of landing past the cutoff like r4's did:
+    # OUT q_boolean_and and q_boolean_not (both legs replayed verbatim
+    # inside q_boolean_complex's "(spark or query) and not dup" —
+    # J1+J2+J3+J4 in one row — and q_boolean_missing), q_bm25_filtered
+    # (a composition of the boolean AND leg and the q_bm25_topk kernel,
+    # both still gated), q_collection_stats (N/avgdl are recomputed
+    # inside every BM25 oracle and consumed by the Spark side via
+    # _stats(), so a stats error breaks q_bm25_topk's hash),
+    # q_top_terms (ORDER BY desc cf over q_dictionary's gated agg),
+    # q_streaming_bm25 (strict subset of q_streaming_delete_bm25 —
+    # same cross-generation batched kernel plus the tombstone mask;
+    # generation loading gated by q_streaming_phrase_compacted).
+    # The first 50 below keep >= 1 entry per operator
     # family (SURVEY §2 + every LLM-pipeline component); tail entries
     # remain oracle-gated and are re-run by scripts/check_entry.py.
     first_50 = [
         # dictionary / stats / codecs / sinks (A1-A5, T1, C4/C5, S6)
         "q_dictionary", "q_dictionary_letters",
-        "q_dictionary_sink", "q_top_terms", "q_collection_stats",
+        "q_dictionary_sink",
         # boolean algebra (J1-J5, T4/T5; q_boolean_or rotated to tail —
         # J1's union is exercised by q_boolean_complex and
         # q_boolean_missing)
-        "q_boolean_and", "q_boolean_not",
         "q_boolean_complex", "q_boolean_missing",
         # phrase / proximity / bigram (J6-J8, T2/T6, A7/A8)
         "q_phrase_2", "q_proximity", "q_bigram_phrase",
@@ -1119,13 +1133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incidence matrix (A9)
         "q_incidence_boolean",
         # BM25 (north star) + composition
-        "q_bm25_topk", "q_bm25_filtered",
+        "q_bm25_topk",
         # persisted-index surface (S5/S7 + WAND + wildcard->BM25)
         "q_boolean_persisted", "q_bm25_wand_persisted",
         "q_wildcard_bm25_persisted",
         # streaming (incremental generations, stateful dedup, watermark,
         # tombstone deletes — r5)
-        "q_streaming_phrase_compacted", "q_streaming_bm25",
+        "q_streaming_phrase_compacted",
         "q_streaming_dedup", "q_streaming_trending",
         "q_streaming_delete_bm25",
         # dedup suite (LLM-pipeline, incl. the r2-era pair joins)
@@ -1154,6 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring duplication, sequence packing)
         "q_bm25_fielded", "q_tfidf_vectors", "q_span_dup_stats",
         "q_pack_sequences",
+        # final-r5 features (curation legs, corpus-LM fluency, PMI
+        # associations, BM25+snippet results page, more-like-this)
+        "q_boilerplate_removal", "q_cap_per_source", "q_lm_fluency",
+        "q_pmi_associations", "q_bm25_snippets", "q_more_like_this",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
         len(first_50), sorted(set(first_50) - set(q)))
