@@ -1078,6 +1078,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.more_like_this(_docs(s, d), 7, k=10)
     q["q_more_like_this"] = q_mlt
 
+    # --- grep over raw content (tail entries): Cox-style content-
+    # trigram prefilter + exact verify — substring/regex search that
+    # crosses token boundaries, the code-search surface the term
+    # indexes can't serve. The trigram candidates are result-neutral
+    # (tests fuzz prefilter == full scan), so the oracle states only
+    # the exact predicate.
+    def q_grep_lit(s, d):
+        from kma_information_retrieval_spark.operators import codesearch as cs
+        docs = _docs(s, d)
+        tri = cs.content_trigram_index(docs)
+        return cs.grep_literal(docs, "scan slow", tri)
+    q["q_grep_literal"] = q_grep_lit
+
+    def q_grep_rx(s, d):
+        from kma_information_retrieval_spark.operators import codesearch as cs
+        docs = _docs(s, d)
+        tri = cs.content_trigram_index(docs)
+        # top-level run "hash " prefilters; the group stays exact-only
+        return cs.grep_regex(docs, "hash (join|scan)", tri)
+    q["q_grep_regex"] = q_grep_rx
+
+    # --- identifier subtokens (tail entry): camelCase / snake_case /
+    # digit-boundary splitting over constructed compound identifiers
+    # (the corpus is lowercase word-soup, so the query builds
+    # "KeyAggRow157"-style identifiers from each doc's first three
+    # words + doc_id, then the oracle replays the identical 4-rule
+    # replace chain — any Java-vs-RE2 divergence breaks the hash).
+    def q_ident(s, d):
+        from kma_information_retrieval_spark.operators import codesearch as cs
+        docs = _docs(s, d)
+        ident = F.expr(
+            "concat("
+            "upper(substring(element_at(w,1),1,1)), substring(element_at(w,1),2),"
+            "upper(substring(element_at(w,2),1,1)), substring(element_at(w,2),2),"
+            "upper(substring(element_at(w,3),1,1)), substring(element_at(w,3),2),"
+            "cast(doc_id as string))"
+        )
+        ids = docs.select(
+            "doc_id", F.split("content", " ", -1).alias("w")
+        ).select("doc_id", ident.alias("ident"))
+        toks = ids.select(
+            "doc_id", F.explode(cs.split_identifiers_expr("ident")).alias("term")
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("cf"),
+            )
+            .orderBy("term")
+        )
+    q["q_identifier_split"] = q_ident
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -2190,5 +2243,42 @@ FROM cosd ORDER BY cosd.cos_raw DESC, doc_id LIMIT 10"""
 SELECT tk.doc_id, tk.score, sn.win_start, sn.n_terms, sn.snippet
 FROM ({bm25_sql(["spark", "query", "join"])}) tk
 JOIN ({snippet_sql(["spark", "query", "join"], 8)}) sn USING (doc_id)"""
+
+    # grep: the oracle states ONLY the exact predicate (contains /
+    # regexp) — the engine's trigram prefilter must be result-neutral,
+    # so a prefilter bug (lost candidate) fails rows_match here.
+    # n_matches = non-overlapping count; replace() and
+    # regexp_extract_all are non-overlapping left-to-right in both
+    # engines. len diff is a multiple of the needle length, so the
+    # double division is exact before the ::bigint cast.
+    o["q_grep_literal"] = """
+SELECT doc_id,
+       ((len(text) - len(replace(text, 'scan slow', ''))) / 9)::bigint
+         AS n_matches
+FROM documents WHERE contains(text, 'scan slow')"""
+
+    o["q_grep_regex"] = """
+SELECT doc_id,
+       len(regexp_extract_all(text, 'hash (join|scan)'))::bigint AS n_matches
+FROM documents WHERE len(regexp_extract_all(text, 'hash (join|scan)')) > 0"""
+
+    # identifier subtokens: construct the same "KeyAggRow157"
+    # compound per doc, replay the engine's 4-rule boundary-insertion
+    # chain (identifier_sql_expr keeps the rules single-sourced —
+    # RE2 needs the explicit 'g' flag where Java replaces globally)
+    from kma_information_retrieval_spark.operators.codesearch import (
+        identifier_sql_expr,
+    )
+
+    o["q_identifier_split"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ids AS (SELECT doc_id,
+        upper(substring(w[1],1,1)) || substring(w[1],2) ||
+        upper(substring(w[2],1,1)) || substring(w[2],2) ||
+        upper(substring(w[3],1,1)) || substring(w[3],2) ||
+        doc_id::varchar AS ident FROM w),
+su AS (SELECT doc_id, unnest({identifier_sql_expr("ident")}) AS term FROM ids)
+SELECT term, count(DISTINCT doc_id)::bigint AS df, count(*)::bigint AS cf
+FROM su GROUP BY term ORDER BY term"""
 
     return o

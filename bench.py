@@ -565,6 +565,21 @@ def main() -> None:
     timed("snippets",
           lambda: snippets(docs, ["table", "scan", "hash"], 8).count())
 
+    # ---- grep (Cox trigram prefilter): index build once, then a
+    # selective literal and a regex that prefilters on "hash "
+    from kma_information_retrieval_spark.operators import codesearch as cs
+
+    tri = cs.content_trigram_index(docs)
+    timed("grep_index_build",
+          lambda: tri.write.mode("overwrite").parquet(f"{tmp}/grep_tri"))
+    tri_p = spark.read.parquet(f"{tmp}/grep_tri")
+    timed("grep_literal",
+          lambda: cs.grep_literal(docs, "scan slow", tri_p).count())
+    timed("grep_regex",
+          lambda: cs.grep_regex(docs, "hash (join|scan)", tri_p).count())
+    timed("identifier_tokens",
+          lambda: cs.identifier_token_frame(docs).count())
+
     spark.stop()
 
     lo_cpus, hi_cpus = sc["lo_cpus"], sc["hi_cpus"]

@@ -33,6 +33,16 @@ per-group cap, sequence packing — over a parquet corpus:
         --input docs.parquet --output ./curated \
         --boilerplate-frac 0.05 --min-quality 0.65 --lang en \
         --cap source:1000 --pack-budget 2048
+
+``grep`` / ``grep-index`` (no reference counterpart) are raw-content
+search — trigram-prefiltered literal/regex matching with grep-style
+``doc:line:text`` output and exit code 1 on no matches:
+
+    python -m kma_information_retrieval_spark grep-index \
+        --input docs.parquet --output ./tri
+    python -m kma_information_retrieval_spark grep \
+        --input docs.parquet --index ./tri \
+        --pattern 'hash (join|scan)' --regex
 """
 
 from __future__ import annotations
@@ -144,6 +154,48 @@ def cmd_search(args, spark: SparkSession) -> int:
         return 2
     for r in hits.orderBy("doc_id").collect():
         print(r["doc_id"])
+    return 0
+
+
+def cmd_grep(args, spark: SparkSession) -> int:
+    """Literal/regex search over raw content (trigram prefilter +
+    exact verify), line-oriented output like grep -n."""
+    from .operators import codesearch as cs
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("content"),
+    )
+    tri = None
+    if args.index:
+        tri = spark.read.parquet(args.index)
+    elif not args.no_prefilter:
+        tri = cs.content_trigram_index(docs, fold_case=args.ignore_case)
+    kw = dict(tri=tri, ignore_case=args.ignore_case)
+    if args.regex:
+        kw.pop("ignore_case")
+        hits = cs.grep_lines(docs, pattern=args.pattern, **kw)
+    else:
+        hits = cs.grep_lines(docs, needle=args.pattern, **kw)
+    n = 0
+    for r in hits.orderBy("doc_id", "line_no").limit(args.limit).collect():
+        print(f"{r['doc_id']}:{r['line_no']}:{r['line']}")
+        n += 1
+    if n == 0:
+        return 1  # grep convention: no matches
+    return 0
+
+
+def cmd_grep_index(args, spark: SparkSession) -> int:
+    from .operators import codesearch as cs
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("content"),
+    )
+    tri = cs.content_trigram_index(docs, fold_case=args.ignore_case)
+    tri.repartition("trigram").write.mode("overwrite").parquet(args.output)
+    print(f"content-trigram index written to {args.output}")
     return 0
 
 
@@ -318,6 +370,33 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--id-col", default="doc_id")
     r.add_argument("--text-col", default="text")
     r.set_defaults(fn=cmd_related)
+
+    g = sub.add_parser("grep", help="literal/regex search over raw content "
+                                    "(trigram prefilter + exact verify), "
+                                    "doc:line:text output")
+    g.add_argument("--input", required=True, help="parquet corpus")
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--regex", action="store_true",
+                   help="treat pattern as a regex (Java/RE2 common subset)")
+    g.add_argument("--ignore-case", action="store_true")
+    g.add_argument("--index", default=None,
+                   help="pre-built content-trigram index dir (grep-index)")
+    g.add_argument("--no-prefilter", action="store_true",
+                   help="full scan (skip building an ad-hoc trigram index)")
+    g.add_argument("--limit", type=int, default=100)
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--text-col", default="text")
+    g.set_defaults(fn=cmd_grep)
+
+    gi = sub.add_parser("grep-index", help="persist a content-trigram index "
+                                           "for repeated greps")
+    gi.add_argument("--input", required=True)
+    gi.add_argument("--output", required=True)
+    gi.add_argument("--ignore-case", action="store_true",
+                    help="build a case-folded index (for grep --ignore-case)")
+    gi.add_argument("--id-col", default="doc_id")
+    gi.add_argument("--text-col", default="text")
+    gi.set_defaults(fn=cmd_grep_index)
 
     d = sub.add_parser("delete", help="tombstone-delete doc ids from a "
                                       "generation index (Lucene semantics)")

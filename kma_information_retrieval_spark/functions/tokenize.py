@@ -66,6 +66,14 @@ TOKENIZER_MODES = {
     "unicode": ("regex_strip_extract", (r"[^\p{L}\p{N}\s]+", r"[\p{L}\p{N}]{3,}")),
     # extract letter-runs of len >= 3, lower  (ref T1)
     "letters": ("extract", r"[а-яёА-ЯЁa-zA-Z]{3,}"),
+    # identifier subtokens (camelCase/ALLCAPS/snake/digit boundaries,
+    # min length 2 — "db"/"io" matter in code); because build_index
+    # threads ``mode`` into this one expression, the WHOLE persisted
+    # engine — boolean, positional phrase, wildcard, BM25/WAND —
+    # becomes subtoken-aware with mode="identifiers": subtokens are
+    # positionally adjacent, so the phrase '"user name"' matches
+    # getUserName (operators/codesearch.py owns the split rules)
+    "identifiers": ("identifier_split", None),
 }
 
 
@@ -79,6 +87,11 @@ def tokenize_expr(text: Column | str, mode: str = "code") -> Column:
     """
     col = F.col(text) if isinstance(text, str) else text
     style, rx = TOKENIZER_MODES[mode]
+    if style == "identifier_split":
+        # late import: operators.codesearch -> (pyspark only), no cycle
+        from ..operators.codesearch import split_identifiers_expr
+
+        return split_identifiers_expr(col, min_len=2)
     if style == "extract":
         toks = F.regexp_extract_all(col, F.lit(rx), 0)
         return F.transform(toks, lambda x: F.lower(x))

@@ -1,0 +1,373 @@
+"""Grep-style raw-content search + identifier subtokens (code search).
+
+The reference engine searches *tokens* (its wildcard router over term
+indexes, ``wildcard_search.rs:114-186``). A source-code corpus also
+needs raw-content search: literal and regex matches that cross token
+boundaries ("hash join(", "fn main(") — the grep a code-search user
+actually types. The classic web-scale design is Google Code Search /
+Zoekt (Cox 2012, "Regular Expression Matching with a Trigram Index"):
+
+* build a posting table of *content* trigrams per document;
+* for a query, derive the trigrams every match must contain (all
+  trigrams of a literal needle; for a regex, trigrams of its required
+  literal runs, extracted conservatively);
+* intersect posting lists to a candidate doc set, then run the exact
+  predicate (``contains`` / ``rlike``) on candidates only.
+
+The prefilter is result-neutral by construction (a doc that matches
+necessarily contains every required trigram), so correctness never
+depends on the regex analysis being sharp — only cost does. At 10^12
+files the trigram table is what makes grep feasible: the exact
+predicate runs on a candidate set instead of the corpus, and the
+posting table is a plain (trigram, doc_id) parquet that
+shuffle-partitions by trigram like any other posting list.
+
+Identifier subtokens are the other code-search staple: camelCase /
+snake_case / digit-boundary splitting ("parseHTTPResponse" ->
+parse, http, response) so queries hit compound identifiers. Both the
+boundary-insertion regexes and the extraction run identically under
+Java regex (Spark) and RE2 (DuckDB oracle) — no lookarounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- trigram index
+
+
+def content_trigram_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    fold_case: bool = False,
+) -> DataFrame:
+    """Distinct (trigram, doc_id) over raw content.
+
+    One codegen pass: sequence+explode emits a row per character
+    position, ``substring`` slices the trigram, and the distinct's
+    partial aggregate dedups map-side — shuffle volume is bounded by
+    per-partition distinct (trigram, doc) pairs, not corpus bytes.
+    (The per-doc HOF alternative — array_distinct over transform —
+    runs interpreted per element, outside whole-stage codegen.)
+
+    ``fold_case=True`` lowercases content first. Queries made with
+    ``ignore_case=True`` require a folded index (and vice versa);
+    callers pass the same flag to the grep functions, which match
+    needle folding to it.
+    """
+    s = F.col(text_col)
+    if fold_case:
+        s = F.lower(s)
+    base = docs.select(F.col(id_col).alias("doc_id"), s.alias("s"))
+    return (
+        base.filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
+            "s",
+        )
+        .select("doc_id", F.substring("s", F.col("i"), F.lit(3)).alias("trigram"))
+        .distinct()
+    )
+
+
+def literal_trigrams(needle: str) -> list[str]:
+    """Every distinct trigram a match of the literal must contain."""
+    return sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+
+
+def grep_candidates(tri: DataFrame, trigrams: list[str]) -> DataFrame:
+    """doc_ids whose content contains ALL of ``trigrams``.
+
+    One selective scan (the IN-list pushes to the parquet reader) and
+    one count aggregate — because the index rows are distinct per
+    (doc_id, trigram), ``count == k`` is set containment. This is a
+    single shuffle keyed by doc_id; chained per-trigram left-semi
+    joins would pay k shuffles instead.
+    """
+    k = len(trigrams)
+    if k == 0:
+        raise ValueError("empty trigram list — caller must full-scan instead")
+    return (
+        tri.filter(F.col("trigram").isin(trigrams))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") == k)
+        .select("doc_id")
+    )
+
+
+# ----------------------------------------------------------------------- grep
+
+
+def _normalize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("s"))
+
+
+def grep_literal(
+    docs: DataFrame,
+    needle: str,
+    tri: DataFrame | None = None,
+    ignore_case: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, n_matches) for a literal substring.
+
+    ``n_matches`` counts non-overlapping occurrences left-to-right
+    (``replace`` semantics — identical in Spark and DuckDB). With a
+    trigram index the corpus scan is replaced by a left-semi join
+    against the candidate set; needles shorter than 3 chars have no
+    trigram and fall back to the full scan (documented cost, not a
+    correctness difference).
+    """
+    if not needle:
+        raise ValueError("empty needle")
+    base = _normalize(docs, id_col, text_col)
+    subject = F.lower(F.col("s")) if ignore_case else F.col("s")
+    pat = needle.lower() if ignore_case else needle
+    trigs = literal_trigrams(pat)
+    if tri is not None and trigs:
+        base = base.join(grep_candidates(tri, trigs), "doc_id", "left_semi")
+    n = (
+        (F.length(subject) - F.length(F.replace(subject, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+    return (
+        base.select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def grep_regex(
+    docs: DataFrame,
+    pattern: str,
+    tri: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, n_matches) for a regex (non-overlapping match count).
+
+    The prefilter uses :func:`required_literal_runs` — trigrams of
+    text every match must contain. When the analysis yields nothing
+    (alternation at top level, inline flags, short literals) the exact
+    predicate runs on the full corpus; results are identical either
+    way. Patterns must stay in the Java-regex/RE2 common subset if an
+    oracle replays them (no lookarounds, no backreferences).
+    """
+    base = _normalize(docs, id_col, text_col)
+    trigs = sorted(
+        {t for run in required_literal_runs(pattern) for t in literal_trigrams(run)}
+    )
+    if tri is not None and trigs:
+        base = base.join(grep_candidates(tri, trigs), "doc_id", "left_semi")
+    n = F.regexp_count(F.col("s"), F.lit(pattern))
+    return (
+        base.select("doc_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def grep_lines(
+    docs: DataFrame,
+    needle: str | None = None,
+    pattern: str | None = None,
+    tri: DataFrame | None = None,
+    ignore_case: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, line_no, line) — grep's line-oriented output.
+
+    Doc-level prefilter (trigram candidates + coarse contains/rlike)
+    first, then only matching docs pay the line explode. Line numbers
+    are 1-based. Line mode is line-oriented like grep: a needle
+    containing a newline never matches (pass it to
+    :func:`grep_literal` instead, which searches raw content).
+    """
+    if (needle is None) == (pattern is None):
+        raise ValueError("exactly one of needle/pattern")
+    if needle is not None and "\n" in needle:
+        raise ValueError("line mode is line-oriented; needle may not contain \\n")
+    if needle is not None:
+        hit_docs = grep_literal(
+            docs, needle, tri, ignore_case, id_col, text_col
+        ).select("doc_id")
+        pat = needle.lower() if ignore_case else needle
+        line_pred = lambda c: (F.lower(c) if ignore_case else c).contains(pat)  # noqa: E731
+    else:
+        hit_docs = grep_regex(docs, pattern, tri, id_col, text_col).select("doc_id")
+        line_pred = lambda c: c.rlike(pattern)  # noqa: E731
+    base = _normalize(docs, id_col, text_col).join(hit_docs, "doc_id", "left_semi")
+    lines = base.select(
+        "doc_id", F.posexplode(F.split("s", "\n", -1)).alias("idx", "line")
+    )
+    return lines.filter(line_pred(F.col("line"))).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line"
+    )
+
+
+# -------------------------------------------------- regex literal extraction
+
+_QUANTS = "*+?{"
+
+
+def _skip_quant(p: str, i: int) -> int:
+    """i points at a quantifier char; return index past it (incl. lazy ?)."""
+    if p[i] == "{":
+        j = p.find("}", i)
+        i = j + 1 if j != -1 else len(p)
+    else:
+        i += 1
+    if i < len(p) and p[i] == "?":
+        i += 1
+    return i
+
+
+def required_literal_runs(pattern: str) -> list[str]:
+    """Literal runs (len >= 3) every match of ``pattern`` must contain.
+
+    Deliberately conservative (Cox's query analysis, minimum viable
+    subset): an unsharp answer only weakens the prefilter, never the
+    result — the exact predicate always runs. Rules:
+
+    * inline flags ``(?...)`` or a top-level ``|``: nothing is
+      required — return [];
+    * text inside ``(...)`` is ignored (the group may sit under a
+      quantifier or contain alternation — its chars are not provably
+      required); the quantifier after ``)`` is skipped;
+    * ``[class]``, ``.``, ``^``, ``$`` and escapes break the current
+      run (and contribute nothing);
+    * a quantifier applying to the previous literal char makes that
+      char non-required: it is dropped from the run (sound even for
+      ``{2,3}`` where it IS required — conservatism costs selectivity
+      only).
+    """
+    if "(?" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i = 0
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            flush()
+            i += 2
+            # a quantifier may apply to the escape; it contributes nothing
+            if i < n and pattern[i] in _QUANTS:
+                i = _skip_quant(pattern, i)
+            continue
+        if c == "|":
+            if depth == 0:
+                return []
+            i += 1
+            continue
+        if c == "(":
+            flush()
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth = max(0, depth - 1)
+            i += 1
+            if i < n and pattern[i] in _QUANTS:
+                i = _skip_quant(pattern, i)
+            continue
+        if c == "[":
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":  # literal ] first in class
+                j += 1
+            j = pattern.find("]", j)
+            i = j + 1 if j != -1 else n
+            if i < n and pattern[i] in _QUANTS:
+                i = _skip_quant(pattern, i)
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        if c in _QUANTS:
+            if cur:
+                cur.pop()
+            flush()
+            i = _skip_quant(pattern, i)
+            continue
+        if depth == 0:
+            cur.append(c)
+        i += 1
+    flush()
+    return [r for r in runs if len(r) >= 3]
+
+
+# ------------------------------------------------------- identifier subtokens
+
+# Boundary-insertion rules, applied in order (all global):
+#   1. ALLCAPS run before a Capitalized word:  HTTPResponse -> HTTP Response
+#   2. lower before upper:                     parseHTTP    -> parse HTTP
+#   3/4. letter<->digit boundaries:            sha256sum    -> sha 256 sum
+# All four are plain capture-group replaces — no lookarounds, so Java
+# regex (Spark, replacement $1 $2) and RE2 (DuckDB, replacement \1 \2
+# with the 'g' flag — DuckDB replaces only the first match otherwise)
+# agree byte-for-byte.
+_ID_RULES = [
+    (r"([A-Z]+)([A-Z][a-z])", r"$1 $2"),
+    (r"([a-z])([A-Z])", r"$1 $2"),
+    (r"([A-Za-z])([0-9])", r"$1 $2"),
+    (r"([0-9])([A-Za-z])", r"$1 $2"),
+]
+
+
+def split_identifiers_expr(col: Column | str, min_len: int = 2) -> Column:
+    """array<string> of lowercased subtokens of identifier-bearing text.
+
+    ``min_len=2`` keeps the short identifiers code search needs
+    ("db", "io", "id") while dropping single chars; the tradeoff
+    ("x86" -> "86") is documented rather than special-cased. Uses
+    regexp_replace (the measured ~25x-slower-than-translate path) —
+    acceptable because identifier splitting runs over identifier
+    strings, not whole documents, and needs capture groups.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for rx, repl in _ID_RULES:
+        c = F.regexp_replace(c, rx, repl)
+    return F.regexp_extract_all(
+        F.lower(c), F.lit(r"[a-z0-9]{%d,}" % min_len), 0
+    )
+
+
+def identifier_token_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_len: int = 2,
+) -> DataFrame:
+    """(doc_id, pos, term) over identifier subtokens — drop-in for
+    ``functions.tokenize.tokens_with_positions`` so every downstream
+    index (postings, dictionary, BM25) can be built subtoken-aware."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_identifiers_expr(F.col(text_col), min_len).alias("toks"),
+    )
+    return base.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+
+
+def identifier_sql_expr(text_sql: str, min_len: int = 2) -> str:
+    """The DuckDB mirror of :func:`split_identifiers_expr` — kept next
+    to the rules so oracle and engine can't drift."""
+    expr = text_sql
+    for rx, _ in _ID_RULES:
+        expr = "regexp_replace(%s, '%s', '\\1 \\2', 'g')" % (expr, rx)
+    return "regexp_extract_all(lower(%s), '[a-z0-9]{%d,}')" % (expr, min_len)

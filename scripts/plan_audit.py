@@ -201,6 +201,29 @@ def main() -> None:
         "stays a shuffle join)")
     sections.append(("bigram-LM fluency scores (corpus-trained)", frag))
 
+    # 13. grep with trigram prefilter: the IN-list of required
+    # trigrams pushes to the posting scan, the candidate set joins
+    # left-semi (broadcast at this selectivity), and the exact
+    # contains/rlike verify runs on candidates only — the corpus
+    # scan is the candidate join's probe side, not a full predicate
+    # pass
+    from kma_information_retrieval_spark.operators import codesearch as cs
+
+    # the production shape is a PERSISTED trigram index (grep-index
+    # verb) — that's where the IN-list reaches the parquet reader;
+    # an ad-hoc in-plan index has no scan to push into
+    tri_dir = tempfile.mkdtemp(prefix="kma_plan_audit_tri_")
+    cs.content_trigram_index(docs).write.mode("overwrite").parquet(tri_dir)
+    tri = spark.read.parquet(tri_dir)
+    grep_plan = plan_of(cs.grep_literal(docs, "scan slow", tri))
+    frag = fragments(grep_plan)
+    frag.append(
+        f"leftsemi={grep_plan.count('LeftSemi')} "
+        f"pushed_in_list={'In(trigram' in grep_plan or 'in(trigram' in grep_plan} "
+        "(required-trigram IN-list pushed to the posting scan; "
+        "exact verify on candidates only)")
+    sections.append(("grep literal with content-trigram prefilter", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:

@@ -193,3 +193,34 @@ def test_cli_search_snippets_and_related(spark, parquet_corpus, tmp_path, capsys
     # per-term cap respected
     assert all(sum(1 for l in rel if l.split("\t")[0] == t) <= 3
                for t in terms)
+
+
+def test_cli_grep_and_grep_index(spark, parquet_corpus, tmp_path, capsys):
+    # ad-hoc prefilter path
+    rc = main(["grep", "--input", parquet_corpus, "--pattern", "index"],
+              spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and out
+    # doc:line:text contract, lines actually contain the needle
+    first = out.splitlines()[0]
+    doc, line_no, text = first.split(":", 2)
+    assert doc.isdigit() and line_no.isdigit() and "index" in text
+
+    # persisted index + regex + case folding
+    idx = str(tmp_path / "tri")
+    rc = main(["grep-index", "--input", parquet_corpus, "--output", idx],
+              spark=spark)
+    assert rc == 0 and "written" in capsys.readouterr().out
+    rc = main(["grep", "--input", parquet_corpus, "--index", idx,
+               "--pattern", "index (merge|shard)", "--regex"], spark=spark)
+    out2 = capsys.readouterr().out
+    assert rc == 0
+    # persisted-index result == ad-hoc full-scan result
+    rc = main(["grep", "--input", parquet_corpus, "--no-prefilter",
+               "--pattern", "index (merge|shard)", "--regex"], spark=spark)
+    assert capsys.readouterr().out == out2
+
+    # no matches -> grep convention rc 1
+    rc = main(["grep", "--input", parquet_corpus,
+               "--pattern", "zz_never_there"], spark=spark)
+    assert rc == 1

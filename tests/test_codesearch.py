@@ -1,0 +1,286 @@
+"""Grep (content-trigram prefilter + exact verify) and identifier
+subtokens — the prefilter's result-neutrality is the load-bearing
+property, so it is fuzzed against full scans on the synthetic
+source-code corpus (real newlines, case noise, punctuation)."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.corpus import local_corpus
+from kma_information_retrieval_spark.operators import codesearch as cs
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["content"]) for r in local_corpus(60)],
+        "doc_id long, content string",
+    ).cache()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def tri(code_docs):
+    t = cs.content_trigram_index(code_docs).cache()
+    t.count()
+    return t
+
+
+# ------------------------------------------------------------- literal runs
+
+
+def test_required_literal_runs_units():
+    rl = cs.required_literal_runs
+    assert rl("hash (join|scan)") == ["hash "]
+    assert rl("a|b") == []
+    assert rl("(?i)hash") == []
+    assert rl("colou?r") == ["colo"]
+    assert rl(r"def [a-z_]+\(") == ["def "]
+    assert rl("abc.def") == ["abc", "def"]
+    assert rl("ab*cdef") == ["cdef"]  # 'b' under *, 'a' alone is short
+    assert rl("x{2,3}yzw") == ["yzw"]  # conservative: x dropped
+    assert rl("[abc]hello") == ["hello"]
+    assert rl(r"\bword\b") == ["word"]
+    assert rl("short") == ["short"]
+    assert rl("ab") == []  # too short for a trigram
+
+
+def test_literal_trigrams():
+    assert cs.literal_trigrams("hash") == ["ash", "has"]
+    assert cs.literal_trigrams("ab") == []
+
+
+# ---------------------------------------------------------------- grep fuzz
+
+
+def test_grep_literal_prefilter_neutral(code_docs, tri):
+    """Needles sampled from real content (guaranteed hits) + misses +
+    newline-spanning needles: prefiltered == full scan, exactly."""
+    rows = [(r["doc_id"], r["content"]) for r in code_docs.collect()]
+    rng = random.Random(7)
+    needles = {"zz_never_there", "index", "Merge"}
+    for _ in range(12):
+        _, content = rows[rng.randrange(len(rows))]
+        i = rng.randrange(max(1, len(content) - 12))
+        needles.add(content[i : i + rng.randrange(3, 12)])
+    for needle in sorted(needles):
+        if not needle:
+            continue
+        full = {tuple(r) for r in cs.grep_literal(code_docs, needle).collect()}
+        pre = {tuple(r) for r in cs.grep_literal(code_docs, needle, tri).collect()}
+        assert pre == full, needle
+        # python ground truth for the counts
+        truth = {
+            (d, c.count(needle)) for d, c in rows if needle in c
+        }
+        assert full == truth, needle
+
+
+def test_grep_literal_ignore_case(code_docs):
+    folded = cs.content_trigram_index(code_docs, fold_case=True)
+    full = {tuple(r) for r in cs.grep_literal(code_docs, "MERGE", ignore_case=True).collect()}
+    pre = {
+        tuple(r)
+        for r in cs.grep_literal(code_docs, "MERGE", folded, ignore_case=True).collect()
+    }
+    assert pre == full and full  # corpus has case noise -> non-empty
+    rows = [(r["doc_id"], r["content"]) for r in code_docs.collect()]
+    truth = {
+        (d, c.lower().count("merge")) for d, c in rows if "merge" in c.lower()
+    }
+    assert full == truth
+
+
+REGEX_POOL = [
+    "index (merge|shard)",
+    "quer[xy]",
+    "merge (fast|slow)",
+    "tok.n",
+    "shard(er|ing)?map",
+    r"buffer\(\)",
+    "worker|cache",
+    "(?i)MERGE",
+    "rec{1,2}ord",
+    "scor[ei]+ng",
+]
+
+
+def test_grep_regex_prefilter_neutral(code_docs, tri):
+    rows = [(r["doc_id"], r["content"]) for r in code_docs.collect()]
+    for pat in REGEX_POOL:
+        full = {tuple(r) for r in cs.grep_regex(code_docs, pat).collect()}
+        pre = {tuple(r) for r in cs.grep_regex(code_docs, pat, tri).collect()}
+        assert pre == full, pat
+        # python ground truth (non-overlapping count, same as Java)
+        truth = {
+            (d, len(re.findall(pat, c))) for d, c in rows if re.search(pat, c)
+        }
+        assert full == truth, pat
+
+
+def test_grep_lines(code_docs, tri):
+    rows = {r["doc_id"]: r["content"] for r in code_docs.collect()}
+    got = cs.grep_lines(code_docs, needle="index", tri=tri).collect()
+    truth = {
+        (d, i + 1, line)
+        for d, c in rows.items()
+        for i, line in enumerate(c.split("\n"))
+        if "index" in line
+    }
+    assert {(r["doc_id"], r["line_no"], r["line"]) for r in got} == truth
+    assert truth  # non-degenerate: corpus has newlines and hits
+
+    with pytest.raises(ValueError):
+        cs.grep_lines(code_docs, needle="a\nb")
+    with pytest.raises(ValueError):
+        cs.grep_lines(code_docs)
+
+
+def test_grep_short_needle_full_scan(code_docs, tri):
+    # len < 3: no trigram exists; index path must refuse, plain path works
+    full = {tuple(r) for r in cs.grep_literal(code_docs, "qu").collect()}
+    assert full
+    with pytest.raises(ValueError):
+        cs.grep_candidates(tri, [])
+
+
+# ------------------------------------------------------------- identifiers
+
+
+def test_split_identifiers_units(spark):
+    cases = {
+        "parseHTTPResponse": ["parse", "http", "response"],
+        "snake_case_name": ["snake", "case", "name"],
+        "sha256sum": ["sha", "256", "sum"],
+        "IOBuffer": ["io", "buffer"],
+        "x86": ["86"],  # documented min_len=2 tradeoff
+        "SPIMIBlockBuilder": ["spimi", "block", "builder"],
+        "doc_id2name": ["doc", "id", "name"],
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "s string"
+    ).select("s", cs.split_identifiers_expr("s").alias("t"))
+    got = {r["s"]: r["t"] for r in df.collect()}
+    assert got == cases
+
+
+def test_identifier_sql_parity(spark):
+    """The DuckDB mirror splits byte-identically to the Spark expr."""
+    duckdb = pytest.importorskip("duckdb")
+    samples = [
+        "parseHTTPResponse",
+        "snake_case_name sha256sum",
+        "x86 IOBuffer v2Beta",
+        "SPIMIBlock_builder42x",
+        "ALLCAPS lower MixedCase99",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    spark_out = {
+        r["s"]: list(r["t"])
+        for r in sdf.select("s", cs.split_identifiers_expr("s").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    expr = cs.identifier_sql_expr("s")
+    duck_out = {
+        s: con.execute(f"SELECT {expr} FROM (VALUES (?)) t(s)", [s]).fetchone()[0]
+        for s in samples
+    }
+    assert spark_out == duck_out
+
+
+def test_identifier_token_frame(spark):
+    docs = spark.createDataFrame(
+        [(1, "getUserName x"), (2, "snake_case")], "doc_id long, content string"
+    )
+    rows = {
+        (r["doc_id"], r["pos"], r["term"])
+        for r in cs.identifier_token_frame(docs).collect()
+    }
+    assert rows == {
+        (1, 0, "get"), (1, 1, "user"), (1, 2, "name"),
+        (2, 0, "snake"), (2, 1, "case"),
+    }
+
+
+# ------------------------------------- subtoken-aware persisted engine
+
+
+def test_identifier_mode_persisted_index(spark, tmp_path):
+    """mode="identifiers" threads through build_index: boolean, the
+    positional phrase (subtokens are adjacent!), and BM25/WAND all
+    operate on subtokens of compound identifiers."""
+    from kma_information_retrieval_spark.index import build_index, load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+
+    rows = [
+        (1, "def getUserName(ctx): return ctx.lookupUser()"),
+        (2, "class ShardMerger: pass  # merges index shards"),
+        (3, "user_name = fetch_user_name(db_conn)"),
+        (4, "completely unrelated tokens here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = str(tmp_path / "ididx")
+    build_index(spark, docs, out, num_segments=2, mode="identifiers")
+    idx = load_index(spark, out)
+    assert idx.meta["mode"] == "identifiers"
+
+    # "user" is a subtoken of getUserName / lookupUser / user_name
+    assert {r["doc_id"] for r in idx.query("user").collect()} == {1, 3}
+    # phrase: camelCase subtokens are positionally adjacent
+    assert {r["doc_id"] for r in idx.query('"user name"').collect()} == {1, 3}
+    # wildcard over subtoken vocabulary
+    assert {r["doc_id"] for r in idx.query("shard*").collect()} == {2}
+    # BM25 over subtokens ranks the compound-identifier docs
+    top = bm25_topk_batch(idx, {"q": ["user", "name"]}, 3).collect()
+    assert {r["doc_id"] for r in top} == {1, 3}
+
+
+# --------------------------------------- regex analysis soundness fuzz
+
+
+def test_required_runs_sound_random_patterns():
+    """Property: for ANY pattern the analysis accepts, every string
+    matching the pattern contains every required run. Random patterns
+    from a small grammar x random subjects; checked in pure Python —
+    soundness of the analysis is engine-independent."""
+    import re as _re
+
+    rng = random.Random(20260817)
+    atoms = ["abc", "scan", "x", "yz", "[ab]", "[^c]", ".", r"\d", "q"]
+    quants = ["", "", "", "?", "*", "{1,2}"]
+
+    def rand_pattern():
+        parts = []
+        for _ in range(rng.randrange(1, 5)):
+            a = rng.choice(atoms)
+            if rng.random() < 0.3:
+                b = rng.choice(atoms)
+                a = "(%s|%s)" % (a, b)
+            parts.append(a + rng.choice(quants))
+        return "".join(parts)
+
+    subjects = [
+        "abcscan", "xyzq", "abc scan yz", "qqq", "a1b2", "scanscan",
+        "zzabczz", "[ab]", "xx" * 5,
+    ]
+    checked = 0
+    for _ in range(300):
+        pat = rand_pattern()
+        try:
+            cre = _re.compile(pat)
+        except _re.error:
+            continue
+        runs = cs.required_literal_runs(pat)
+        for s in subjects + ["".join(rng.choice("abcsnxyzq 12") for _ in range(20))]:
+            m = cre.search(s)
+            if m:
+                for run in runs:
+                    assert run in s, (pat, s, runs)
+                checked += 1
+    assert checked > 100  # the grammar actually produced matchers
