@@ -1131,6 +1131,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_identifier_split"] = q_ident
 
+    # --- DSIR importance weights (tail entry): Xie et al. 2023 data
+    # selection — every corpus doc scored by how target-like its
+    # hashed n-gram bag is (target = the 'src0' slice). Per-bucket
+    # log-ratios quantized to micro-units pre-sum, so the oracle
+    # replays logweight bit-for-bit.
+    def q_dsir(s, d):
+        docs = _docs(s, d)
+        target = (
+            s.read.parquet(f"{d}/documents.parquet")
+            .filter(F.col("source") == "src0")
+            .select("doc_id", F.col("text").alias("content"))
+        )
+        return textstats.dsir_weights(docs, target, n_buckets=4096)
+    q["q_dsir_weights"] = q_dsir
+
     # ---- driver-gate curation: the driver records the FIRST 50 entries
     # in insertion order. Round-4 verdict #3: the five r4 LLM operators
     # (redaction, repetition, stratified sampling, decontamination,
@@ -2280,5 +2295,42 @@ ids AS (SELECT doc_id,
 su AS (SELECT doc_id, unnest({identifier_sql_expr("ident")}) AS term FROM ids)
 SELECT term, count(DISTINCT doc_id)::bigint AS df, count(*)::bigint AS cf
 FROM su GROUP BY term ORDER BY term"""
+
+    # DSIR: hashed unigram+bigram bag, add-one-smoothed target/raw
+    # bucket distributions, per-bucket ln-ratio quantized to micro
+    # units BEFORE the per-doc sum (int64-exact under any fold
+    # order); ::double forced on every ratio so DuckDB can't slip
+    # into DECIMAL arithmetic. round() is half-away-from-zero in
+    # both engines (Spark HALF_UP == DuckDB round), incl. negatives.
+    o["q_dsir_weights"] = f"""
+WITH t0 AS (SELECT doc_id, source, {_TOK_EXPR} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(toks) AS gram FROM t0
+  UNION ALL
+  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t0, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2),
+feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 15))::bigint % 4096 AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3),
+rdist AS (SELECT bucket, sum(cnt) AS rc FROM feat GROUP BY bucket),
+tdist AS (SELECT bucket, sum(cnt) AS tc FROM feat WHERE source = 'src0'
+          GROUP BY bucket),
+rt AS (SELECT sum(rc) AS rt FROM rdist),
+tt AS (SELECT sum(tc) AS tt FROM tdist),
+lookup AS (
+  SELECT r.bucket,
+         round((ln((coalesce(t.tc, 0) + 1)::double / (tt.tt + 4096)::double)
+              - ln((r.rc + 1)::double / (rt.rt + 4096)::double)) * 1e6)::bigint
+           AS lr_q
+  FROM rdist r LEFT JOIN tdist t USING (bucket) CROSS JOIN rt CROSS JOIN tt),
+scored AS (
+  SELECT f.doc_id, sum(f.cnt * l.lr_q)::bigint AS wq, sum(f.cnt)::bigint AS nf
+  FROM feat f JOIN lookup l USING (bucket) GROUP BY f.doc_id)
+SELECT d.doc_id, coalesce(s.nf, 0)::bigint AS n_features,
+       round(s.wq::double / 1e6, 6) AS logweight
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
     return o

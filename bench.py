@@ -580,6 +580,13 @@ def main() -> None:
     timed("identifier_tokens",
           lambda: cs.identifier_token_frame(docs).count())
 
+    # ---- DSIR importance weights (target = the src0 slice)
+    dsir_target = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("source") == "src0").select(
+        "doc_id", F.col("text").alias("content"))
+    timed("dsir_weights",
+          lambda: textstats.dsir_weights(docs, dsir_target, 4096).count())
+
     spark.stop()
 
     lo_cpus, hi_cpus = sc["lo_cpus"], sc["hi_cpus"]

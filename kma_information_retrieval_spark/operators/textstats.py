@@ -530,3 +530,161 @@ def more_like_this(
         .limit(k)
         .select("doc_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ----------------------------------------------------------- DSIR selection
+
+
+def _hashed_gram_features(
+    docs: DataFrame,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    mode: str,
+) -> DataFrame:
+    """(doc_id, bucket, cnt) hashed n-gram bag (unigrams + adjacent
+    bigrams, md5 -> bucket) — DSIR's feature space. One explode feeding
+    a map-side-combined count; the md5-prefix hash is the repo's
+    portable one, so the DuckDB oracle buckets identically."""
+    from ..functions.tokenize import bigrams_expr
+    from .dedup import md5_long
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.concat(F.col("toks"), bigrams_expr(F.col("toks")))).alias("gram"),
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: "Data
+    Selection for Language Models via Importance Resampling") — score
+    every raw-corpus document by how target-like its hashed n-gram
+    bag is, so a pretraining mix can be resampled toward a trusted
+    domain. ``log w(doc) = sum_b cnt_b(doc) * (ln p_b - ln q_b)``
+    with add-one smoothing: ``p_b = (t_b+1)/(T+B)`` over the target,
+    ``q_b = (r_b+1)/(R+B)`` over the raw corpus itself.
+
+    Exactness: each bucket's log-ratio is quantized to integer
+    micro-units BEFORE the per-doc sum (the :func:`tfidf_vectors` /
+    :func:`lm_bigram_scores` idiom), so ``logweight`` is deterministic
+    under any aggregation/partitioning order and a SQL oracle replays
+    it bit-for-bit.
+
+    Returns ``(doc_id, n_features, logweight)``; docs with no tokens
+    get ``n_features = 0`` and a null logweight.
+
+    Scale shape: the two bucket distributions are B-row aggregates
+    (map-side combined; B ~ 1e4-1e6 even at 10^12 docs) joined
+    full-outer at B rows and BROADCAST into the scoring join; scoring
+    is one doc-keyed sum over the corpus feature frame. The corpus
+    pays two tokenize passes (distribution + scoring) — at real scale
+    persist the feature frame once and both read it (the
+    lazy-frame-re-evaluation note from lm_bigram_scores applies).
+    """
+    corpus_f = _hashed_gram_features(docs, n_buckets, id_col, text_col, mode)
+    target_f = _hashed_gram_features(target, n_buckets, id_col, text_col, mode)
+    rdist = corpus_f.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tdist = target_f.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    rtot = rdist.agg(F.sum("rc").alias("rt"))
+    ttot = tdist.agg(F.sum("tc").alias("tt"))
+    # buckets absent from the corpus can never be scored -> left join
+    # keeps the lookup at <= B rows with no dead entries
+    lr_q = F.round(
+        (
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                / (F.col("tt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("rc") + 1).cast("double")
+                / (F.col("rt") + n_buckets).cast("double")
+            )
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    lookup = (
+        rdist.join(tdist, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select("bucket", lr_q.alias("lr_q"))
+    )
+    scored = (
+        corpus_f.join(F.broadcast(lookup), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_q")).alias("wq"),
+            F.sum("cnt").alias("n_features"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.round(F.col("wq").cast("double") / 1e6, 6).alias("logweight"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    seed: int = 42,
+    gumbel: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """DSIR's selection step: keep ``k`` docs, sampled without
+    replacement proportionally to the importance weight via the
+    Gumbel-top-k trick — ``key = logweight + Gumbel(doc)`` with the
+    Gumbel noise derived from md5(doc_id, seed), so the "sample" is a
+    pure function of (corpus, target, seed): reproducible across runs
+    and partitionings, exactly like :func:`hash_sample`.
+    ``gumbel=False`` degrades to deterministic top-k by weight (the
+    argmax selection DSIR's ablations call top-k).
+
+    Ties break on doc_id. Docs with no features are never selected.
+    """
+    from .dedup import md5_long
+
+    w = dsir_weights(docs, target, n_buckets, id_col, text_col, mode).filter(
+        F.col("logweight").isNotNull()
+    )
+    key = F.col("logweight")
+    if gumbel:
+        u = (
+            F.pmod(
+                md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))),
+                F.lit(2**53),
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(2**53))
+        key = key + (-F.log(-F.log(u)))
+    return (
+        w.select("doc_id", "n_features", "logweight", key.alias("sel_key"))
+        .orderBy(F.desc("sel_key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -365,3 +365,128 @@ def test_more_like_this(spark):
             sorted(want, key=lambda x: (-x[1], x[0]))][:3]
     for (gd, gc), (wd, wc) in zip(got, want):
         assert gd == wd and gc == pytest.approx(wc, abs=1.1e-6)
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def _py_dsir(rows, target_ids, n_buckets=256):
+    """Pure-python recompute of dsir_weights (same md5 buckets, same
+    add-one smoothing, same micro-unit quantization)."""
+    import math
+
+    def feats(text):
+        toks = tokenize(text)
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        f = {}
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+            f[b] = f.get(b, 0) + 1
+        return f
+
+    per_doc = {d: feats(t) for d, t in rows}
+    rdist, tdist = {}, {}
+    for d, f in per_doc.items():
+        for b, c in f.items():
+            rdist[b] = rdist.get(b, 0) + c
+            if d in target_ids:
+                tdist[b] = tdist.get(b, 0) + c
+    rt, tt = sum(rdist.values()), sum(tdist.values())
+    lr_q = {
+        b: round(
+            (
+                math.log((tdist.get(b, 0) + 1) / (tt + n_buckets))
+                - math.log((rc + 1) / (rt + n_buckets))
+            )
+            * 1e6
+        )
+        for b, rc in rdist.items()
+    }
+    out = {}
+    for d, f in per_doc.items():
+        if not f:
+            out[d] = (0, None)
+            continue
+        wq = sum(c * lr_q[b] for b, c in f.items())
+        nf = sum(f.values())
+        out[d] = (nf, round(wq / 1e6, 6))
+    return out
+
+
+def test_dsir_weights_python_recompute(spark):
+    from kma_information_retrieval_spark.corpus import local_corpus
+
+    rows = [(r["doc_id"], r["content"]) for r in local_corpus(30)]
+    rows.append((999, ""))  # no-token doc -> null logweight
+    target_ids = {d for d, _ in rows if d % 3 == 0}
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    target = docs.filter("doc_id % 3 = 0")
+    got = {
+        r["doc_id"]: (r["n_features"], r["logweight"])
+        for r in textstats.dsir_weights(docs, target, n_buckets=256).collect()
+    }
+    want = _py_dsir(rows, target_ids, 256)
+    assert got == want
+    assert got[999] == (0, None)
+
+
+def test_dsir_target_affinity(spark):
+    """Docs drawn from the target sublanguage must outweigh docs from
+    the other one — the property DSIR selection relies on."""
+    fruit = [(i, "apple banana cherry durian apple banana") for i in range(10)]
+    code = [(100 + i, "compute index merge shard compute index") for i in range(10)]
+    docs = spark.createDataFrame(fruit + code, "doc_id long, content string")
+    target = docs.filter("doc_id < 5")  # fruit-only slice
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in textstats.dsir_weights(docs, target, n_buckets=256).collect()
+    }
+    assert min(w[i] for i, _ in fruit) > max(w[i] for i, _ in code)
+
+
+def test_dsir_select_deterministic(spark):
+    from kma_information_retrieval_spark.corpus import local_corpus
+
+    rows = [(r["doc_id"], r["content"]) for r in local_corpus(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    target = docs.filter("doc_id % 4 = 0")
+
+    sel = textstats.dsir_select(docs, target, k=10, n_buckets=256, seed=7)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 10
+
+    # partitioning invariance: same selection from a repartitioned input
+    ids2 = [
+        r["doc_id"]
+        for r in textstats.dsir_select(
+            docs.repartition(13), target, k=10, n_buckets=256, seed=7
+        ).collect()
+    ]
+    assert ids == ids2
+
+    # python recompute of the gumbel keys picks the same set
+    import math
+
+    w = _py_dsir(rows, {d for d, _ in rows if d % 4 == 0}, 256)
+    keys = {}
+    for d, (nf, lw) in w.items():
+        if lw is None:
+            continue
+        u = (
+            int(hashlib.md5(f"{d}:7".encode()).hexdigest()[:15], 16) % 2**53 + 0.5
+        ) / 2**53
+        keys[d] = (lw + (-math.log(-math.log(u))), -d)
+    want = [d for d, _ in sorted(keys.items(), key=lambda kv: kv[1][0], reverse=True)[:10]]
+    assert set(ids) == set(want)
+
+    # gumbel=False = plain top-k by weight
+    topk = [
+        r["doc_id"]
+        for r in textstats.dsir_select(
+            docs, target, k=5, n_buckets=256, gumbel=False
+        ).collect()
+    ]
+    by_w = sorted(
+        ((lw, -d) for d, (nf, lw) in w.items() if lw is not None), reverse=True
+    )[:5]
+    assert topk == [-x[1] for x in by_w]
