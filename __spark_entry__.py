@@ -39,6 +39,12 @@ NEARDUP_COS = 0.35
 N_LSH_BANDS = 10
 LSH_BAND_BITS = 6
 EMB_DIM = 64  # testdata embeddings.parquet dimension (all SFs)
+SEMDEDUP_EPS = 0.35  # SemDeDup within-cluster drop threshold
+SEMDEDUP_K = 16  # SemDeDup centroid count (same pick as q_ann_ivf_topk)
+# misspelled probes for the spelling suggester (jaccard >= 1/5 admits
+# transposition typos whose trigram overlap is weak, e.g. fliter)
+SPELL_QUERIES = ["custmer", "fliter", "windwo", "vectr"]
+SPELL_JACCARD = (1, 5)
 MERSENNE_P = 4294967311
 
 
@@ -711,6 +717,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_ann_ivf_topk"] = q_ann_ivf
 
+    # SemDeDup semantic dedup: IVF centroid assignment (the exact
+    # contract q_ann_ivf_topk driver-checks) + within-cluster
+    # drop-if-near-a-higher-ranked-member sweep
+    def q_semdedup(s, d):
+        return dedup.semdedup(
+            _emb(s, d), n_centroids=SEMDEDUP_K, eps=SEMDEDUP_EPS
+        ).select("vec_id", "centroid_id", "kept")
+    q["q_semdedup"] = q_semdedup
+
     # --- text analysis
     # --- index-construction parity (postings / bigram / trigram / permuterm)
     q["q_postings"] = lambda s, d: ops.postings(ops.token_frame(_docs(s, d))).select(
@@ -729,6 +744,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab = ops.dictionary(ops.postings(ops.token_frame(_docs(s, d)))).select("term")
         return ops.permuterm_index(vocab).select("rotation", "term")
     q["q_permuterm_index"] = q_permuterm
+
+    # spelling suggestion ("did you mean"): trigram-index candidate
+    # probe + integer-exact Jaccard admission + Levenshtein verify,
+    # ranked (lev ASC, cf DESC, term ASC) — IIR §3.3-3.4 composed from
+    # the engine's own trigram index
+    def q_spell(s, d):
+        from kma_information_retrieval_spark.operators import spelling
+
+        vocab = ops.dictionary(ops.postings(ops.token_frame(_docs(s, d))))
+        tri = ops.trigram_index(vocab.select("term"))
+        return spelling.suggest_batch(
+            vocab, tri, SPELL_QUERIES,
+            jaccard_num=SPELL_JACCARD[0], jaccard_den=SPELL_JACCARD[1],
+        ).select("query", "term", "lev", "cf")
+    q["q_spell_suggest"] = q_spell
 
     # --- pair-generating dedup (LSH band join == cross-join answer)
     def q_mh_pairs(s, d):
@@ -1195,11 +1225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_2", "q_proximity", "q_bigram_phrase",
         # wildcards, one per router tier (T7-T10, A10-A12, J10-J13;
         # q_wildcard_terms rotated to tail — J9's expansion is the
-        # first step of every other wildcard row)
-        "q_wildcard_prefix", "q_wildcard_contains", "q_wildcard_qmark",
+        # first step of every other wildcard row; q_wildcard_qmark
+        # rotated to tail — the T10 glob->rlike verify it isolates is
+        # the final filter step of q_wildcard_contains AND
+        # q_wildcard_singlechar, both still gated; q_incidence_boolean
+        # rotated to tail — A9 is the demo-gated teaching matrix and
+        # the boolean algebra it re-derives is driver-checked by the
+        # postings-backed boolean rows)
+        "q_wildcard_prefix", "q_wildcard_contains",
         "q_wildcard_singlechar",
-        # incidence matrix (A9)
-        "q_incidence_boolean",
         # BM25 (north star) + composition
         "q_bm25_topk",
         # persisted-index surface (S5/S7 + WAND + wildcard->BM25)
@@ -1214,16 +1248,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_dedup_exact rotated to tail: 0 rows at sf0.01 — the
         # testdata has no exact dups, so its green row proved little;
         # q_paragraph_dedup exercises the same hash-key shuffle with
-        # 500 value-bearing rows)
+        # 500 value-bearing rows; q_ngram_jaccard_pairs rotated to
+        # tail — its salted pair-join + threshold shape is driver-
+        # checked by q_minhash_pairs and q_simhash_pairs and the exact
+        # Jaccard arithmetic is brute-force fuzzed in pytest)
         "q_paragraph_dedup", "q_minhash_pairs",
-        "q_ngram_jaccard_pairs", "q_dedup_clusters",
+        "q_dedup_clusters",
         "q_simhash_pairs", "q_embedding_neardup",
-        # similarity search (LSH persisted covers the in-memory kernel)
-        "q_ann_lsh_persisted", "q_ann_ivf_topk",
-        # text analysis (token counts, fingerprints; quality + lang-id
-        # legs are driver-checked inside q_curation_pipeline /
-        # q_stratified_sample)
-        "q_token_counts", "q_rolling_fingerprints",
+        # SemDeDup semantic dedup (r5: IVF assignment + per-cluster
+        # drop sweep)
+        "q_semdedup",
+        # similarity search (LSH persisted covers the in-memory kernel;
+        # q_ann_ivf_topk rotated to tail — its deterministic centroid
+        # pick + argmax assignment contract is driver-checked
+        # bit-identically inside q_semdedup, and the probe->topk scan
+        # shape by q_ann_lsh_persisted)
+        "q_ann_lsh_persisted",
+        # text analysis (token counts; quality + lang-id legs are
+        # driver-checked inside q_curation_pipeline /
+        # q_stratified_sample; q_rolling_fingerprints rotated to tail
+        # — the rolling-hash window kernel is driver-checked by
+        # q_span_dup_stats)
+        "q_token_counts",
         # sources (S1-S3, T11, A13)
         "q_source_discovery", "q_xml_extract_dictionary",
         "q_fb2_dir_dictionary",
@@ -1240,6 +1286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # associations, BM25+snippet results page, more-like-this)
         "q_boilerplate_removal", "q_cap_per_source", "q_lm_fluency",
         "q_pmi_associations", "q_bm25_snippets", "q_more_like_this",
+        # last-r5 features (content grep with trigram prefilter,
+        # identifier-subtoken engine mode, DSIR importance resampling)
+        "q_grep_literal", "q_identifier_split", "q_dsir_weights",
+        "q_grep_regex",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
         len(first_50), sorted(set(first_50) - set(q)))
@@ -1704,6 +1754,43 @@ ORDER BY list_dot_product(a.e, q.e)
          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
          a.vec_id LIMIT 10"""
 
+    # SemDeDup: same deterministic centroid pick + argmax assignment as
+    # q_ann_ivf_topk (cs of the rnk=1 row IS the engine's array_max
+    # csim, bit-identical); rank within cluster by csim DESC / vec_id
+    # ASC; drop b iff a higher-ranked a in the same cluster has
+    # cos(a,b) >= eps.
+    pair_cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+                " * sqrt(list_dot_product(b.e, b.e)))")
+    o["q_semdedup"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings),
+h AS (SELECT vec_id, e, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS hh FROM v),
+cents AS (
+  SELECT e AS ce, row_number() OVER (ORDER BY hh) - 1 AS ci
+  FROM h ORDER BY hh LIMIT {SEMDEDUP_K}
+),
+asn AS (
+  SELECT x.vec_id, x.e, c.ci, {ivf_cos} AS cs,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY {ivf_cos} DESC, c.ci ASC
+         ) AS rnk
+  FROM v x CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, e, ci, cs FROM asn WHERE rnk = 1),
+ranked AS (
+  SELECT vec_id, e, ci,
+         row_number() OVER (PARTITION BY ci ORDER BY cs DESC, vec_id ASC) AS r
+  FROM assigned
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b ON a.ci = b.ci AND a.r < b.r
+  WHERE {pair_cos} >= {SEMDEDUP_EPS}::double
+)
+SELECT rk.vec_id AS vec_id, rk.ci::int AS centroid_id,
+       (CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)::int AS kept
+FROM ranked rk LEFT JOIN dropped dr ON rk.vec_id = dr.vec_id"""
+
     o["q_postings"] = f"""{W}
 SELECT term, doc_id, tf::bigint AS tf FROM tf"""
 
@@ -1720,6 +1807,46 @@ FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(p) - 2)) AS i) g"""
 vocab AS (SELECT DISTINCT term, term || '$' AS p FROM tf)
 SELECT DISTINCT substr(p, i + 1) || substr(p, 1, i) AS rotation, term
 FROM vocab, LATERAL (SELECT unnest(generate_series(0, length(p) - 1)) AS i) g"""
+
+    # spelling suggestion: same trigram candidate probe (query-gram
+    # VALUES joined to the distinct (gram, term) index), integer
+    # cross-multiplied Jaccard admission, levenshtein <= 3 verify,
+    # deterministic per-query (lev, cf DESC, term) top-5
+    from kma_information_retrieval_spark.operators.spelling import query_trigrams
+
+    _qg_vals = ", ".join(
+        f"('{q}', '{g}')" for q in SPELL_QUERIES for g in query_trigrams(q)
+    )
+    _sp_num, _sp_den = SPELL_JACCARD
+    o["q_spell_suggest"] = f"""{W},
+vocab AS (SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY term),
+padded AS (SELECT term, '$$' || term AS p FROM vocab),
+grams AS (
+  SELECT DISTINCT term, substr(p, i, 3) AS gram
+  FROM padded, LATERAL (SELECT unnest(generate_series(1, length(p) - 2)) AS i) g
+),
+tn AS (SELECT term, count(*) AS tn FROM grams GROUP BY term),
+qg AS (SELECT * FROM (VALUES {_qg_vals}) AS t(query, gram)),
+qn AS (SELECT query, count(*) AS qn FROM qg GROUP BY query),
+shared AS (
+  SELECT q.query, g.term, count(*) AS sh
+  FROM grams g JOIN qg q ON g.gram = q.gram
+  GROUP BY q.query, g.term
+),
+cand AS (
+  SELECT s.query, s.term, levenshtein(s.term, s.query) AS lev
+  FROM shared s JOIN qn n ON s.query = n.query JOIN tn t ON s.term = t.term
+  WHERE {_sp_den} * s.sh >= {_sp_num} * (n.qn + t.tn - s.sh)
+    AND levenshtein(s.term, s.query) <= 3
+),
+ranked AS (
+  SELECT c.query, c.term, c.lev, v.cf,
+         row_number() OVER (
+           PARTITION BY c.query ORDER BY c.lev ASC, v.cf DESC, c.term ASC
+         ) AS r
+  FROM cand c JOIN vocab v ON c.term = v.term
+)
+SELECT query, term, lev::int AS lev, cf FROM ranked WHERE r <= 5"""
 
     eq_cases = " + ".join(
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)

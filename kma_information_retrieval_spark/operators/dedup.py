@@ -730,3 +730,82 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def semdedup(
+    emb: DataFrame, n_centroids: int = 16, eps: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, kept) — SemDeDup-style semantic
+    deduplication (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every vector that
+    is within ``eps`` cosine of a *higher-ranked* cluster member.
+
+    The policy is deliberately one-pass (NOT connected components):
+    rank cluster members by similarity-to-centroid DESC (vec_id ASC on
+    ties — the paper's "keep the most central exemplar" heuristic) and
+    drop b iff ANY a with rank(a) < rank(b) has cos(a, b) >= eps.
+    One-pass keeps the operator deterministic, join-shaped, and
+    SQL-expressible for the oracle, and matches the reference SemDeDup
+    implementation's per-cluster sweep semantics.
+
+    Scale shape (10^9+ vectors): centroid assignment is map-only (the
+    k centroid literals live in the plan — k is small here; at real
+    scale they broadcast as a lookup frame); the rank is ONE shuffle
+    keyed by centroid_id; the pairwise sweep is an equi-self-join on
+    centroid_id whose cost is sum(c_i^2) — bounded by choosing
+    n_centroids ~ N/target_cluster_size exactly as the paper does
+    (the clustering exists precisely to make pairwise affordable).
+    Oversized clusters are a data property; AQE skew-join splits them.
+    Reuses :func:`..operators.ann.ivf_centroids`'s deterministic
+    md5-hash centroid pick so the assignment contract is the one
+    already driver-verified by q_ann_ivf_topk."""
+    from .ann import _dot, _norm, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    sims = []
+    for c in cents:
+        cn = float(np.sqrt(np.dot(c, c))) or 1.0
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(_dot(F.col("v"), ccol) / (F.col("n") * F.lit(cn)))
+    asn = v.withColumn("sims", F.array(*sims)).select(
+        "vec_id", "v", "n",
+        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+        .cast("int").alias("centroid_id"),
+        F.array_max("sims").alias("csim"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("csim"), F.asc("vec_id"))
+    ranked = asn.withColumn("r", F.row_number().over(w))
+    a = ranked.select(
+        F.col("centroid_id").alias("ci"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("r").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("bid"), F.col("centroid_id").alias("ci"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"), F.col("r").alias("rb"),
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda s, x: s + x)
+    dropped = (
+        b.join(a, "ci")
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(dot / (F.col("na") * F.col("nb")) >= eps)
+        .select(F.col("bid").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int").alias("kept"),
+        )
+    )

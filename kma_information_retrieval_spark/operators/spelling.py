@@ -1,0 +1,124 @@
+"""Spelling correction / "did you mean" over the trigram index.
+
+Textbook k-gram spelling correction (Manning IIR §3.3-3.4), composed
+from operators the engine already has: candidate vocabulary terms are
+generated from the SAME character-trigram index the wildcard router
+uses (``operators.indexes.trigram_index``, reference
+``trigram_index.rs:137-152``), filtered by trigram-set Jaccard overlap
+with the query term, then verified with exact Levenshtein distance and
+ranked by (edit distance ASC, collection frequency DESC, term ASC).
+
+Scale shape (10^9-term vocabularies): the query term's trigram probe is
+a pushed ``gram IN (...)`` filter on the gram-keyed index — a bounded
+bucket probe, never a vocabulary scan; the per-term gram count needed
+for the Jaccard denominator is recomputed from the term string itself
+(codegen'd, no extra index-wide aggregation); the Jaccard threshold is
+applied as an integer cross-multiplication so candidate admission is
+exact under any float regime; only the (tiny) candidate set pays the
+Levenshtein DP and the final TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def query_trigrams(term: str) -> list[str]:
+    """Distinct char 3-grams of '$$' + term, order-preserving — the
+    driver-side twin of the index's gram generation."""
+    p = "$$" + term
+    out: list[str] = []
+    seen: set[str] = set()
+    for i in range(len(p) - 2):
+        g = p[i : i + 3]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _distinct_gram_count(term_col) -> object:
+    """Number of DISTINCT trigrams of '$$' + term, as a codegen'd
+    expression (the Jaccard denominator, no index aggregation)."""
+    padded = F.concat(F.lit("$$"), term_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+    return F.size(F.array_distinct(grams))
+
+
+def suggest(
+    vocab: DataFrame, tri: DataFrame, query: str,
+    max_dist: int = 3, jaccard_num: int = 1, jaccard_den: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(term, lev, cf) — top-k spelling suggestions for one ``query``
+    term: the single-term convenience wrapper over
+    :func:`suggest_batch`."""
+    return suggest_batch(
+        vocab, tri, [query], max_dist, jaccard_num, jaccard_den, k
+    ).select("term", "lev", "cf")
+
+
+def suggest_batch(
+    vocab: DataFrame, tri: DataFrame, queries: list[str],
+    max_dist: int = 3, jaccard_num: int = 1, jaccard_den: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(query, term, lev, cf) — top-k spelling suggestions per query
+    term.
+
+    ``vocab`` is a dictionary frame with (term, cf); ``tri`` is a
+    :func:`..operators.indexes.trigram_index` frame (gram, term),
+    distinct per pair. A term qualifies iff its trigram-set Jaccard
+    with the query is >= jaccard_num/jaccard_den (checked exactly via
+    integer cross-multiplication: den*shared >= num*(qn+tn-shared))
+    AND levenshtein(term, query) <= max_dist. Per-query ranking is
+    fully deterministic — row_number over (lev ASC, cf DESC,
+    term ASC) — so the top-k is reproducible under any partitioning.
+
+    The union of all query trigrams is applied as a literal
+    ``gram IN (...)`` prefilter (pushed to a persisted index's scan)
+    BEFORE the broadcast join attributes each gram hit to its query —
+    the index probe stays bounded no matter how many suggestion
+    requests are batched.
+    """
+    spark = vocab.sparkSession
+    per_query = {q: query_trigrams(q) for q in queries}
+    all_grams = sorted({g for gs in per_query.values() for g in gs})
+    qframe = spark.createDataFrame(
+        [(q, g) for q, gs in per_query.items() for g in gs],
+        "query string, gram string",
+    )
+    qn_frame = spark.createDataFrame(
+        [(q, len(gs)) for q, gs in per_query.items()], "query string, qn int"
+    )
+    shared = (
+        tri.filter(F.col("gram").isin(all_grams))
+        .join(F.broadcast(qframe), "gram")
+        .groupBy("query", "term")
+        .agg(F.count("*").alias("shared"))
+    )
+    cand = (
+        shared.join(F.broadcast(qn_frame), "query")
+        .withColumn("tn", _distinct_gram_count(F.col("term")))
+        .filter(
+            F.lit(jaccard_den) * F.col("shared")
+            >= F.lit(jaccard_num) * (F.col("qn") + F.col("tn") - F.col("shared"))
+        )
+        .withColumn("lev", F.levenshtein(F.col("term"), F.col("query")))
+        .filter(F.col("lev") <= max_dist)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.asc("lev"), F.desc("cf"), F.asc("term")
+    )
+    return (
+        cand.join(vocab.select("term", "cf"), "term")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query", "term", F.col("lev").cast("int").alias("lev"), "cf")
+    )

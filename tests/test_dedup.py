@@ -565,3 +565,47 @@ def test_span_dup_stats(spark):
         3: (5, 2, 0.4),
         4: (0, 0, 0.0),
     }
+
+
+def test_semdedup_matches_numpy_policy(spark):
+    """SemDeDup vs a literal numpy recomputation of the whole policy:
+    deterministic md5 centroid pick -> argmax-cosine assignment (first
+    centroid on ties) -> rank by centroid-sim DESC / id ASC -> drop b
+    iff any higher-ranked same-cluster a has cos(a,b) >= eps."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    k, eps = 8, 0.3
+
+    cent_ids = sorted(vecs, key=lambda i: md5_long(str(i)))[:k]
+    cents = [vecs[i] for i in cent_ids]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    asn, csim = {}, {}
+    for vid, v in vecs.items():
+        sims = [cos(v, c) for c in cents]
+        best = int(np.argmax(sims))  # first index on exact ties
+        asn[vid], csim[vid] = best, sims[best]
+
+    kept = {}
+    for ci in range(k):
+        members = sorted(
+            (vid for vid in vecs if asn[vid] == ci),
+            key=lambda vid: (-csim[vid], vid),
+        )
+        for pos, vid in enumerate(members):
+            kept[vid] = not any(
+                cos(vecs[a], vecs[vid]) >= eps for a in members[:pos]
+            )
+
+    got = {
+        r["vec_id"]: (r["centroid_id"], bool(r["kept"]))
+        for r in dedup.semdedup(emb, n_centroids=k, eps=eps).collect()
+    }
+    assert set(got) == set(vecs)
+    for vid in vecs:
+        assert got[vid] == (asn[vid], kept[vid]), vid
+    # the policy must actually drop something at this eps on this data
+    assert any(not kv for _, kv in got.values())

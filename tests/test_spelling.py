@@ -1,0 +1,95 @@
+"""Spelling suggester vs a pure-Python recomputation of the policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.corpus import local_corpus
+from kma_information_retrieval_spark.operators import (
+    dictionary,
+    postings,
+    token_frame,
+    trigram_index,
+)
+from kma_information_retrieval_spark.operators import spelling
+
+
+def py_trigrams(term: str) -> set[str]:
+    p = "$$" + term
+    return {p[i : i + 3] for i in range(len(p) - 2)}
+
+
+def py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(local_corpus(120))
+    vocab = dictionary(postings(token_frame(docs)))
+    tri = trigram_index(vocab.select("term"))
+    return vocab, tri, {
+        r["term"]: r["cf"] for r in vocab.collect()
+    }
+
+
+def py_suggest(cf_map, queries, max_dist, num, den, k):
+    out = []
+    for q in queries:
+        qg = py_trigrams(q)
+        cands = []
+        for term, cf in cf_map.items():
+            tg = py_trigrams(term)
+            sh = len(qg & tg)
+            if sh == 0 or den * sh < num * (len(qg) + len(tg) - sh):
+                continue
+            lev = py_lev(term, q)
+            if lev <= max_dist:
+                cands.append((lev, -cf, term))
+        for lev, ncf, term in sorted(cands)[:k]:
+            out.append((q, term, lev, -ncf))
+    return sorted(out)
+
+
+def test_suggest_batch_matches_python(spark, frames):
+    vocab, tri, cf_map = frames
+    rng = np.random.default_rng(7)
+    terms = sorted(cf_map)
+    queries = []
+    # corrupt real vocabulary terms: delete / substitute / transpose
+    for t in (terms[i] for i in rng.choice(len(terms), 8, replace=False)):
+        if len(t) < 4:
+            queries.append(t + "x")
+        else:
+            mode = rng.integers(3)
+            i = int(rng.integers(1, len(t) - 1))
+            if mode == 0:
+                queries.append(t[:i] + t[i + 1 :])
+            elif mode == 1:
+                queries.append(t[:i] + "z" + t[i + 1 :])
+            else:
+                queries.append(t[:i] + t[i + 1] + t[i] + t[i + 2 :])
+    queries = sorted(set(queries))
+    got = sorted(
+        (r["query"], r["term"], r["lev"], r["cf"])
+        for r in spelling.suggest_batch(
+            vocab, tri, queries, max_dist=2, jaccard_num=1, jaccard_den=5, k=5
+        ).collect()
+    )
+    want = py_suggest(cf_map, queries, 2, 1, 5, 5)
+    assert got == want
+    assert got  # corrupted real terms must yield at least one suggestion
+
+
+def test_suggest_single_wrapper(spark, frames):
+    vocab, tri, _ = frames
+    one = spelling.suggest(vocab, tri, "custmer", k=3).collect()
+    assert [c for c in one[0].asDict()] == ["term", "lev", "cf"] if one else True
