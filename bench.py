@@ -587,6 +587,19 @@ def main() -> None:
     timed("dsir_weights",
           lambda: textstats.dsir_weights(docs, dsir_target, 4096).count())
 
+    # ---- SemDeDup (IVF assignment + per-cluster sweep) and the
+    # trigram-index spelling suggester
+    timed("semdedup", lambda: dedup.semdedup(emb, 16, 0.35).count())
+    from kma_information_retrieval_spark.operators import spelling
+
+    sp_vocab = ops.dictionary(ops.postings(ops.token_frame(docs))).cache()
+    sp_tri = ops.trigram_index(sp_vocab.select("term"))
+    timed("spell_suggest", lambda: spelling.suggest_batch(
+        sp_vocab, sp_tri, ["custmer", "fliter", "windwo", "vectr"],
+        jaccard_num=1, jaccard_den=5).count())
+    sp_vocab.unpersist()
+    emb.unpersist()
+
     spark.stop()
 
     lo_cpus, hi_cpus = sc["lo_cpus"], sc["hi_cpus"]

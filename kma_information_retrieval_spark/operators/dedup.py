@@ -760,6 +760,10 @@ def semdedup(
     n_centroids ~ N/target_cluster_size exactly as the paper does
     (the clustering exists precisely to make pairwise affordable).
     Oversized clusters are a data property; AQE skew-join splits them.
+    The plan references the ranked assignment on both sides of the
+    sweep and once more for the output — at real scale callers persist
+    it first so assignment isn't recomputed (kept declarative here for
+    oracle parity at test size).
     Reuses :func:`..operators.ann.ivf_centroids`'s deterministic
     md5-hash centroid pick so the assignment contract is the one
     already driver-verified by q_ann_ivf_topk."""

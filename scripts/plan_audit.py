@@ -224,6 +224,43 @@ def main() -> None:
         "exact verify on candidates only)")
     sections.append(("grep literal with content-trigram prefilter", frag))
 
+    # 14. SemDeDup: centroid assignment must be map-only (centroid
+    # literals in the plan, no join to reach them), the rank ONE
+    # exchange keyed by centroid_id, and the pairwise sweep an
+    # equi-join on centroid_id — NEVER a cartesian product. Cost is
+    # sum(c_i^2), bounded by n_centroids ~ N/target_cluster_size.
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sd_plan = plan_of(dedup.semdedup(emb, 16, 0.35))
+    frag = fragments(sd_plan)
+    frag.append(
+        f"cartesian_products={sd_plan.count('CartesianProduct')} "
+        f"broadcast_nested_loop={sd_plan.count('BroadcastNestedLoopJoin')} "
+        "(assignment map-only; the within-cluster sweep is an equi-join "
+        "on centroid_id)")
+    sections.append(("SemDeDup (IVF assignment + per-cluster sweep)", frag))
+
+    # 15. spelling suggester: the union-of-query-trigrams IN-list must
+    # push to the (persisted) gram-keyed index scan — a bounded bucket
+    # probe, never a vocabulary scan; query attribution and the cf
+    # backfill broadcast; only the candidate set pays Levenshtein and
+    # the per-query top-k window.
+    from kma_information_retrieval_spark.operators import spelling
+
+    sp_vocab = ops.dictionary(ops.postings(ops.token_frame(docs)))
+    tri_sp_dir = tempfile.mkdtemp(prefix="kma_plan_audit_sptri_")
+    ops.trigram_index(sp_vocab.select("term")).write.mode(
+        "overwrite").parquet(tri_sp_dir)
+    tri_sp = spark.read.parquet(tri_sp_dir)
+    sp_plan = plan_of(spelling.suggest_batch(
+        sp_vocab, tri_sp, ["custmer", "fliter"], jaccard_num=1, jaccard_den=5))
+    frag = fragments(sp_plan)
+    frag.append(
+        f"pushed_gram_in_list={'In(gram' in sp_plan or 'in(gram' in sp_plan} "
+        f"windows={sp_plan.count('Window')} "
+        "(gram IN-list pushed to the persisted index scan; Levenshtein "
+        "and the top-k window run on candidates only)")
+    sections.append(("spelling suggester (trigram probe + Levenshtein verify)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
