@@ -329,6 +329,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_bm25_topk"] = _bm25(["spark", "query", "join"])
     q["q_bm25_topk_tail"] = _bm25(["dup", "merge"])
 
+    # query-likelihood Dirichlet retrieval (Ponte&Croft / Zhai&Lafferty)
+    # — the second probabilistic ranking family; every known query term
+    # contributes a smoothed probability to every candidate doc
+    def q_ql(s, d):
+        from kma_information_retrieval_spark.operators import qlm
+
+        b = _bundle(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        return qlm.ql_topk(
+            b.postings, b.dictionary, total, ["spark", "query", "join"],
+            doclen=ops.doc_lengths(b.tokens), k=10,
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_ql_topk"] = q_ql
+
+    # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
+    # quantized expansion-term selection from the top-10 feedback docs
+    # -> weighted second pass (originals 1.0, expansion 0.5)
+    def q_rm3(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import rm3_topk
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        return rm3_topk(
+            b.postings, b.dictionary, n_docs, avgdl, ["spark", "query", "join"],
+            doclen=ops.doc_lengths(b.tokens), k=10, fb_docs=10, fb_terms=5,
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_rm3_topk"] = q_rm3
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -1407,6 +1435,31 @@ ORDER BY scores.score DESC, doc_id LIMIT 10"""
 
     o["q_bm25_topk"] = bm25_sql(["spark", "query", "join"])
     o["q_bm25_topk_tail"] = bm25_sql(["dup", "merge"])
+
+    # query-likelihood Dirichlet: candidates = docs matching >= 1 known
+    # query term; EVERY known query term contributes (absent terms pay
+    # the smoothed background); operation order matches the engine
+    # exactly: (tf + mu::double * cf / C) / (dl + mu)
+    from kma_information_retrieval_spark.operators.qlm import MU as QL_MU
+
+    _ql_terms = ", ".join(f"'{t}'" for t in sorted({"spark", "query", "join"}))
+    o["q_ql_topk"] = f"""{W},
+st AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+qt AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ({_ql_terms}) GROUP BY term),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_ql_terms})),
+scores AS (
+  SELECT c.doc_id,
+         sum( ln( (coalesce(x.tf, 0) + {QL_MU!r}::double * qt.cf / st.ctot)
+                  / (dl.dl + {QL_MU!r}::double) ) ) AS score
+  FROM cand c
+  JOIN dl ON c.doc_id = dl.doc_id
+  CROSS JOIN st
+  CROSS JOIN qt
+  LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = qt.term
+  GROUP BY c.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
     # filtered variant: same scorer, candidates restricted to the
     # boolean filter BEFORE the LIMIT (scores stay corpus-global)
     o["q_bm25_filtered"] = bm25_sql(["spark", "query", "join"]).replace(
@@ -1414,6 +1467,46 @@ ORDER BY scores.score DESC, doc_id LIMIT 10"""
         "SELECT doc_id, round(score, 4) AS score FROM scores "
         "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')",
     )
+
+    # RM3: first-pass BM25 -> top-10 feedback docs -> expansion terms by
+    # micro-unit-quantized sum(tf/dl) (exact under any order; ties
+    # weight DESC, term ASC) -> weighted second pass (1.0 / 0.5)
+    _rm3_orig = ", ".join(f"'{t}'" for t in sorted({"spark", "query", "join"}))
+    _rm3_vals = ", ".join(f"('{t}')" for t in sorted({"spark", "query", "join"}))
+    _bm25_contrib = """ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))"""
+    o["q_rm3_topk"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( {_bm25_contrib} ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_rm3_orig})
+  GROUP BY tf.doc_id
+),
+fb AS (SELECT doc_id FROM s1 ORDER BY s1.score DESC, doc_id LIMIT 10),
+exp_w AS (
+  SELECT tf.term,
+         sum(round(1000000.0::double * tf.tf / dl.dl)::bigint) AS w
+  FROM tf JOIN fb USING (doc_id) JOIN dl ON tf.doc_id = dl.doc_id
+  WHERE tf.term NOT IN ({_rm3_orig})
+  GROUP BY tf.term
+),
+exp_t AS (SELECT term FROM exp_w ORDER BY w DESC, term LIMIT 5),
+qw AS (
+  SELECT term, 1.0::double AS wt FROM (VALUES {_rm3_vals}) v(term)
+  UNION ALL SELECT term, 0.5::double AS wt FROM exp_t
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( qw.wt * ( {_bm25_contrib} ) ) AS score
+  FROM tf JOIN qw USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
 
     # wildcard-expanded BM25: same scorer, term set = vocab matching the
     # pattern (the engine expands 'qu*' via the persisted gram tables)

@@ -181,3 +181,108 @@ def bm25_topk_fielded(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- RM3 relevance feedback
+
+
+def bm25_scores_weighted(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    term_weights: DataFrame,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, score) with per-term weights: score = sum over matched
+    terms of ``wt * bm25_contrib`` — same fixed lexicographic fold and
+    float64 contract as :func:`bm25_scores`. ``term_weights`` is a
+    (term, wt) frame, tiny and broadcast (it IS the query)."""
+    matched = postings.join(F.broadcast(term_weights), "term")
+    if "dl" not in matched.columns:
+        if doclen is None:
+            raise ValueError("postings lack dl; pass doclen")
+        matched = matched.join(doclen, "doc_id")
+    stats = dictionary.join(
+        F.broadcast(term_weights.select("term")), "term"
+    ).select("term", "df")
+    matched = matched.join(F.broadcast(stats), "term")
+    contrib = F.col("wt") * (
+        idf_col(F.col("df").cast("double"), n_docs)
+        * (
+            F.col("tf").cast("double")
+            * (K1 + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + K1 * (1.0 - B + B * F.col("dl").cast("double") / F.lit(float(avgdl)))
+            )
+        )
+    )
+    return (
+        matched.select("doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+        )
+    )
+
+
+def rm3_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    doclen: DataFrame,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    exp_weight: float = 0.5,
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 as
+    deployed in Anserini/Indri): BM25 first pass -> top ``fb_docs``
+    feedback set -> expansion terms by feedback weight -> weighted
+    second-pass BM25 (original terms wt 1.0, expansion ``exp_weight``).
+
+    Determinism contract (mirrored by the SQL oracle): the expansion
+    weight sum(tf_td / dl_d) over feedback docs is quantized per
+    posting to micro-units (round(1e6 * tf / dl) as int64) BEFORE the
+    sum, so term selection is exact under any aggregation order; ties
+    rank (weight DESC, term ASC); ``exp_weight`` defaults to a power
+    of two so the second-pass scaling is IEEE-exact.
+
+    Scale shape: the feedback set is ``fb_docs`` rows (broadcast); the
+    expansion scan is one posting-table probe keyed by those docs; the
+    second pass is :func:`bm25_scores_weighted` over a query of
+    |q| + fb_terms terms — everything stays join-shaped, no collects.
+    """
+    orig = sorted(set(query_terms))
+    spark = postings.sparkSession
+    fb = bm25_topk(
+        postings, dictionary, n_docs, avgdl, orig, fb_docs, doclen=doclen
+    ).select("doc_id")
+    fbtf = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(orig))
+        .join(doclen, "doc_id")
+    )
+    expansion = (
+        fbtf.groupBy("term")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e6) * F.col("tf") / F.col("dl"), 0).cast("long")
+            ).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    worig = spark.createDataFrame(
+        [(t, 1.0) for t in orig], "term string, wt double"
+    )
+    qw = worig.unionByName(
+        expansion.select("term", F.lit(float(exp_weight)).alias("wt"))
+    )
+    scores = bm25_scores_weighted(postings, dictionary, n_docs, avgdl, qw, doclen)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,87 @@
+"""Query-likelihood language-model retrieval (Dirichlet smoothing).
+
+The second classic probabilistic ranking family alongside BM25
+(Ponte & Croft 1998; Zhai & Lafferty 2001 for the Dirichlet prior):
+
+    score(d | q) = sum over query terms t of
+                   ln( (tf_td + mu * cf_t / C) / (dl_d + mu) )
+
+where cf_t is the term's collection frequency, C the total token
+count, and mu the Dirichlet pseudo-count. Unlike BM25, EVERY query
+term contributes to every candidate doc's score — absent terms pay
+the smoothed background probability — so the scorer joins the (tiny,
+broadcast) query-term stats frame against every candidate doc and
+left-joins the actual tf.
+
+Scale shape: candidates = docs matching >= 1 query term (a pushed
+``term IN (...)`` on the postings); the per-doc cost is |q| rows via a
+broadcast of the query-term stats; the per-doc score is a fixed
+lexicographic-term-order fold (same rank-identity contract as
+``operators.bm25``); top-k is TakeOrderedAndProject, no global sort.
+Query terms absent from the collection (cf = 0) are dropped up front —
+their smoothed probability is 0 (ln undefined) and every scoring
+engine skips them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MU = 300.0  # Dirichlet pseudo-count, sized to this corpus's doc lengths
+
+
+def ql_scores(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    query_terms: list[str],
+    doclen: DataFrame,
+    mu: float = MU,
+) -> DataFrame:
+    """(doc_id, score) for every doc matching >= 1 known query term.
+
+    ``postings`` is (term, doc_id, tf); ``dictionary`` carries
+    (term, cf); ``doclen`` is (doc_id, dl). The smoothed probability is
+    evaluated as ``(tf + mu * cf / C) / (dl + mu)`` with the exact
+    left-associative operation order the SQL oracle uses."""
+    terms = sorted(set(query_terms))
+    qstats = dictionary.filter(F.col("term").isin(terms)).select("term", "cf")
+    matched = postings.filter(F.col("term").isin(terms))
+    cand = matched.select("doc_id").distinct().join(doclen, "doc_id")
+    per_term = (
+        cand.crossJoin(F.broadcast(qstats))
+        .join(matched.select("term", "doc_id", "tf"), ["doc_id", "term"], "left")
+    )
+    contrib = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(mu) * F.col("cf").cast("double") / F.lit(float(total_terms))
+        )
+        / (F.col("dl").cast("double") + F.lit(mu))
+    )
+    return (
+        per_term.select(
+            "doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+        )
+    )
+
+
+def ql_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    query_terms: list[str],
+    doclen: DataFrame,
+    k: int = 10,
+    mu: float = MU,
+) -> DataFrame:
+    """Top-k (doc_id, score), tie-break (score DESC, doc_id ASC)."""
+    s = ql_scores(postings, dictionary, total_terms, query_terms, doclen, mu)
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

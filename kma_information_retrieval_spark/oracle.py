@@ -149,6 +149,62 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    # --- RM3 pseudo-relevance feedback ---
+    def rm3_topk(self, query_terms: list[str], k: int = 10,
+                 fb_docs: int = 10, fb_terms: int = 5,
+                 exp_weight: float = 0.5) -> list[tuple[int, float]]:
+        """BM25 first pass -> micro-unit-quantized expansion selection
+        (floor(1e6*tf/dl + 0.5), HALF_UP like Spark/DuckDB round) ->
+        weighted second pass; same fold/tie-break contract."""
+        orig = sorted(set(query_terms))
+        fbset = {d for d, _ in self.bm25_topk(orig, fb_docs)}
+        w: dict[str, int] = defaultdict(int)
+        for t, byd in self.tf.items():
+            if t in orig:
+                continue
+            for d, tf in byd.items():
+                if d in fbset:
+                    w[t] += int(math.floor(1e6 * tf / self.doclen[d] + 0.5))
+        exp = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        weights = {t: 1.0 for t in orig}
+        weights.update({t: exp_weight for t, _ in exp})
+        scores: dict[int, float] = defaultdict(float)
+        for t in sorted(weights):
+            byd = self.tf.get(t)
+            if not byd:
+                continue
+            wq = weights[t]
+            idf = self.idf(t)
+            for d, tf in byd.items():
+                dl = self.doclen[d]
+                tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                scores[d] += wq * (idf * tfn)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    # --- query-likelihood (Dirichlet) ---
+    def ql_topk(self, query_terms: list[str], k: int = 10,
+                mu: float = 300.0) -> list[tuple[int, float]]:
+        """Top-k under Dirichlet-smoothed query likelihood: every KNOWN
+        query term contributes ln((tf + mu*cf/C)/(dl + mu)) to every
+        candidate doc (>= 1 known term); same fold order / tie-break
+        contract as bm25_topk."""
+        terms = [t for t in sorted(set(query_terms)) if self.cf(t) > 0]
+        total = sum(self.doclen.values())
+        cand: set[int] = set()
+        for t in terms:
+            cand |= self.docs_for(t)
+        out = []
+        for d in sorted(cand):
+            dl = self.doclen[d]
+            s = 0.0
+            for t in terms:
+                tf = self.tf[t].get(d, 0)
+                s += math.log((tf + mu * self.cf(t) / total) / (dl + mu))
+            out.append((d, s))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     # --- boolean expression evaluation (grammar: OR < AND < NOT, parens) ---
     def search(self, query: str) -> set[int]:
         return _BoolEval(self).eval(query)

@@ -139,3 +139,43 @@ def test_bm25_fielded_matches_python(spark, docs):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12), (gd, gs, ws)
+
+
+RM3_QUERIES = [
+    ["index"],
+    ["shard", "merge"],
+    ["index", "shard", "compute"],
+    ["information", "retrieval"],
+    ["token", "query", "score", "block"],
+]
+
+
+@pytest.mark.parametrize("terms", RM3_QUERIES, ids=["rm3_" + "_".join(t) for t in RM3_QUERIES])
+def test_rm3_rank_identity(indexes, oracle, terms):
+    """RM3 feedback loop vs the pure-Python oracle: identical feedback
+    set, identical quantized expansion selection, identical weighted
+    second-pass ranking (rel 1e-12 scores)."""
+    from kma_information_retrieval_spark.operators.bm25 import rm3_topk
+
+    got = rm3_topk(
+        indexes.postings, indexes.dictionary,
+        indexes.stats["n_docs"], indexes.stats["avgdl"], terms,
+        doclen=indexes.doclen, k=10,
+    ).collect()
+    want = oracle.rm3_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12), (r["doc_id"], r["score"], s)
+
+
+def test_rm3_expansion_changes_ranking(indexes, oracle):
+    """The feedback loop must actually do something: for at least one
+    probe query the RM3 top-10 differs from plain BM25's."""
+    from kma_information_retrieval_spark.operators.bm25 import rm3_topk
+
+    diffs = 0
+    for terms in RM3_QUERIES:
+        plain = [d for d, _ in oracle.bm25_topk(terms, 10)]
+        rm3 = [d for d, _ in oracle.rm3_topk(terms, 10)]
+        diffs += plain != rm3
+    assert diffs > 0

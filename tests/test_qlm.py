@@ -1,0 +1,57 @@
+"""Query-likelihood (Dirichlet) rank identity vs the pure-Python oracle
+— same contract as BM25: docID sequence equality, score equality at
+rel tol 1e-12 (JVM Math.log vs libm), tie-break (score DESC, doc ASC)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark import operators as ops
+from kma_information_retrieval_spark.operators import qlm
+
+QL_QUERIES = [
+    ["index"],
+    ["shard", "merge"],
+    ["index", "shard", "compute"],
+    ["missingterm", "index"],       # unknown term dropped up front
+    ["information", "retrieval"],
+    ["token", "query", "score", "block"],
+    ["wonderful"],
+    ["hello", "world"],
+]
+
+
+def _run(indexes, terms, k=10, mu=300.0):
+    total = int(indexes.dictionary.agg(F.sum("cf")).collect()[0][0])
+    return qlm.ql_topk(
+        indexes.postings, indexes.dictionary, total, terms,
+        doclen=indexes.doclen, k=k, mu=mu,
+    ).collect()
+
+
+@pytest.mark.parametrize("terms", QL_QUERIES, ids=["_".join(t) for t in QL_QUERIES])
+def test_ql_rank_identity(indexes, oracle, terms):
+    got = _run(indexes, terms)
+    want = oracle.ql_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12), (r["doc_id"], r["score"], s)
+
+
+def test_ql_all_unknown_terms_empty(indexes, oracle):
+    assert _run(indexes, ["zzzznotaterm", "alsonotaterm"]) == []
+
+
+def test_ql_partitioning_invariance(indexes, oracle):
+    terms = ["index", "shard", "compute", "merge"]
+    total = int(indexes.dictionary.agg(F.sum("cf")).collect()[0][0])
+    base = _run(indexes, terms)
+    repart = qlm.ql_topk(
+        indexes.postings.repartition(13, "doc_id"), indexes.dictionary,
+        total, terms, doclen=indexes.doclen, k=10,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == \
+        [(r["doc_id"], r["score"]) for r in repart]
