@@ -408,6 +408,16 @@ def main() -> None:
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], compile_query("not dup", bundle), 10,
         doclen=doclen).collect())
+    # second probabilistic family: Dirichlet query likelihood + RM3
+    from kma_information_retrieval_spark.operators import qlm
+    from kma_information_retrieval_spark.operators.bm25 import rm3_topk
+    total_terms = int(dic.agg(F.sum("cf")).collect()[0][0])
+    timed("ql_topk", lambda: qlm.ql_topk(
+        post, dic, total_terms, ["spark", "query", "join"], doclen=doclen,
+        k=10).collect())
+    timed("rm3_topk", lambda: rm3_topk(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], doclen=doclen, k=10).collect())
 
     # segment build + WAND on the sf corpus (term layout, full query surface)
     seg_dir = os.path.join(tmp, "segidx")

@@ -261,6 +261,49 @@ def main() -> None:
         "and the top-k window run on candidates only)")
     sections.append(("spelling suggester (trigram probe + Levenshtein verify)", frag))
 
+    # 16. query-likelihood (Dirichlet): candidate set = pushed
+    # term-IN posting scan; the |q|-row query-term stats frame
+    # broadcasts into the per-candidate cross join; absent-term
+    # smoothing is a left join back to the same pushed scan — no
+    # vocabulary-wide pass, no Python stage
+    from kma_information_retrieval_spark.operators import qlm
+
+    # the production shape is a PERSISTED postings table (as in the
+    # segment index) — that's where the term IN-list reaches the
+    # parquet reader; an in-plan explode has no scan to push into
+    post_dir = tempfile.mkdtemp(prefix="kma_plan_audit_post_")
+    post.write.mode("overwrite").parquet(post_dir)
+    post_p = spark.read.parquet(post_dir)
+    total_terms = int(dic.agg(F.sum("cf")).collect()[0][0])
+    ql_plan = plan_of(qlm.ql_scores(
+        post_p, dic, total_terms, ["spark", "query", "join"],
+        doclen=ops.doc_lengths(toks)))
+    frag = fragments(ql_plan)
+    frag.append(
+        f"pushed_term_in_list={'In(term' in ql_plan or 'in(term' in ql_plan} "
+        f"python_stages={ql_plan.count('InPandas')} "
+        "(candidates from a pushed term-IN scan; query-term stats "
+        "broadcast; background smoothing via left join, not a "
+        "vocab scan)")
+    sections.append(("query-likelihood Dirichlet scoring (3 terms)", frag))
+
+    # 17. RM3 second pass: the weighted query frame (|q| + fb_terms
+    # rows, built from the feedback loop) broadcasts into the posting
+    # probe exactly like the plain BM25 query side — the feedback
+    # stage adds joins, never a collect of postings
+    from kma_information_retrieval_spark.operators.bm25 import rm3_topk
+
+    rm3_plan = plan_of(rm3_topk(
+        post_p, dic, st["total_documents"], st["avgdl"],
+        ["spark", "query", "join"], doclen=ops.doc_lengths(toks), k=10))
+    frag = fragments(rm3_plan)
+    frag.append(
+        f"python_stages={rm3_plan.count('InPandas')} "
+        "(feedback docs + expansion terms + weights all stay "
+        "DataFrame-shaped; second pass probes postings via "
+        "broadcast of the weighted query frame)")
+    sections.append(("RM3 feedback second pass (3 orig + 5 expansion terms)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
