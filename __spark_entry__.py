@@ -357,6 +357,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_rm3_topk"] = q_rm3
 
+    # hybrid search: BM25 lexical + embedding-cosine vector rankings
+    # fused by reciprocal rank (RRF k=60); ranks computed over scores
+    # quantized to 4 decimals (the engine<->oracle agreement
+    # granularity) so the fused value is deterministic on both sides
+    def q_hybrid(s, d):
+        from kma_information_retrieval_spark.operators import fusion
+        from kma_information_retrieval_spark.operators.bm25 import bm25_scores
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        lex = bm25_scores(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], doclen=ops.doc_lengths(b.tokens),
+        )
+        emb = _emb(s, d)
+        qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+        vec = ann.cosine_scores(emb, qv).select(
+            F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+        )
+        return fusion.rrf_fuse(
+            [(lex, "doc_id", "score"), (vec, "doc_id", "score")],
+            k=60, depth=100, topk=10,
+        ).select("doc_id", F.round("rrf", 6).alias("rrf"))
+    q["q_hybrid_rrf"] = q_hybrid
+
+    # field collapsing: one result per source for the BM25 ranking
+    def q_collapse(s, d):
+        from kma_information_retrieval_spark.operators import fusion
+        from kma_information_retrieval_spark.operators.bm25 import bm25_scores
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        lex = bm25_scores(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], doclen=ops.doc_lengths(b.tokens),
+        )
+        meta = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        return fusion.collapse_best_per_group(lex, meta, "source", topk=10)
+    q["q_collapse_source"] = q_collapse
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -1771,6 +1811,65 @@ WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT a.vec_id AS vec_id, round({cos}, 4) AS cosine
 FROM embeddings a CROSS JOIN q b
 ORDER BY {cos} DESC, a.vec_id LIMIT 10"""
+
+    # hybrid RRF: ranks on round(score, 4) (the engine<->oracle
+    # agreement granularity, ties doc ASC), contribution 1/(60+rank)
+    # is an exact integer division; two lists fused via FULL JOIN with
+    # coalesce(c,0)+coalesce(c,0) — IEEE-identical to the engine's
+    # list-index-ordered fold for 1- and 2-list docs
+    _hy_terms = ", ".join(f"'{t}'" for t in sorted({"spark", "query", "join"}))
+    o["q_hybrid_rrf"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_hy_terms})
+  GROUP BY tf.doc_id
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM s1 QUALIFY r <= 100
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vc AS (SELECT a.vec_id AS doc_id, round({cos}, 4) AS c
+       FROM embeddings a CROSS JOIN q b),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM vc QUALIFY r <= 100
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.r), 0.0) + coalesce(1.0 / (60 + v.r), 0.0) AS rrf
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY fused.rrf DESC, doc_id LIMIT 10"""
+
+    # field collapsing: best hit per source under (round(score,4)
+    # DESC, doc ASC), survivors re-ranked under the same order
+    o["q_collapse_source"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_hy_terms})
+  GROUP BY tf.doc_id
+),
+qs AS (SELECT s1.doc_id, round(score, 4) AS score, d.source
+       FROM s1 JOIN documents d ON s1.doc_id = d.doc_id),
+best AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+  FROM qs
+)
+SELECT doc_id, source, score FROM best WHERE rn = 1
+ORDER BY best.score DESC, doc_id LIMIT 10"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

@@ -546,6 +546,21 @@ def main() -> None:
     aidx, ameta = ann.load_ann_index(spark, ann_dir)
     timed("ann_lsh_persisted_topk", lambda: ann.lsh_bucket_topk(
         aidx, qv, 10, n_bits=8, probe_hamming=1).collect())
+    # hybrid search: BM25 + cosine fused by reciprocal rank
+    from kma_information_retrieval_spark.operators import fusion
+    from kma_information_retrieval_spark.operators.bm25 import bm25_scores
+    lex_scores = bm25_scores(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], doclen=doclen)
+    vec_scores = ann.cosine_scores(emb, qv).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+    timed("hybrid_rrf", lambda: fusion.rrf_fuse(
+        [(lex_scores, "doc_id", "score"), (vec_scores, "doc_id", "score")],
+        depth=100, topk=10).collect())
+    timed("collapse_source", lambda: fusion.collapse_best_per_group(
+        lex_scores,
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source"),
+        "source", topk=10).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

@@ -35,11 +35,12 @@ def _norm(v):
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
-def cosine_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10,
+def cosine_scores(
+    emb: DataFrame, query_vec: list[float],
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, cosine) top-k by cosine similarity, ties by vec_id ASC."""
+    """(vec_id, cosine) for EVERY row — the untruncated score frame
+    (feeds rrf_fuse, which applies its own quantized-rank depth cut)."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(np.dot(q, q)))
     qcol = F.array(*[F.lit(x) for x in q])
@@ -47,9 +48,19 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    return v.select(
+        "vec_id",
+        (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cosine) top-k by cosine similarity, ties by vec_id ASC."""
     return (
-        v.withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
-        .select("vec_id", "cosine")
+        cosine_scores(emb, query_vec, id_col=id_col, vec_col=vec_col)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -1,0 +1,125 @@
+"""Hybrid-search result fusion and result shaping.
+
+* :func:`rrf_fuse` — reciprocal-rank fusion (Cormack, Clarke &
+  Buettcher 2009), the standard way to combine a lexical ranking
+  (BM25) with a vector ranking (embedding cosine) without score
+  calibration: ``rrf(d) = sum over lists of 1 / (k + rank_d)``.
+* :func:`collapse_best_per_group` — field collapsing (one result per
+  source/domain/site, as in Lucene's CollapsingTopDocsCollector):
+  keep each group's best-ranked hit, then re-rank the survivors.
+
+Determinism contract (mirrored by the SQL oracles and the pure-Python
+test replays): input scores are quantized to ``score_decimals`` BEFORE
+ranking, so the rank permutation depends only on values both engines
+agree on at that precision (the repo-wide BM25/cosine oracle agreement
+granularity), with ties broken by id ASC. The per-list RRF
+contribution ``1/(k + rank)`` is an exact double division of small
+integers; per-doc contributions are folded in fixed list-index order
+(the same sorted-struct fold the scorers use), so fused scores are
+bit-stable under any partitioning.
+
+Scale shape: fusion operates on CANDIDATE LISTS — each input is
+truncated to ``depth`` rows by a TakeOrderedAndProject before the
+rank window, so the single-partition window and everything after it
+touch at most ``n_lists * depth`` rows regardless of corpus size. The
+expensive part of hybrid search is producing the lists (BM25 / ANN,
+each already distributed); fusing them is deliberately tiny.
+Collapsing runs pre-truncation on the full score frame: one shuffle
+keyed by the group column, then the global top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked(df: DataFrame, id_col: str, score_col: str, depth: int,
+            decimals: int) -> DataFrame:
+    """(id, rank) for the top ``depth`` rows of one result list, ranked
+    by quantized score DESC then id ASC. The depth truncation happens
+    FIRST (TakeOrderedAndProject on the distributed frame); only the
+    truncated list pays the single-partition rank window."""
+    q = F.round(F.col(score_col).cast("double"), decimals)
+    top = (
+        df.select(F.col(id_col).alias("id"), q.alias("s"))
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(depth)
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("id"))
+    return top.select("id", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k: int = 60,
+    depth: int = 100,
+    topk: int = 10,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Fuse ranked lists into (doc_id, rrf) top-``topk``.
+
+    ``rankings`` is a list of (frame, id_col, score_col) — e.g. the
+    BM25 score frame and the cosine score frame. Docs appearing in
+    several lists sum their ``1/(k + rank)`` contributions (folded in
+    list-index order); docs in one list keep their single term.
+    Output ties break (rrf DESC, doc_id ASC).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = None
+    for i, (df, id_col, score_col) in enumerate(rankings):
+        c = _ranked(df, id_col, score_col, depth, score_decimals).select(
+            "id",
+            F.lit(i).alias("list_idx"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias("c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = (
+        contribs.select("id", F.struct("list_idx", "c").alias("lc"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("lc")).alias("lcs"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.aggregate("lcs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk)
+
+
+def collapse_best_per_group(
+    scores: DataFrame,
+    meta: DataFrame,
+    group_col: str,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """One result per group: (doc_id, group, score) top-``topk``.
+
+    ``scores`` is the full (doc_id, score) frame from any ranker;
+    ``meta`` carries (doc_id, group_col). Each group keeps its best
+    hit by (quantized score DESC, doc_id ASC); survivors re-rank
+    globally under the same order. One shuffle keyed by the group
+    column feeds the per-group window; the global top-k is a
+    TakeOrderedAndProject, no global sort.
+    """
+    q = F.round(F.col(score_col).cast("double"), score_decimals)
+    joined = scores.select(
+        F.col(id_col).alias("doc_id"), q.alias("score")
+    ).join(
+        meta.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")),
+        "doc_id",
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.select("doc_id", F.col("grp").alias(group_col), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )

@@ -1,0 +1,130 @@
+"""RRF fusion + field collapsing vs pure-Python replays.
+
+Same contract style as the scorers: the Python side replays the exact
+quantize -> rank -> 1/(k+rank) -> list-index-ordered fold pipeline, and
+the Spark result must match doc-for-doc with scores equal at rel 1e-12.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.operators.fusion import (
+    collapse_best_per_group,
+    rrf_fuse,
+)
+
+K_RRF = 60
+
+
+def _q4(x: float) -> float:
+    # Spark/DuckDB round(): HALF_UP away from zero (banker-free)
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+
+def _py_ranked(pairs: list[tuple[int, float]], depth: int) -> dict[int, int]:
+    quant = [(d, _q4(s)) for d, s in pairs]
+    quant.sort(key=lambda kv: (-kv[1], kv[0]))
+    return {d: i + 1 for i, (d, _) in enumerate(quant[:depth])}
+
+
+def _py_rrf(lists: list[list[tuple[int, float]]], depth: int, topk: int):
+    contribs: dict[int, list[float]] = {}
+    for li, pairs in enumerate(lists):
+        for d, r in _py_ranked(pairs, depth).items():
+            contribs.setdefault(d, []).append(1.0 / (K_RRF + r))
+    fused = []
+    for d, cs in contribs.items():
+        s = 0.0
+        for c in cs:  # list-index order == append order
+            s += c
+        fused.append((d, s))
+    fused.sort(key=lambda kv: (-kv[1], kv[0]))
+    return fused[:topk]
+
+
+def _score_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in pairs], "doc_id bigint, score double"
+    )
+
+
+def test_rrf_two_real_rankers(spark, indexes, oracle):
+    """Fuse the corpus's actual BM25 and QL rankings (depth 50)."""
+    terms = ["index", "shard", "compute"]
+    bm = oracle.bm25_topk(terms, 10_000)
+    ql = oracle.ql_topk(terms, 10_000)
+    got = rrf_fuse(
+        [(_score_df(spark, bm), "doc_id", "score"),
+         (_score_df(spark, ql), "doc_id", "score")],
+        k=K_RRF, depth=50, topk=10,
+    ).collect()
+    want = _py_rrf([bm, ql], depth=50, topk=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["rrf"], s, rel_tol=1e-12)
+
+
+def test_rrf_disjoint_and_overlapping_docs(spark):
+    """Hand corpus: overlapping docs sum both contributions, docs in a
+    single list keep one term, depth truncation drops the tail."""
+    a = [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0)]
+    b = [(3, 0.9), (5, 0.8), (1, 0.7), (6, 0.6)]
+    got = rrf_fuse(
+        [(_score_df(spark, a), "doc_id", "score"),
+         (_score_df(spark, b), "doc_id", "score")],
+        k=K_RRF, depth=3, topk=10,
+    ).collect()
+    want = _py_rrf([a, b], depth=3, topk=10)
+    assert [(r["doc_id"], r["rrf"]) for r in got] == want
+    # depth=3 drops doc 4 and doc 6 entirely
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 5}
+
+
+def test_rrf_quantized_tie_breaks_by_doc_id(spark):
+    """Scores that differ only past 4 decimals rank as a tie -> doc ASC."""
+    a = [(7, 1.00001), (3, 1.00002)]  # both quantize to 1.0
+    got = rrf_fuse([(_score_df(spark, a), "doc_id", "score")],
+                   k=K_RRF, depth=10, topk=10).collect()
+    assert [r["doc_id"] for r in got] == [3, 7]
+    assert math.isclose(got[0]["rrf"], 1.0 / 61.0, rel_tol=1e-15)
+    assert math.isclose(got[1]["rrf"], 1.0 / 62.0, rel_tol=1e-15)
+
+
+def test_rrf_partitioning_invariance(spark, oracle):
+    terms = ["information", "retrieval"]
+    bm = oracle.bm25_topk(terms, 10_000)
+    ql = oracle.ql_topk(terms, 10_000)
+    base = rrf_fuse(
+        [(_score_df(spark, bm), "doc_id", "score"),
+         (_score_df(spark, ql), "doc_id", "score")],
+        depth=50, topk=10).collect()
+    repart = rrf_fuse(
+        [(_score_df(spark, bm).repartition(7, "doc_id"), "doc_id", "score"),
+         (_score_df(spark, ql).repartition(11, "doc_id"), "doc_id", "score")],
+        depth=50, topk=10).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in base] == \
+        [(r["doc_id"], r["rrf"]) for r in repart]
+
+
+def test_collapse_best_per_group(spark, docs, oracle):
+    """One hit per synthetic 'source' bucket, python-replayed."""
+    terms = ["index", "shard"]
+    bm = oracle.bm25_topk(terms, 10_000)
+    meta_rows = [(d, f"src{d % 7}") for d, _ in bm]
+    meta = spark.createDataFrame(meta_rows, "doc_id bigint, source string")
+    got = collapse_best_per_group(
+        _score_df(spark, bm), meta, "source", topk=5
+    ).collect()
+
+    best: dict[str, tuple[float, int]] = {}
+    for d, s in bm:
+        g, q = f"src{d % 7}", _q4(s)
+        if g not in best or (-q, d) < (-best[g][0], best[g][1]):
+            best[g] = (q, d)
+    pool = sorted(((d, g, q) for g, (q, d) in best.items()),
+                  key=lambda t: (-t[2], t[0]))[:5]
+    assert [(r["doc_id"], r["source"], r["score"]) for r in got] == pool
+    assert len({r["source"] for r in got}) == len(got)
