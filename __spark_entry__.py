@@ -397,6 +397,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fusion.collapse_best_per_group(lex, meta, "source", topk=10)
     q["q_collapse_source"] = q_collapse
 
+    # synonym-class retrieval (Lucene SynonymQuery semantics as index
+    # algebra): postings folded variant->canonical, then plain BM25 —
+    # per-doc tf sums across the class, df is the union doc count
+    SYN_MAP = {"sort": "order", "merge": "join"}
+
+    def q_synonym(s, d):
+        b = _bundle(s, d)
+        folded = ops.synonym_fold(b.postings, SYN_MAP)
+        fdic = ops.dictionary(folded)
+        n_docs, avgdl = _stats(s, d)
+        return bm25_topk(
+            folded, fdic, n_docs, avgdl, ["order", "join", "spark"], 10,
+            doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_synonym_bm25"] = q_synonym
+
+    # tiered index (IIR §7.1.2): candidates restricted to each query
+    # term's champion list (top-r by tf, ties doc ASC), scored with the
+    # FULL collection statistics — candidate probe is O(|q|*r) rows
+    def q_champion(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import (
+            bm25_topk_filtered,
+        )
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        terms = ["spark", "query", "join"]
+        champ = (
+            ops.champion_lists(b.postings, 20)
+            .filter(F.col("term").isin(terms))
+            .select("doc_id").distinct()
+        )
+        return bm25_topk_filtered(
+            b.postings, b.dictionary, n_docs, avgdl, terms, champ, 10,
+            doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_champion_bm25"] = q_champion
+
+    # search-as-you-type term completion over the dictionary
+    def q_suggest(s, d):
+        from kma_information_retrieval_spark.operators.spelling import (
+            suggest_prefix,
+        )
+
+        b = _bundle(s, d)
+        return suggest_prefix(b.dictionary, ["s", "c", "qu"], k=5)
+    q["q_suggest_prefix"] = q_suggest
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -1870,6 +1918,65 @@ best AS (
 )
 SELECT doc_id, source, score FROM best WHERE rn = 1
 ORDER BY best.score DESC, doc_id LIMIT 10"""
+
+    # synonym-class BM25: fold variant->canonical BEFORE aggregation
+    # (tf sums per doc; df/cf recomputed over the folded postings)
+    o["q_synonym_bm25"] = f"""{W},
+ftf AS (
+  SELECT CASE term WHEN 'sort' THEN 'order' WHEN 'merge' THEN 'join'
+              ELSE term END AS term,
+         doc_id, sum(tf) AS tf
+  FROM tf GROUP BY 1, 2
+),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM ftf GROUP BY term),
+scores AS (
+  SELECT ftf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (ftf.tf * 2.2) / (ftf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM ftf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE ftf.term IN ('join', 'order', 'spark')
+  GROUP BY ftf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # champion-list BM25: candidates = union of each query term's
+    # top-20 postings by (tf DESC, doc ASC); scores use FULL stats
+    o["q_champion_bm25"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+champs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+    FROM tf WHERE term IN ('join', 'query', 'spark')
+  ) WHERE r <= 20
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('join', 'query', 'spark')
+    AND tf.doc_id IN (SELECT doc_id FROM champs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # prefix completion: per-prefix top-5 vocabulary terms by
+    # (cf DESC, term ASC)
+    o["q_suggest_prefix"] = f"""{W},
+cf AS (SELECT term, sum(tf)::bigint AS cf FROM tf GROUP BY term),
+px AS (SELECT * FROM (VALUES ('s'), ('c'), ('qu')) p(query)),
+ranked AS (
+  SELECT px.query, cf.term, cf.cf,
+         row_number() OVER (PARTITION BY px.query
+                            ORDER BY cf.cf DESC, cf.term) AS r
+  FROM cf JOIN px ON cf.term LIKE px.query || '%'
+)
+SELECT query, term, cf FROM ranked WHERE r <= 5"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

@@ -561,6 +561,21 @@ def main() -> None:
         lex_scores,
         spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source"),
         "source", topk=10).collect())
+    # synonym fold + champion-list (tiered) candidates + prefix suggest
+    from kma_information_retrieval_spark.operators.bm25 import bm25_topk_filtered
+    from kma_information_retrieval_spark.operators.spelling import suggest_prefix
+    syn_post = ops.synonym_fold(post, {"sort": "order", "merge": "join"})
+    timed("synonym_bm25", lambda: bm25_topk(
+        syn_post, ops.dictionary(syn_post), stats["total_documents"],
+        stats["avgdl"], ["order", "join", "spark"], 10, doclen=doclen).collect())
+    champ = (ops.champion_lists(post, 20)
+             .filter(F.col("term").isin(["spark", "query", "join"]))
+             .select("doc_id").distinct())
+    timed("champion_bm25", lambda: bm25_topk_filtered(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], champ, 10, doclen=doclen).collect())
+    timed("suggest_prefix", lambda: suggest_prefix(
+        dic, ["s", "c", "qu"], k=5).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

@@ -249,3 +249,56 @@ def incidence_search(matrix: DataFrame, query: str) -> DataFrame:
         .filter(F.col("bit") == 1)
         .select(F.col("doc_id").cast("long"))
     )
+
+
+# ------------------------------------------------- query-time index algebra
+
+
+def synonym_fold(post: DataFrame, syn_map: dict[str, str]) -> DataFrame:
+    """Postings with every synonym-class member folded into its
+    canonical term — Lucene SynonymQuery semantics expressed as index
+    algebra: per-doc tf sums across class members, and a dictionary
+    built over the folded postings yields the union document frequency
+    (one doc containing 'sort' and 'order' counts once for the class).
+
+    Composes with everything downstream (``dictionary``, BM25, QL):
+    fold once, then score as usual. ``syn_map`` is variant -> canonical
+    (tiny, broadcast); unlisted terms pass through untouched, so the
+    fold is one broadcast left join + the same two-level hash agg the
+    base postings builder uses — no extra shuffle shape at scale.
+    """
+    spark = post.sparkSession
+    m = spark.createDataFrame(
+        sorted((v, c) for v, c in syn_map.items()), "variant string, canon string"
+    )
+    folded = post.join(
+        F.broadcast(m), post["term"] == m["variant"], "left"
+    ).select(
+        F.coalesce("canon", "term").alias("term"), "doc_id", "tf"
+    )
+    return folded.groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))
+
+
+def champion_lists(post: DataFrame, r: int = 20) -> DataFrame:
+    """Per-term champion list (IIR §7.1.2 tiered-index tier 1): for
+    each term keep only its ``r`` highest-tf postings, ties broken
+    doc_id ASC so the tier cut is exact integer arithmetic on both the
+    engine and any replaying oracle.
+
+    Scale shape: one term-keyed window over the postings — the same
+    shuffle key the postings build already produces — and the output
+    is at most ``r`` rows per term, so a query-time candidate probe
+    touches O(|q| * r) rows no matter the collection size. Queries
+    score champions with the FULL collection statistics (df/avgdl from
+    the untiered dictionary), so scores are identical to the exact
+    engine's for every candidate — only recall is approximate, by
+    construction at most ``r`` docs per term.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        post.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= r)
+        .drop("_r")
+    )

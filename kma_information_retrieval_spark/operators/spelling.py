@@ -122,3 +122,32 @@ def suggest_batch(
         .filter(F.col("r") <= k)
         .select("query", "term", F.col("lev").cast("int").alias("lev"), "cf")
     )
+
+
+def suggest_prefix(
+    dictionary: DataFrame,
+    prefixes: list[str],
+    k: int = 8,
+) -> DataFrame:
+    """Search-as-you-type term completion: for each query prefix, the
+    top-``k`` vocabulary terms ranked (cf DESC, term ASC) —
+    (query, term, cf) rows.
+
+    Scale shape: each prefix is a ``StartsWith`` predicate pushed to
+    the (persisted) dictionary scan — a sorted-range probe, never a
+    vocabulary-wide pass; the per-prefix top-k is a window over the
+    (small) matching slice. Prefixes attach by broadcast.
+    """
+    from pyspark.sql import Window
+
+    spark = dictionary.sparkSession
+    pf = spark.createDataFrame([(p,) for p in sorted(set(prefixes))], "query string")
+    matched = dictionary.select("term", "cf").join(
+        F.broadcast(pf), F.col("term").startswith(F.col("query"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("cf"), F.asc("term"))
+    return (
+        matched.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query", "term", F.col("cf").cast("long").alias("cf"))
+    )

@@ -1,0 +1,101 @@
+"""Synonym fold, champion lists (tiered index), prefix suggest —
+pure-Python policy replays over the shared synthetic corpus."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark import operators as ops
+from kma_information_retrieval_spark.operators.bm25 import bm25_topk_filtered
+from kma_information_retrieval_spark.operators.spelling import suggest_prefix
+
+SYN = {"computer": "compute", "computing": "compute", "testing": "test"}
+
+
+def _py_fold(tf: dict[str, dict[int, int]]) -> dict[str, dict[int, int]]:
+    out: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for t, byd in tf.items():
+        c = SYN.get(t, t)
+        for d, n in byd.items():
+            out[c][d] += n
+    return {t: dict(byd) for t, byd in out.items()}
+
+
+def test_synonym_fold_matches_python(indexes, oracle):
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in ops.synonym_fold(indexes.postings, SYN).collect()
+    }
+    want = {
+        (t, d): n for t, byd in _py_fold(oracle.tf).items() for d, n in byd.items()
+    }
+    assert got == want
+
+
+def test_synonym_fold_dictionary_union_df(indexes, oracle):
+    """A doc containing both 'computer' and 'compute' counts ONCE for
+    the folded class df; cf sums."""
+    dic = {
+        r["term"]: (r["df"], r["cf"])
+        for r in ops.dictionary(ops.synonym_fold(indexes.postings, SYN)).collect()
+    }
+    folded = _py_fold(oracle.tf)
+    for t in ("compute", "test"):
+        assert dic[t] == (len(folded[t]), sum(folded[t].values()))
+    assert "computer" not in dic and "testing" not in dic
+
+
+def test_champion_lists_policy(indexes, oracle):
+    r = 5
+    got = defaultdict(set)
+    for row in ops.champion_lists(indexes.postings, r).collect():
+        got[row["term"]].add(row["doc_id"])
+    for t, byd in oracle.tf.items():
+        want = sorted(byd.items(), key=lambda kv: (-kv[1], kv[0]))[:r]
+        assert got[t] == {d for d, _ in want}, t
+
+
+def test_champion_bm25_scores_subset_exact(indexes, oracle):
+    """Champion-restricted BM25: every returned (doc, score) carries
+    the EXACT full-stats score; the candidate set is the union of the
+    query terms' champion docs."""
+    terms = ["index", "shard", "compute"]
+    r = 10
+    champ = (
+        ops.champion_lists(indexes.postings, r)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id").distinct()
+    )
+    got = bm25_topk_filtered(
+        indexes.postings, indexes.dictionary,
+        indexes.stats["n_docs"], indexes.stats["avgdl"], terms,
+        champ, 10, doclen=indexes.doclen,
+    ).collect()
+    cand = set()
+    for t in terms:
+        byd = oracle.tf.get(t, {})
+        cand |= {d for d, _ in sorted(byd.items(), key=lambda kv: (-kv[1], kv[0]))[:r]}
+    full = dict(oracle.bm25_topk(terms, 10_000))
+    want = sorted(((d, full[d]) for d in cand), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r_["doc_id"] for r_ in got] == [d for d, _ in want]
+    for r_, (_, s) in zip(got, want):
+        assert math.isclose(r_["score"], s, rel_tol=1e-12)
+
+
+def test_suggest_prefix(indexes, oracle):
+    prefixes = ["in", "sh", "zzz"]
+    got = defaultdict(list)
+    for row in suggest_prefix(indexes.dictionary, prefixes, k=5).orderBy(
+        "query", F.desc("cf"), "term"
+    ).collect():
+        got[row["query"]].append((row["term"], row["cf"]))
+    cf = {t: sum(byd.values()) for t, byd in oracle.tf.items()}
+    for p in prefixes:
+        want = sorted(
+            ((t, c) for t, c in cf.items() if t.startswith(p)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        assert got.get(p, []) == want, p
