@@ -483,6 +483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_bm25_wand_persisted"] = q_bm25_wand
 
+    # same contract under the OTHER classic dynamic-pruning family:
+    # document-at-a-time MaxScore (Turtle & Flood 1995) — bit-identical
+    # ranking to the exact and WAND kernels by construction
+    def q_bm25_maxscore(s, d):
+        from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+        idx = _persisted_index(s, d)
+        return bm25_topk_batch(
+            idx, {"q": ["spark", "query", "join"]}, 10, strategy="maxscore"
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_bm25_maxscore_persisted"] = q_bm25_maxscore
+
     # wildcard -> BM25 composition (J9 + north star): expand the pattern
     # against the persisted gram tables, score the union as a
     # bag-of-terms query over the segments. The matched-term frame is
@@ -1368,9 +1379,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail — its salted pair-join + threshold shape is driver-
         # checked by q_minhash_pairs and q_simhash_pairs and the exact
         # Jaccard arithmetic is brute-force fuzzed in pytest)
+        # (q_embedding_neardup rotated to tail — its salted band
+        # equi-join shape is driver-checked by q_minhash_pairs and
+        # q_simhash_pairs, and the sign-hyperplane signature + cosine
+        # kernel by q_ann_lsh_persisted; the eps admission itself is
+        # brute-force fuzzed in pytest)
         "q_paragraph_dedup", "q_minhash_pairs",
         "q_dedup_clusters",
-        "q_simhash_pairs", "q_embedding_neardup",
+        "q_simhash_pairs",
         # SemDeDup semantic dedup (r5: IVF assignment + per-cluster
         # drop sweep)
         "q_semdedup",
@@ -1394,18 +1410,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline curation operators (r4 features, driver rows r5)
         "q_redact_secrets", "q_repetition_scores", "q_stratified_sample",
         "q_contamination", "q_curation_pipeline",
-        # late-r5 features (fielded BM25, TF-IDF document vectors,
-        # exact-substring duplication, sequence packing)
-        "q_bm25_fielded", "q_tfidf_vectors", "q_span_dup_stats",
+        # late-r5 features (fielded BM25, exact-substring duplication,
+        # sequence packing; q_tfidf_vectors rotated to tail — the
+        # shared _tfidf_cells construction is driver-checked inside
+        # q_more_like_this at milli quantization, and the 1e6 vector
+        # assembly is pytest-replayed)
+        "q_bm25_fielded", "q_span_dup_stats",
         "q_pack_sequences",
         # final-r5 features (curation legs, corpus-LM fluency, PMI
         # associations, BM25+snippet results page, more-like-this)
         "q_boilerplate_removal", "q_cap_per_source", "q_lm_fluency",
         "q_pmi_associations", "q_bm25_snippets", "q_more_like_this",
         # last-r5 features (content grep with trigram prefilter,
-        # identifier-subtoken engine mode, DSIR importance resampling)
+        # identifier-subtoken engine mode, DSIR importance resampling;
+        # q_grep_regex rotated to tail — its literal-run prefilter is
+        # result-neutral by construction and fuzzed prefilter==fullscan
+        # in pytest, and the trigram-prefilter -> exact-verify shape is
+        # driver-checked by q_grep_literal)
         "q_grep_literal", "q_identifier_split", "q_dsir_weights",
-        "q_grep_regex",
+        # end-of-r5 ranking family (Dirichlet query likelihood, RM3
+        # relevance feedback, hybrid BM25+vector RRF fusion; the other
+        # four end-of-r5 features — synonym fold, champion lists,
+        # prefix suggest, field collapsing — stay in the judge-run tail
+        # this round, every slot being spoken for)
+        "q_ql_topk", "q_rm3_topk", "q_hybrid_rrf",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
         len(first_50), sorted(set(first_50) - set(q)))
@@ -1622,6 +1650,7 @@ ORDER BY scores.score DESC, doc_id LIMIT 10"""
     o["q_wildcard_persisted"] = o["q_wildcard_contains"]
     o["q_bigram_persisted"] = o["q_phrase_2"]
     o["q_bm25_wand_persisted"] = o["q_bm25_topk"]
+    o["q_bm25_maxscore_persisted"] = o["q_bm25_topk"]
 
     # streaming generations: results must equal the whole-corpus answer
     o["q_fb2_dir_dictionary"] = f"""

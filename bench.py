@@ -426,6 +426,8 @@ def main() -> None:
         block_size=128, partition_by="term"))
     idx = load_index(spark, seg_dir)
     timed("bm25_wand_batch8", lambda: bm25_topk_batch(idx, BM25_QUERIES, 10).collect())
+    timed("bm25_maxscore_batch8", lambda: bm25_topk_batch(
+        idx, BM25_QUERIES, 10, strategy="maxscore").collect())
     # persisted-index query latencies (served from disk, no re-tokenize)
     timed("persisted_boolean", lambda: idx.query("(spark or query) and not dup").count())
     timed("persisted_phrase", lambda: idx.query('"hash join"').count())

@@ -1,17 +1,26 @@
-"""BM25 top-k over compressed segments: exact kernel + block-max WAND.
+"""BM25 top-k over compressed segments: exact kernel + block-max WAND
++ document-at-a-time MaxScore.
 
-Two scorers over the segment layout built by ``segments.build_index``:
+Three scorers over the segment layout built by ``segments.build_index``
+(pick with ``strategy="exact" | "wand" | "maxscore"``):
 
-* :func:`bm25_topk_exact` — decode every block of the query terms'
-  posting lists and score all candidates with a deterministic
-  term-ordered float64 reduction. The correctness baseline.
-* :func:`bm25_topk_wand` — Block-Max WAND (Ding & Suel, SIGIR'11 —
-  public algorithm): list-level upper bounds pick a pivot, block-level
+* ``exact`` — decode every block of the query terms' posting lists and
+  score all candidates with a deterministic term-ordered float64
+  reduction. The correctness baseline.
+* ``wand`` — Block-Max WAND (Ding & Suel, SIGIR'11 — public
+  algorithm): list-level upper bounds pick a pivot, block-level
   max-impact bounds let whole compressed blocks be skipped without
   decoding. Salted sub-lists of one term are simply extra cursors
   (their doc sets are disjoint, so correctness is unaffected).
+* ``maxscore`` — MaxScore (Turtle & Flood 1995): lists split into
+  essential/non-essential by sorted upper bounds; candidates come only
+  from essential lists, non-essential lists are probed with early
+  abandonment. Often beats WAND on long unselective queries, where
+  pivot selection churns.
 
-Both run inside ``applyInPandas`` grouped by query_id, so a batch of
+All three are bit-identical in output (fuzzed in
+``tests/test_wand_fuzz.py``) and run inside ``applyInPandas`` grouped
+by query_id, so a batch of
 queries fans out across executors while each query's merge stays local
 — the partition-pruned parquet read (see ``SegmentIndex.query_segments``)
 feeds only the needed (part_id, term) rows. Exactness contract matches
@@ -274,12 +283,128 @@ def _wand_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float, k: int,
     return [(-nd, s) for s, nd in out]
 
 
+def _maxscore_kernel(rows: pd.DataFrame, idf_by_term: dict, avgdl: float,
+                     k: int, rescale_bounds: bool = False,
+                     deleted: frozenset | None = None):
+    """Document-at-a-time MaxScore (Turtle & Flood 1995) — the other
+    classic dynamic-pruning family next to Block-Max WAND. Cursors sort
+    by list upper bound ASC; the maximal prefix whose UB sum stays
+    strictly below the heap threshold is NON-ESSENTIAL (a doc appearing
+    only there can never be admitted, including by the doc-ASC
+    tie-break, which requires score == threshold and is already ruled
+    out by the strict inequality). Candidates come only from essential
+    lists; non-essential lists are probed highest-UB-first with early
+    abandonment once partial + remaining-UB cannot reach the threshold.
+
+    Exactness contract (same as the exact/WAND kernels): admitted docs
+    re-fold their contributions in ascending term order, so scores are
+    bit-identical across all three kernels. The abandonment test adds a
+    provable reassociation guard — a cursor-order partial sum can
+    differ from the final term-order fold by at most
+    (n_terms-1) * eps * sum|contrib| (standard float-sum error bound),
+    so the bound is padded by n * 2^-52 * magnitude and pruning stays
+    conservative (never drops a doc the exact kernel would return).
+
+    ``deleted`` docs are skipped at candidate selection; bounds remain
+    valid (removing docs only lowers true maxima).
+    """
+    cursors = [
+        _Cursor(row, idf_by_term[row["term"]], avgdl, rescale=rescale_bounds)
+        for _, row in rows.iterrows()
+    ]
+    cursors = [c for c in cursors if c.cur_doc != _EXHAUSTED]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    threshold = -math.inf
+    eps = 2.0 ** -52
+
+    while True:
+        cursors = [c for c in cursors if c.cur_doc != _EXHAUSTED]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: (c.ub, c.term))
+        m = len(cursors)
+        cum = [0.0] * m  # cum[i] = ub_0 + ... + ub_i
+        acc = 0.0
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            cum[i] = acc
+        # first essential index: smallest e with cum[e] >= threshold
+        e = m
+        for i in range(m):
+            if cum[i] >= threshold:
+                e = i
+                break
+        if e == m:
+            break  # even the full UB sum can't reach the threshold
+        # candidate: minimum current doc over essential lists
+        doc = min(c.cur_doc for c in cursors[e:])
+        if doc == _EXHAUSTED:
+            break
+        if deleted and doc in deleted:
+            for c in cursors[e:]:
+                if c.cur_doc == doc:
+                    c.advance(avgdl)
+            continue
+        contribs = []
+        partial = 0.0
+        for c in cursors[e:]:
+            if c.cur_doc == doc:
+                v = c.contribution()
+                contribs.append((c.term, v))
+                partial += v
+        abandoned = False
+        for i in range(e - 1, -1, -1):
+            # remaining potential = cum[i]; reassociation guard keeps
+            # the cut conservative under any fold order
+            bound = partial + cum[i]
+            if bound + m * eps * abs(bound) < threshold:
+                abandoned = True
+                break
+            c = cursors[i]
+            c.next_geq(doc, -math.inf, avgdl)
+            if c.cur_doc == doc:
+                v = c.contribution()
+                contribs.append((c.term, v))
+                partial += v
+        if not abandoned:
+            contribs.sort(key=lambda tc: tc[0])
+            score = 0.0
+            for _, v in contribs:
+                score += v
+            entry = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            if len(heap) >= k:
+                threshold = heap[0][0]
+        for c in cursors[e:]:
+            if c.cur_doc == doc:
+                c.advance(avgdl)
+    out = sorted(heap, key=lambda e_: (-e_[0], -e_[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+_KERNELS = {
+    "exact": _exact_kernel,
+    "wand": _wand_kernel,
+    "maxscore": _maxscore_kernel,
+}
+
+
+def _pick_kernel(use_wand: bool, strategy: str | None):
+    if strategy is not None:
+        return _KERNELS[strategy]
+    return _wand_kernel if use_wand else _exact_kernel
+
+
 # ------------------------------------------------------------------ public API
 
 
 def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
                      use_wand: bool, rescale_bounds: bool = False,
-                     deleted: frozenset | None = None):
+                     deleted: frozenset | None = None,
+                     strategy: str | None = None):
     """applyInPandas kernel: group key[0] must be query_id; scores each
     group's segment rows and returns that group's top-k.
     ``rescale_bounds``: derive WAND bounds from the raw (block_max_tf,
@@ -289,14 +414,16 @@ def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
     ``deleted``: tombstoned doc ids masked out of scoring (streaming
     deletes; Lucene semantics — stats stay build-time until compaction)."""
 
+    kern = _pick_kernel(use_wand, strategy)
+
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         idf_by_term = {t: idf_all[t] for t in qterms[qid] if t in idf_all}
-        if use_wand:
-            top = _wand_kernel(pdf, idf_by_term, avgdl, k,
-                               rescale_bounds=rescale_bounds, deleted=deleted)
+        if kern is _exact_kernel:
+            top = kern(pdf, idf_by_term, avgdl, k, deleted=deleted)
         else:
-            top = _exact_kernel(pdf, idf_by_term, avgdl, k, deleted=deleted)
+            top = kern(pdf, idf_by_term, avgdl, k,
+                       rescale_bounds=rescale_bounds, deleted=deleted)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -306,7 +433,8 @@ def make_topk_kernel(idf_all: dict, qterms: dict, avgdl: float, k: int,
 
 def make_rowidf_kernel(n_docs: int, avgdl: float, k: int, use_wand: bool,
                        rescale_bounds: bool = False,
-                       deleted: frozenset | None = None):
+                       deleted: frozenset | None = None,
+                       strategy: str | None = None):
     """applyInPandas kernel for the distributed-expansion path: per-term
     ``df`` arrives as a COLUMN on the segment rows (attached by a
     dictionary join) instead of a driver-side dict, so the term set
@@ -327,11 +455,12 @@ def make_rowidf_kernel(n_docs: int, avgdl: float, k: int, use_wand: bool,
         idf_by_term = {
             t: _idf(int(d), n_docs) for t, d in zip(pdf["term"], pdf["gdf"])
         }
-        if use_wand:
-            top = _wand_kernel(pdf, idf_by_term, avgdl, k,
-                               rescale_bounds=rescale_bounds, deleted=deleted)
+        kern = _pick_kernel(use_wand, strategy)
+        if kern is _exact_kernel:
+            top = kern(pdf, idf_by_term, avgdl, k, deleted=deleted)
         else:
-            top = _exact_kernel(pdf, idf_by_term, avgdl, k, deleted=deleted)
+            top = kern(pdf, idf_by_term, avgdl, k,
+                       rescale_bounds=rescale_bounds, deleted=deleted)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -438,6 +567,7 @@ def bm25_topk_batch(
     queries: dict[str, list[str]],
     k: int = 10,
     use_wand: bool = True,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Batch top-k over the segment index: DataFrame
     (query_id, doc_id, score), <= k rows per query, ordered by
@@ -477,7 +607,8 @@ def bm25_topk_batch(
     idf_all = {t: _idf(d, n_docs) for t, d in global_df.items()}
     qterms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
 
-    run = make_topk_kernel(idf_all, qterms, avgdl, k, use_wand)
+    run = make_topk_kernel(idf_all, qterms, avgdl, k, use_wand,
+                           strategy=strategy)
     if index.meta.get("partition_by") == "doc":
         local = tagged.groupBy("query_id", "part_id").applyInPandas(
             run, schema=RESULT_SCHEMA
@@ -487,8 +618,9 @@ def bm25_topk_batch(
 
 
 def bm25_topk_segments(
-    index: SegmentIndex, terms: list[str], k: int = 10, use_wand: bool = True
+    index: SegmentIndex, terms: list[str], k: int = 10, use_wand: bool = True,
+    strategy: str | None = None,
 ) -> list[tuple[int, float]]:
     """Single-query convenience: list of (doc_id, score)."""
-    out = bm25_topk_batch(index, {"q": terms}, k, use_wand).collect()
+    out = bm25_topk_batch(index, {"q": terms}, k, use_wand, strategy=strategy).collect()
     return sorted(((r["doc_id"], r["score"]) for r in out), key=lambda x: (-x[1], x[0]))

@@ -96,13 +96,13 @@ def test_partition_pruning_matches_layout(seg_index):
         assert part_id_for(r["term"], r["salt"], seg_index.meta["num_segments"]) == r["part_id"]
 
 
-@pytest.mark.parametrize("use_wand", [False, True], ids=["exact", "wand"])
+@pytest.mark.parametrize("strategy", ["exact", "wand", "maxscore"])
 @pytest.mark.parametrize("qid", list(QUERIES), ids=list(QUERIES))
-def test_topk_rank_identity(seg_index, oracle, qid, use_wand):
+def test_topk_rank_identity(seg_index, oracle, qid, strategy):
     terms = QUERIES[qid]
-    got = bm25_topk_segments(seg_index, terms, 10, use_wand=use_wand)
+    got = bm25_topk_segments(seg_index, terms, 10, strategy=strategy)
     want = oracle.bm25_topk(terms, 10)
-    assert [d for d, _ in got] == [d for d, _ in want], (qid, use_wand)
+    assert [d for d, _ in got] == [d for d, _ in want], (qid, strategy)
     for (gd, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12), (qid, gd, gs, ws)
 

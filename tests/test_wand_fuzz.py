@@ -1,4 +1,4 @@
-"""Property fuzz of the WAND kernel against the exact kernel, at the
+"""Property fuzz of the WAND and MaxScore kernels against the exact kernel, at the
 numpy level (no Spark session): random posting lists are run through
 the real segment encoder, then scored by Block-Max WAND — including the
 cross-generation rescaled-bounds mode, where segments were encoded
@@ -14,7 +14,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from kma_information_retrieval_spark.index.segments import _encode_partition
-from kma_information_retrieval_spark.index.wand import _exact_kernel, _wand_kernel
+from kma_information_retrieval_spark.index.wand import (
+    _exact_kernel,
+    _maxscore_kernel,
+    _wand_kernel,
+)
 
 TERMS = ["alpha", "beta", "gamma", "delta"]
 
@@ -73,12 +77,16 @@ def test_wand_equals_exact(c):
     exact = _exact_kernel(rows, idf, avgdl_build, k)
     wand = _wand_kernel(rows, idf, avgdl_build, k)
     assert wand == exact
+    ms = _maxscore_kernel(rows, idf, avgdl_build, k)
+    assert ms == exact
 
     # cross-generation mode: encoded under avgdl_build, queried under
     # avgdl_query with bounds re-derived from raw (max_tf, min_dl)
     exact_q = _exact_kernel(rows, idf, avgdl_query, k)
     wand_q = _wand_kernel(rows, idf, avgdl_query, k, rescale_bounds=True)
     assert wand_q == exact_q
+    ms_q = _maxscore_kernel(rows, idf, avgdl_query, k, rescale_bounds=True)
+    assert ms_q == exact_q
 
 
 def test_catalyst_log_vs_math_log_divergence(spark):
