@@ -445,6 +445,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_prefix(b.dictionary, ["s", "c", "qu"], k=5)
     q["q_suggest_prefix"] = q_suggest
 
+    # IR evaluation harness (trec_eval semantics): BM25 rankings for 3
+    # queries scored against pseudo-qrels (grade = #distinct query
+    # terms present, kept at grade >= 2) — P@10, AP, nDCG@10, RR
+    EV_QUERIES = {
+        "e1": ["spark", "query", "join"],
+        "e2": ["merge", "sort", "table"],
+        "e3": ["scan", "filter"],
+    }
+
+    def q_eval(s, d):
+        from functools import reduce
+
+        from kma_information_retrieval_spark.operators import evaluation
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        dl = ops.doc_lengths(b.tokens)
+        frames = [
+            bm25_topk(
+                b.postings, b.dictionary, n_docs, avgdl, terms, 10, doclen=dl
+            ).select(F.lit(qid).alias("query_id"), "doc_id", "score")
+            for qid, terms in sorted(EV_QUERIES.items())
+        ]
+        results = reduce(lambda a, c: a.unionByName(c), frames)
+        qrels = evaluation.relevance_judgments(b.postings, EV_QUERIES, min_grade=2)
+        return evaluation.eval_ranking(results, qrels, 10)
+    q["q_eval_metrics"] = q_eval
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -2006,6 +2034,72 @@ ranked AS (
   FROM cf JOIN px ON cf.term LIKE px.query || '%'
 )
 SELECT query, term, cf FROM ranked WHERE r <= 5"""
+
+    # IR evaluation metrics: one generic replay over a (query_id, term)
+    # VALUES table — qrels grade = #distinct matched terms (>= 2),
+    # ranks on the unrounded BM25 score (the repo-wide rank-identity
+    # contract), metrics folded per the trec_eval definitions
+    _ev_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(
+            {"e1": ["spark", "query", "join"],
+             "e2": ["merge", "sort", "table"],
+             "e3": ["scan", "filter"]}.items()
+        )
+        for t in sorted(set(ts))
+    )
+    o["q_eval_metrics"] = f"""{W},
+qt AS (SELECT * FROM (VALUES {_ev_vals}) v(query_id, term)),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY qt.query_id, tf.doc_id
+),
+qrels AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term)::int AS grade
+  FROM tf JOIN qt USING (term)
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM s1 QUALIFY rnk <= 10
+),
+j AS (
+  SELECT r.query_id, r.rnk, coalesce(q.grade, 0) AS grade,
+         sum(CASE WHEN q.grade IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.query_id ORDER BY r.rnk) AS cum_rel
+  FROM ranked r LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+),
+relstats AS (SELECT query_id, count(*)::int AS n_rel FROM qrels GROUP BY query_id),
+idcg AS (
+  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS idcg
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS rnk
+        FROM qrels) WHERE rnk <= 10 GROUP BY query_id
+),
+percq AS (
+  SELECT query_id,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0 AS p_at_k,
+         sum(CASE WHEN grade > 0 THEN cum_rel * 1.0 / rnk END) AS ap_num,
+         sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg,
+         min(CASE WHEN grade > 0 THEN rnk END) AS first_rel
+  FROM j GROUP BY query_id
+)
+SELECT p.query_id AS query_id,
+       round(p_at_k, 6) AS p_at_k,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(ap_num, 0.0) / least(n_rel, 10) ELSE 0.0 END, 6) AS ap,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0 THEN dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       round(coalesce(1.0 / first_rel, 0.0), 6) AS rr
+FROM percq p
+LEFT JOIN relstats USING (query_id)
+LEFT JOIN idcg i USING (query_id)"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

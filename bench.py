@@ -578,6 +578,22 @@ def main() -> None:
         ["spark", "query", "join"], champ, 10, doclen=doclen).collect())
     timed("suggest_prefix", lambda: suggest_prefix(
         dic, ["s", "c", "qu"], k=5).collect())
+    # IR evaluation harness: BM25 rankings vs pseudo-qrels
+    from functools import reduce
+
+    from kma_information_retrieval_spark.operators import evaluation
+    ev_queries = {"e1": ["spark", "query", "join"],
+                  "e2": ["merge", "sort", "table"], "e3": ["scan", "filter"]}
+    ev_results = reduce(
+        lambda a, c: a.unionByName(c),
+        [bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                   terms, 10, doclen=doclen)
+         .select(F.lit(qid).alias("query_id"), "doc_id", "score")
+         for qid, terms in sorted(ev_queries.items())])
+    timed("eval_metrics", lambda: evaluation.eval_ranking(
+        ev_results,
+        evaluation.relevance_judgments(post, ev_queries, min_grade=2),
+        10).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

@@ -1,0 +1,121 @@
+"""IR evaluation metrics vs a pure-Python trec_eval-style replay."""
+
+from __future__ import annotations
+
+import math
+
+from kma_information_retrieval_spark.operators.evaluation import (
+    eval_ranking,
+    relevance_judgments,
+)
+
+K = 10
+
+QUERIES = {
+    "q1": ["index", "shard", "compute"],
+    "q2": ["information", "retrieval"],
+    "q3": ["token", "query", "score", "block"],
+    "q4": ["zzznotaterm"],  # no relevant docs anywhere
+}
+
+
+def _py_metrics(ranking: list[int], grades: dict[int, int], k: int):
+    top = ranking[:k]
+    rel_flags = [grades.get(d, 0) > 0 for d in top]
+    p_at_k = sum(rel_flags) / k
+    n_rel = sum(1 for g in grades.values() if g > 0)
+    ap = 0.0
+    if n_rel:
+        hits = 0
+        for i, f in enumerate(rel_flags, start=1):
+            if f:
+                hits += 1
+                ap += hits / i
+        ap /= min(n_rel, k)
+    dcg = 0.0
+    for i, d in enumerate(top, start=1):
+        dcg += (2.0 ** grades.get(d, 0) - 1.0) / math.log2(i + 1)
+    ideal = sorted((g for g in grades.values() if g > 0), reverse=True)[:k]
+    idcg = 0.0
+    for i, g in enumerate(ideal, start=1):
+        idcg += (2.0 ** g - 1.0) / math.log2(i + 1)
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    rr = 0.0
+    for i, f in enumerate(rel_flags, start=1):
+        if f:
+            rr = 1.0 / i
+            break
+    return {"p_at_k": p_at_k, "ap": ap, "ndcg": ndcg, "rr": rr}
+
+
+def test_eval_matches_python(spark, indexes, oracle):
+    """BM25 rankings for 4 queries, pseudo-qrels by term overlap —
+    every metric must match the python replay at 6 decimals."""
+    results_rows = []
+    for qid, terms in QUERIES.items():
+        for d, s in oracle.bm25_topk(terms, K):
+            results_rows.append((qid, d, s))
+    results = spark.createDataFrame(
+        results_rows, "query_id string, doc_id bigint, score double"
+    )
+    qrels = relevance_judgments(indexes.postings, QUERIES, min_grade=2)
+    got = {
+        r["query_id"]: r for r in eval_ranking(results, qrels, K).collect()
+    }
+
+    # python qrels replay
+    for qid, terms in QUERIES.items():
+        tset = sorted(set(terms))
+        grades = {}
+        docs = set()
+        for t in tset:
+            docs |= set(oracle.tf.get(t, {}))
+        for d in docs:
+            g = sum(1 for t in tset if d in oracle.tf.get(t, {}))
+            if g >= 2:
+                grades[d] = g
+        ranking = [d for d, _ in oracle.bm25_topk(terms, K)]
+        want = _py_metrics(ranking, grades, K)
+        if not ranking:
+            assert qid not in got  # no result rows -> no metric row
+            continue
+        g = got[qid]
+        for m in ("p_at_k", "ap", "ndcg", "rr"):
+            assert math.isclose(g[m], round(want[m], 6), abs_tol=1.5e-6), (
+                qid, m, g[m], want[m])
+
+
+def test_eval_perfect_and_zero(spark):
+    """A hand corpus where q_perfect ranks all relevant docs first
+    (every metric 1.0) and q_zero has no relevant docs (all 0)."""
+    results = spark.createDataFrame(
+        [("q_perfect", d, 10.0 - d) for d in range(1, 11)]
+        + [("q_zero", d, 10.0 - d) for d in range(1, 11)],
+        "query_id string, doc_id bigint, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q_perfect", d, 1) for d in range(1, 11)],
+        "query_id string, doc_id bigint, grade int",
+    )
+    got = {r["query_id"]: r for r in eval_ranking(results, qrels, 10).collect()}
+    p = got["q_perfect"]
+    assert (p["p_at_k"], p["ap"], p["ndcg"], p["rr"]) == (1.0, 1.0, 1.0, 1.0)
+    z = got["q_zero"]
+    assert (z["p_at_k"], z["ap"], z["ndcg"], z["rr"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_eval_graded_ndcg_prefers_high_grades_early(spark):
+    """Swapping a grade-3 doc from rank 1 to rank 10 must strictly
+    lower nDCG while leaving P@k unchanged."""
+    qrels = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 1), ("b", 10, 3), ("b", 2, 1)],
+        "query_id string, doc_id bigint, grade int",
+    )
+    results = spark.createDataFrame(
+        [("a", d, 10.0 - d) for d in range(1, 11)]
+        + [("b", d, 10.0 - d) for d in range(1, 11)],
+        "query_id string, doc_id bigint, score double",
+    )
+    got = {r["query_id"]: r for r in eval_ranking(results, qrels, 10).collect()}
+    assert got["a"]["ndcg"] > got["b"]["ndcg"]
+    assert got["a"]["p_at_k"] == got["b"]["p_at_k"]
