@@ -144,7 +144,10 @@ def cmd_search(args, spark: SparkSession) -> int:
     idx = load_index(spark, args.dict)
     if args.topk:
         terms = args.query.split()
-        rows = bm25_topk_batch(idx, {"q": terms}, args.topk).collect()
+        rows = bm25_topk_batch(
+            idx, {"q": terms}, args.topk,
+            strategy=getattr(args, "strategy", None),
+        ).collect()
         return _emit_topk(
             spark, [(r["doc_id"], r["score"]) for r in rows], terms, args)
     try:
@@ -311,6 +314,28 @@ def cmd_related(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_suggest(args, spark: SparkSession) -> int:
+    """Term completion and spelling correction served from a built
+    index's own dictionary/trigram tables (no corpus re-read)."""
+    from .index import load_index
+    from .operators.spelling import suggest_batch, suggest_prefix
+
+    if not args.prefix and not args.correct:
+        print("error: pass --prefix and/or --correct", file=sys.stderr)
+        return 2
+    idx = load_index(spark, args.dict)
+    vocab = idx.dictionary.select("term", "cf")
+    if args.prefix:
+        out = suggest_prefix(vocab, args.prefix, k=args.topk)
+        for r in out.orderBy("query", F.desc("cf"), "term").collect():
+            print(f"{r['query']}\t{r['term']}\t{r['cf']}")
+    if args.correct:
+        out = suggest_batch(vocab, idx.trigrams, args.correct, k=args.topk)
+        for r in out.orderBy("query", "lev", F.desc("cf"), "term").collect():
+            print(f"{r['query']}\t{r['term']}\t{r['lev']}\t{r['cf']}")
+    return 0
+
+
 def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default=default_mode,
@@ -358,7 +383,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "(snippet source; only the k hit docs are read)")
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
+    s.add_argument("--strategy", default="wand",
+                   choices=["exact", "wand", "maxscore"],
+                   help="with --topk on a segment index: scoring kernel "
+                        "(all three are rank-identical by contract)")
     s.set_defaults(fn=cmd_search)
+
+    sg = sub.add_parser("suggest", help="term completion (--prefix) and "
+                        "spelling 'did you mean' (--correct) over a built "
+                        "index's dictionary/trigram tables")
+    sg.add_argument("--dict", required=True, help="index directory")
+    sg.add_argument("--prefix", action="append", default=[],
+                    help="complete this prefix (repeatable)")
+    sg.add_argument("--correct", action="append", default=[],
+                    help="suggest corrections for this term (repeatable)")
+    sg.add_argument("--topk", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     r = sub.add_parser("related", help="PMI collocations / related terms "
                                        "over a parquet corpus")

@@ -224,3 +224,41 @@ def test_cli_grep_and_grep_index(spark, parquet_corpus, tmp_path, capsys):
     rc = main(["grep", "--input", parquet_corpus,
                "--pattern", "zz_never_there"], spark=spark)
     assert rc == 1
+
+
+def test_cli_suggest_and_maxscore(spark, text_dir, tmp_path, capsys):
+    """suggest verb (completion + correction) and the search --strategy
+    flag: maxscore output must equal the default WAND output."""
+    out = str(tmp_path / "idx_sg")
+    rc = main(["build", "--input", text_dir, "--output", out,
+               "--formats", "parquet", "--xml-body", "--suffix", ".txt",
+               "--num-segments", "4", "--mode", "code"], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["suggest", "--dict", out, "--prefix", "comp", "--topk", "3"],
+              spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 3
+    assert all(line.split("\t")[1].startswith("comp") for line in lines)
+
+    rc = main(["suggest", "--dict", out, "--correct", "compyte"], spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(line.split("\t")[1] == "compute" for line in lines)
+
+    # neither flag -> usage error
+    rc = main(["suggest", "--dict", out], spark=spark)
+    assert rc == 2
+    assert "--prefix" in capsys.readouterr().err
+
+    for strat in ("wand", "maxscore", "exact"):
+        rc = main(["search", "--query", "compute test", "--dict", out,
+                   "--topk", "5", "--strategy", strat], spark=spark)
+        assert rc == 0
+        got = capsys.readouterr().out
+        if strat == "wand":
+            baseline = got
+        else:
+            assert got == baseline, strat
