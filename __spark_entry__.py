@@ -473,6 +473,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return evaluation.eval_ranking(results, qrels, 10)
     q["q_eval_metrics"] = q_eval
 
+    # corpus-law diagnostics (IIR §5.1): Heaps'-law vocabulary growth
+    # in doc-id order and a Zipf log-log fit over the frequency head
+    def q_vocab_growth(s, d):
+        b = _bundle(s, d)
+        return ops.vocabulary_growth(b.postings, 10)
+    q["q_vocab_growth"] = q_vocab_growth
+
+    def q_zipf(s, d):
+        b = _bundle(s, d)
+        return ops.zipf_fit(b.dictionary, top_n=10_000)
+    q["q_zipf_fit"] = q_zipf
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -2100,6 +2112,53 @@ SELECT p.query_id AS query_id,
 FROM percq p
 LEFT JOIN relstats USING (query_id)
 LEFT JOIN idcg i USING (query_id)"""
+
+    # Heaps'-law vocabulary growth: buckets by doc-id RANGE (a pure
+    # map, no global rank); cum fold over exactly 10 rows
+    o["q_vocab_growth"] = f"""{W},
+mx AS (SELECT max(doc_id) AS m FROM tf),
+tok AS (
+  SELECT least(9, floor(10 * doc_id / (m + 1)))::int AS bucket, sum(tf) AS toks
+  FROM tf CROSS JOIN mx GROUP BY 1
+),
+voc AS (
+  SELECT least(9, floor(10 * first_doc / (m + 1)))::int AS bucket,
+         count(*) AS vocab
+  FROM (SELECT term, min(doc_id) AS first_doc FROM tf GROUP BY term)
+  CROSS JOIN mx GROUP BY 1
+),
+base AS (SELECT unnest(range(10))::int AS bucket)
+SELECT base.bucket AS bucket,
+       (sum(coalesce(toks, 0)) OVER (ORDER BY base.bucket))::bigint AS cum_tokens,
+       (sum(coalesce(vocab, 0)) OVER (ORDER BY base.bucket))::bigint AS cum_vocab
+FROM base LEFT JOIN tok USING (bucket) LEFT JOIN voc USING (bucket)"""
+
+    # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
+    # the identical fixed float expression
+    o["q_zipf_fit"] = f"""{W},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+pts AS (
+  SELECT round(ln(rnk) * 1000)::bigint AS x, round(ln(cf) * 1000)::bigint AS y
+  FROM (SELECT cf, term, row_number() OVER (ORDER BY cf DESC, term) AS rnk FROM cf)
+  WHERE rnk <= 10000
+),
+agg AS (
+  SELECT count(*)::bigint AS n, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       round( (n::double * (sxy::double / 1000000.0)
+               - (sx::double / 1000.0) * (sy::double / 1000.0))
+            / (n::double * (sxx::double / 1000000.0)
+               - (sx::double / 1000.0) * (sx::double / 1000.0)), 6) AS slope,
+       round( ((sy::double / 1000.0)
+               - ( (n::double * (sxy::double / 1000000.0)
+                    - (sx::double / 1000.0) * (sy::double / 1000.0))
+                 / (n::double * (sxx::double / 1000000.0)
+                    - (sx::double / 1000.0) * (sx::double / 1000.0)) )
+                 * (sx::double / 1000.0)) / n::double, 6) AS intercept
+FROM agg"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

@@ -594,6 +594,8 @@ def main() -> None:
         ev_results,
         evaluation.relevance_judgments(post, ev_queries, min_grade=2),
         10).collect())
+    timed("vocab_growth", lambda: ops.vocabulary_growth(post, 10).collect())
+    timed("zipf_fit", lambda: ops.zipf_fit(dic, top_n=10_000).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

@@ -302,3 +302,101 @@ def champion_lists(post: DataFrame, r: int = 20) -> DataFrame:
         .filter(F.col("_r") <= r)
         .drop("_r")
     )
+
+
+# ------------------------------------------------- corpus-law diagnostics
+
+
+def vocabulary_growth(post: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps'-law evidence: cumulative (tokens, distinct terms) as the
+    corpus grows in doc-id order — (bucket, cum_tokens, cum_vocab),
+    ``n_buckets`` rows (IIR §5.1). Input is the aggregated postings
+    frame (term, doc_id, tf); cum_tokens sums tf.
+
+    Docs map to buckets by id range (floor(B * doc_id / (max_id+1))) —
+    a pure map, no global rank — so the only aggregations are one
+    doc-bucket token count and one per-term min(doc_id) (a term joins
+    the vocabulary in the bucket of its FIRST occurrence). The
+    cumulative fold runs over exactly ``n_buckets`` rows, constant at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    max_id = post.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return post.sparkSession.createDataFrame(
+            [], "bucket int, cum_tokens long, cum_vocab long"
+        )
+    bucket = lambda c: F.least(  # noqa: E731
+        F.lit(n_buckets - 1),
+        F.floor(F.lit(n_buckets) * c / F.lit(int(max_id) + 1)),
+    ).cast("int")
+    tok = post.groupBy(bucket(F.col("doc_id")).alias("bucket")).agg(
+        F.sum("tf").alias("toks")
+    )
+    voc = (
+        post.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(bucket(F.col("first_doc")).alias("bucket"))
+        .agg(F.count("*").alias("vocab"))
+    )
+    base = post.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.join(tok, "bucket", "left")
+        .join(voc, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("toks", F.lit(0))).over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("vocab", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+
+
+def zipf_fit(dictionary: DataFrame, top_n: int = 10_000) -> DataFrame:
+    """Zipf's-law fit over the frequency head: least-squares slope and
+    intercept of ln(cf) vs ln(rank) for the ``top_n`` most frequent
+    terms — one row (n_terms, slope, intercept), slope ~ -1 for
+    natural text (IIR §5.1.2).
+
+    Determinism: ln values are quantized to MILLI-units as int64
+    BEFORE the regression sums (ln of a small int is 1-ulp identical
+    across JVM/libm/DuckDB; the rounding collapses that), so Sx, Sy,
+    Sxy, Sxx are exact integers under any aggregation order — safe up
+    to ~1e10 terms (sum of (1e4)^2-scale products) — and the final
+    slope/intercept arithmetic is a fixed float expression over those
+    exact sums. The head cut is a TakeOrdered (cf DESC, term ASC);
+    only ``top_n`` rows pay the rank window — the fit is a
+    diagnostics op over the Zipf head, never a full-vocabulary sort.
+    """
+    from pyspark.sql import Window
+
+    head = dictionary.select("term", "cf").orderBy(
+        F.desc("cf"), F.asc("term")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    q = lambda c: F.round(F.log(c) * 1e3, 0).cast("long")  # noqa: E731
+    pts = head.select(
+        q(F.row_number().over(w).cast("double")).alias("x"),
+        q(F.col("cf").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e3
+    sy = F.col("sy").cast("double") / 1e3
+    sxy = F.col("sxy").cast("double") / 1e6
+    sxx = F.col("sxx").cast("double") / 1e6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

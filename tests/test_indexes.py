@@ -128,3 +128,62 @@ def test_incidence_search_matches_join_compiler(spark, indexes, oracle):
         want = sorted(r["doc_id"] for r in compile_query(q, indexes).collect())
         assert got == want, q
         assert set(got) == oracle.search(q)
+
+
+def test_vocabulary_growth(indexes, oracle):
+    """Cumulative token/vocab counts per doc-id-range bucket vs a
+    pure-python replay; monotone, and the last bucket equals corpus
+    totals."""
+    from kma_information_retrieval_spark import operators as ops
+
+    B = 8
+    got = [
+        (r["bucket"], r["cum_tokens"], r["cum_vocab"])
+        for r in ops.vocabulary_growth(indexes.postings, B).orderBy("bucket").collect()
+    ]
+    max_id = max(d for byd in oracle.tf.values() for d in byd)
+    bkt = lambda d: min(B - 1, B * d // (max_id + 1))  # noqa: E731
+    toks = [0] * B
+    for t, byd in oracle.tf.items():
+        for d, n in byd.items():
+            toks[bkt(d)] += n
+    voc = [0] * B
+    for t, byd in oracle.tf.items():
+        voc[bkt(min(byd))] += 1
+    want, ct, cv = [], 0, 0
+    for b in range(B):
+        ct += toks[b]
+        cv += voc[b]
+        want.append((b, ct, cv))
+    assert got == want
+    assert got[-1][1] == sum(sum(byd.values()) for byd in oracle.tf.values())
+    assert got[-1][2] == len(oracle.tf)
+
+
+def test_zipf_fit(indexes, oracle):
+    """Least-squares slope over milli-quantized log-log points vs a
+    python replay; slope must be negative (frequency decays in rank)."""
+    import math
+
+    from kma_information_retrieval_spark import operators as ops
+
+    row = ops.zipf_fit(indexes.dictionary, top_n=200).collect()[0]
+    cf = sorted(
+        ((sum(b.values()), t) for t, b in oracle.tf.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:200]
+    pts = [
+        (round(math.log(i + 1) * 1e3), round(math.log(c) * 1e3))
+        for i, (c, _) in enumerate(cf)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts) / 1e3
+    sy = sum(y for _, y in pts) / 1e3
+    sxy = sum(x * y for x, y in pts) / 1e6
+    sxx = sum(x * x for x, _ in pts) / 1e6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_terms"] == n
+    assert math.isclose(row["slope"], round(slope, 6), abs_tol=1.5e-6)
+    assert math.isclose(
+        row["intercept"], round((sy - slope * sx) / n, 6), abs_tol=1.5e-6)
+    assert row["slope"] < 0
