@@ -133,17 +133,26 @@ def suggest_prefix(
     top-``k`` vocabulary terms ranked (cf DESC, term ASC) —
     (query, term, cf) rows.
 
-    Scale shape: each prefix is a ``StartsWith`` predicate pushed to
-    the (persisted) dictionary scan — a sorted-range probe, never a
-    vocabulary-wide pass; the per-prefix top-k is a window over the
-    (small) matching slice. Prefixes attach by broadcast.
+    Scale shape: prefixes are driver-known literals, so each becomes
+    its own ``StringStartsWith`` predicate PUSHED to the (persisted)
+    dictionary scan — a sorted-range probe per prefix, never a
+    vocabulary-wide pass (a join-on-startswith variant was measured to
+    NOT push; the per-prefix union does). The per-prefix top-k is a
+    window over the (small) matching slice.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
-    spark = dictionary.sparkSession
-    pf = spark.createDataFrame([(p,) for p in sorted(set(prefixes))], "query string")
-    matched = dictionary.select("term", "cf").join(
-        F.broadcast(pf), F.col("term").startswith(F.col("query"))
+    base = dictionary.select("term", "cf")
+    matched = reduce(
+        lambda a, c: a.unionByName(c),
+        [
+            base.filter(F.col("term").startswith(p)).select(
+                F.lit(p).alias("query"), "term", "cf"
+            )
+            for p in sorted(set(prefixes))
+        ],
     )
     w = Window.partitionBy("query").orderBy(F.desc("cf"), F.asc("term"))
     return (

@@ -304,6 +304,35 @@ def main() -> None:
         "broadcast of the weighted query frame)")
     sections.append(("RM3 feedback second pass (3 orig + 5 expansion terms)", frag))
 
+    # 18. champion lists: ONE exchange keyed by term feeding the
+    # per-term rank window; the query-time candidate probe is a
+    # pushed term-IN on the same persisted postings table
+    champ_plan = plan_of(
+        ops.champion_lists(post_p, 20)
+        .filter(F.col("term").isin(["spark", "query", "join"]))
+        .select("doc_id").distinct())
+    frag = fragments(champ_plan)
+    frag.append(
+        f"windows={champ_plan.count('Window')} "
+        "(tier cut = one term-keyed window; candidates O(|q|*r))")
+    sections.append(("champion-list candidates (tiered index, 3 terms)", frag))
+
+    # 19. prefix completion: each prefix is a StartsWith pushed to the
+    # persisted dictionary scan — a sorted-range probe, never a
+    # vocabulary-wide pass
+    from kma_information_retrieval_spark.operators.spelling import suggest_prefix
+
+    dic_dir = tempfile.mkdtemp(prefix="kma_plan_audit_dic_")
+    dic.write.mode("overwrite").parquet(dic_dir)
+    dic_p = spark.read.parquet(dic_dir)
+    sp_plan = plan_of(suggest_prefix(dic_p, ["qu", "sp"], k=5))
+    frag = fragments(sp_plan)
+    frag.append(
+        f"pushed_startswith={'StringStartsWith' in sp_plan} "
+        "(prefix probes pushed to the dictionary scan; only matching "
+        "slices pay the per-prefix top-k window)")
+    sections.append(("prefix term completion (2 prefixes)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
