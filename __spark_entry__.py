@@ -485,6 +485,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.zipf_fit(b.dictionary, top_n=10_000)
     q["q_zipf_fit"] = q_zipf
 
+    # index-layout optimization: source-clustered doc-id reordering
+    # (URL-sort heuristic) and its exact varbyte-cost effect
+    def q_docid_cluster(s, d):
+        meta = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        return ops.cluster_doc_ids(meta, "source")
+    q["q_docid_cluster"] = q_docid_cluster
+
+    def q_reorder_bytes(s, d):
+        b = _bundle(s, d)
+        meta = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        mapping = ops.cluster_doc_ids(meta, "source")
+        remapped = b.postings.join(mapping, "doc_id").select(
+            "term", F.col("new_id").alias("doc_id"), "tf"
+        )
+        orig = ops.posting_gap_bytes(b.postings).select(
+            F.col("total_vb_bytes").alias("orig_bytes")
+        )
+        clus = ops.posting_gap_bytes(remapped).select(
+            F.col("total_vb_bytes").alias("clustered_bytes")
+        )
+        return orig.crossJoin(clus)
+    q["q_docid_reorder_bytes"] = q_reorder_bytes
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -2159,6 +2182,33 @@ SELECT n AS n_terms,
                     - (sx::double / 1000.0) * (sx::double / 1000.0)) )
                  * (sx::double / 1000.0)) / n::double, 6) AS intercept
 FROM agg"""
+
+    # doc-id reordering: dense rank over (source, doc_id) — identical
+    # to the engine's broadcast-offset + within-group rank composition
+    o["q_docid_cluster"] = """
+SELECT doc_id, (row_number() OVER (ORDER BY source, doc_id) - 1)::bigint AS new_id
+FROM documents"""
+
+    # exact varbyte cost of every posting list's doc-id stream, before
+    # and after the reorder (first posting pays its absolute id; the
+    # length ladder is exact integer arithmetic)
+    _vb = lambda g: ("CASE " + " ".join(  # noqa: E731
+        f"WHEN {g} < {1 << (7 * n)} THEN {n}" for n in range(1, 9)
+    ) + " ELSE 9 END")
+    o["q_docid_reorder_bytes"] = f"""{W},
+gaps AS (
+  SELECT doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS g
+  FROM tf
+),
+m AS (SELECT doc_id, (row_number() OVER (ORDER BY source, doc_id) - 1)::bigint AS new_id
+      FROM documents),
+rtf AS (SELECT tf.term, m.new_id AS doc_id FROM tf JOIN m USING (doc_id)),
+rgaps AS (
+  SELECT doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS g
+  FROM rtf
+)
+SELECT (SELECT sum({_vb('g')})::bigint FROM gaps) AS orig_bytes,
+       (SELECT sum({_vb('g')})::bigint FROM rgaps) AS clustered_bytes"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

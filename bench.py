@@ -596,6 +596,24 @@ def main() -> None:
         10).collect())
     timed("vocab_growth", lambda: ops.vocabulary_growth(post, 10).collect())
     timed("zipf_fit", lambda: ops.zipf_fit(dic, top_n=10_000).collect())
+    # doc-id reordering: exact varbyte cost before/after source
+    # clustering over the SF corpus (dense sequential ids at this SF
+    # keep most gaps < 128, so expect parity here — the operator's
+    # strict win is pinned by test_cluster_doc_ids_strictly_helps_*)
+    sf_meta = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source")
+    sf_post = ops.postings(ops.token_frame(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+            "doc_id", "text AS content")))
+    reorder_bytes = {}
+    reorder_bytes["orig"] = timed(
+        "reorder_bytes_orig",
+        lambda: ops.posting_gap_bytes(sf_post).collect()[0]["total_vb_bytes"])
+    _remap = sf_post.join(ops.cluster_doc_ids(sf_meta, "source"), "doc_id") \
+        .select("term", F.col("new_id").alias("doc_id"), "tf")
+    reorder_bytes["clustered"] = timed(
+        "reorder_bytes_clustered",
+        lambda: ops.posting_gap_bytes(_remap).collect()[0]["total_vb_bytes"])
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,
@@ -842,6 +860,7 @@ def main() -> None:
         "scaling_cal_thresh_cores": sc["cal_thresh"],
         "scaling_cooldown_secs": sc["cooldown_secs"],
         "bucket_cap_candidates": cap_counts,
+        "docid_reorder_vb_bytes": reorder_bytes,
         "frontcoding": {**fc, "parquet_bytes": fc_sizes},
         "skew_stress": skew,
         "bench_docs": BENCH_DOCS,

@@ -400,3 +400,80 @@ def zipf_fit(dictionary: DataFrame, top_n: int = 10_000) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+def cluster_doc_ids(
+    docs: DataFrame, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Doc-id reordering for posting compression: dense new ids
+    0..N-1 assigned in (group, old_id) order, so documents from the
+    same source/domain become ADJACENT doc ids — the classic
+    index-layout optimization (similar docs share terms, so clustered
+    ids shrink the d-gaps and the delta+varbyte postings; cf. the
+    URL-sort heuristic of Silvestri 2007 and BP reordering). Output:
+    (doc_id, new_id).
+
+    Scale shape: NO global sort/rank — phase 1 is one group-keyed
+    count whose result (one row per source/domain, a bounded set) is
+    collected and turned into broadcast cumulative offsets; phase 2 is
+    one group-keyed window assigning within-group ranks. new_id =
+    offset[group] + rank - 1, dense and deterministic under any
+    partitioning. Skew bound = largest single group.
+    """
+    from pyspark.sql import Window
+
+    counts = sorted(
+        (r["g"], r["n"])
+        for r in docs.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for g, n in counts:
+        offsets[g] = acc
+        acc += n
+    spark = docs.sparkSession
+    off = spark.createDataFrame(
+        [(g, o) for g, o in offsets.items()], f"{group_col} string, _off long"
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc(id_col))
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(off), group_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long").alias("new_id"),
+        )
+    )
+
+
+def posting_gap_bytes(post: DataFrame) -> DataFrame:
+    """One row (total_vb_bytes): the exact delta+varbyte cost of every
+    posting list's doc-id stream under the CURRENT doc-id assignment —
+    the objective :func:`cluster_doc_ids` shrinks. Gap per posting is
+    doc_id - previous doc_id in the (term-sorted) list (first posting
+    pays its absolute id, matching the segment encoder's cumsum-from-0
+    reconstruction); the varbyte length is an exact integer CASE
+    ladder (1 byte per started 7-bit group), so the total is int64
+    arithmetic — no float anywhere. One term-keyed window, one sum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id").over(w), F.lit(0)
+    )
+    vb_len = (
+        F.when(gap < F.lit(1 << 7), 1)
+        .when(gap < F.lit(1 << 14), 2)
+        .when(gap < F.lit(1 << 21), 3)
+        .when(gap < F.lit(1 << 28), 4)
+        .when(gap < F.lit(1 << 35), 5)
+        .when(gap < F.lit(1 << 42), 6)
+        .when(gap < F.lit(1 << 49), 7)
+        .when(gap < F.lit(1 << 56), 8)
+        .otherwise(9)
+    )
+    return post.select(vb_len.alias("b")).agg(
+        F.sum("b").cast("long").alias("total_vb_bytes")
+    )

@@ -187,3 +187,101 @@ def test_zipf_fit(indexes, oracle):
     assert math.isclose(
         row["intercept"], round((sy - slope * sx) / n, 6), abs_tol=1.5e-6)
     assert row["slope"] < 0
+
+
+def test_cluster_doc_ids(spark):
+    """Dense (group, old_id)-ordered renumbering vs a python replay;
+    remapping then building postings preserves every (term, doc) pair
+    under the bijection."""
+    from kma_information_retrieval_spark import operators as ops
+
+    rows = [(d, f"s{d % 5}") for d in (3, 11, 7, 20, 42, 8, 15, 31, 4, 9)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        r["doc_id"]: r["new_id"]
+        for r in ops.cluster_doc_ids(docs, "source").collect()
+    }
+    want, acc = {}, 0
+    for g in sorted({s for _, s in rows}):
+        for d in sorted(d for d, s in rows if s == g):
+            want[d] = acc
+            acc += 1
+    assert got == want
+    assert sorted(got.values()) == list(range(len(rows)))
+
+
+def test_cluster_doc_ids_shrinks_gaps(spark, docs):
+    """The point of the reorder: with source-clustered ids, average
+    d-gaps within posting lists must not grow vs the original ids
+    (same corpus, same postings, just renumbered)."""
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark import operators as ops
+
+    meta = docs.select(
+        "doc_id", (F.pmod(F.xxhash64("doc_id"), F.lit(7))).cast("string").alias("source")
+    )
+    mapping = ops.cluster_doc_ids(meta, "source")
+    post = ops.postings(ops.token_frame(docs))
+
+    def total_gap(p):
+        lists = {}
+        for r in p.collect():
+            lists.setdefault(r["term"], []).append(r["doc_id"])
+        tot = 0
+        for ds in lists.values():
+            ds.sort()
+            tot += ds[0] + sum(b - a for a, b in zip(ds, ds[1:]))
+        return tot
+
+    orig = total_gap(post)
+    remapped = total_gap(
+        post.join(mapping, "doc_id").select("term", F.col("new_id").alias("doc_id"))
+    )
+    # dense renumbering alone guarantees gaps sum to <= max new id per
+    # list; clustering must not be worse than the original spread
+    assert remapped <= orig
+
+
+def test_posting_gap_bytes(indexes, oracle):
+    """Exact varbyte cost of the doc-id streams vs a python replay."""
+    from kma_information_retrieval_spark import operators as ops
+
+    got = ops.posting_gap_bytes(indexes.postings).collect()[0]["total_vb_bytes"]
+
+    def vb_len(g):
+        n = 1
+        while g >= (1 << (7 * n)):
+            n += 1
+        return n
+
+    want = 0
+    for t, byd in oracle.tf.items():
+        prev = 0
+        for d in sorted(byd):
+            want += vb_len(d - prev)
+            prev = d
+    assert got == want
+
+
+def test_cluster_doc_ids_strictly_helps_on_source_vocab(spark):
+    """A corpus where each source has private vocabulary and doc ids
+    interleave sources: clustering must STRICTLY shrink the varbyte
+    cost (source-private terms see small within-cluster gaps instead
+    of source-count-strided ones)."""
+    from kma_information_retrieval_spark import operators as ops
+
+    n_sources, per_src = 8, 40
+    rows = []
+    for d in range(n_sources * per_src):
+        src = d % n_sources  # interleaved ids: worst case for gaps
+        rows.append((d * 200, f"s{src}", f"term_src{src} shared"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, content string")
+    post = ops.postings(ops.token_frame(docs))
+    meta = docs.select("doc_id", "source")
+    mapping = ops.cluster_doc_ids(meta, "source")
+    orig = ops.posting_gap_bytes(post).collect()[0]["total_vb_bytes"]
+    remapped = post.join(mapping, "doc_id").select(
+        "term", F.col("new_id").alias("doc_id"), "tf")
+    clus = ops.posting_gap_bytes(remapped).collect()[0]["total_vb_bytes"]
+    assert clus < orig, (clus, orig)
