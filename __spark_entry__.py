@@ -508,6 +508,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return orig.crossJoin(clus)
     q["q_docid_reorder_bytes"] = q_reorder_bytes
 
+    # Rocchio vector-space relevance feedback: BM25 top-5 feedback set,
+    # q' = 2|fb|*q + sum(fb vectors) in exact int64 (alpha=1, beta=0.5
+    # via scale invariance of cosine), rank by cosine(q', d)
+    def q_rocchio(s, d):
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        terms = ["spark", "query", "join"]
+        fb = bm25_topk(
+            b.postings, b.dictionary, n_docs, avgdl, terms, 5,
+            doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id")
+        return textstats.rocchio_topk(
+            b.docs, terms, fb, b.dictionary, n_docs, k=10, dim=64
+        )
+    q["q_rocchio_topk"] = q_rocchio
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -2209,6 +2225,62 @@ rgaps AS (
 )
 SELECT (SELECT sum({_vb('g')})::bigint FROM gaps) AS orig_bytes,
        (SELECT sum({_vb('g')})::bigint FROM rgaps) AS clustered_bytes"""
+
+    # Rocchio: BM25 top-5 feedback -> exact-int q' = 2|fb|*q + sum(fb)
+    # -> integer dot / IEEE-sqrt cosine (the MLT cell replay + a
+    # richer query vector)
+    _ro_terms = ", ".join(f"('{t}')" for t in sorted({"spark", "query", "join"}))
+    o["q_rocchio_topk"] = f"""{W},
+ndocs AS (SELECT count(*) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT n, (SELECT avg(dl) FROM dl) AS avgdl FROM ndocs),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM (VALUES {_ro_terms}) v(term))
+  GROUP BY tf.doc_id
+),
+fb AS (SELECT doc_id FROM s1 ORDER BY s1.score DESC, doc_id LIMIT 5),
+nfb AS (SELECT count(*)::bigint AS m FROM fb),
+cells AS (
+  SELECT t.doc_id,
+         (('0x' || substr(md5(t.term), 1, 15))::bigint % 64)::int AS f,
+         sum(t.tf * round(ln(1.0 + n.n::double / d.df) * 1000)::bigint)::bigint AS wq
+  FROM tf t JOIN dfreq d USING (term), ndocs n
+  GROUP BY 1, 2
+),
+qc AS (
+  SELECT (('0x' || substr(md5(v.term), 1, 15))::bigint % 64)::int AS f,
+         sum(round(ln(1.0 + n.n::double / d.df) * 1000)::bigint)::bigint AS qw
+  FROM (VALUES {_ro_terms}) v(term) JOIN dfreq d ON v.term = d.term, ndocs n
+  GROUP BY 1
+),
+fsum AS (
+  SELECT f, sum(wq)::bigint AS fw
+  FROM cells JOIN fb USING (doc_id) GROUP BY f
+),
+qprime AS (
+  SELECT f, qpw FROM (
+    SELECT coalesce(qc.f, fsum.f) AS f,
+           (2 * nfb.m * coalesce(qw, 0) + coalesce(fw, 0))::bigint AS qpw
+    FROM qc FULL OUTER JOIN fsum ON qc.f = fsum.f CROSS JOIN nfb
+  ) WHERE qpw <> 0
+),
+norms AS (SELECT doc_id, sum(wq * wq)::bigint AS n2 FROM cells GROUP BY doc_id),
+qn AS (SELECT sum(qpw * qpw)::bigint AS qn2 FROM qprime),
+dots AS (
+  SELECT c.doc_id, sum(c.wq * q.qpw)::bigint AS dot
+  FROM cells c JOIN qprime q USING (f) GROUP BY c.doc_id
+),
+cosd AS (
+  SELECT d.doc_id,
+         d.dot::double / (sqrt(n.n2::double) * sqrt(qn.qn2::double)) AS cos_raw
+  FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+)
+SELECT doc_id, round(cos_raw, 6) AS cosine
+FROM cosd ORDER BY cosd.cos_raw DESC, doc_id LIMIT 10"""
 
     # ANN LSH: replicate the 12 sign-hyperplane bits in SQL; the
     # engine's multi-probe (own bucket +- 1 bit flip) == signature

@@ -614,6 +614,14 @@ def main() -> None:
     reorder_bytes["clustered"] = timed(
         "reorder_bytes_clustered",
         lambda: ops.posting_gap_bytes(_remap).collect()[0]["total_vb_bytes"])
+    # Rocchio vector-space feedback (BM25 top-5 -> exact-int q')
+    from kma_information_retrieval_spark.operators import textstats
+
+    _ro_fb = bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                       ["spark", "query", "join"], 5, doclen=doclen).select("doc_id")
+    timed("rocchio_topk", lambda: textstats.rocchio_topk(
+        docs, ["spark", "query", "join"], _ro_fb, dic,
+        stats["total_documents"], k=10, dim=64).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

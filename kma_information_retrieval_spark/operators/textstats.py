@@ -688,3 +688,94 @@ def dsir_select(
         .orderBy(F.desc("sel_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rocchio_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    feedback: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    dim: int = 64,
+    alpha_num: int = 2,
+    beta_num: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    mode: str = "code",
+) -> DataFrame:
+    """Rocchio (1971) vector-space relevance feedback — the classic
+    counterpart to RM3 on the TF-IDF side: the expanded query vector is
+    q' = alpha*q + (beta/|fb|) * sum of the feedback docs' vectors,
+    then documents rank by cosine(q', d).
+
+    Exactness: cells come from the shared :func:`_tfidf_cells` core at
+    MILLI quantization; cosine is invariant to positive scaling of q',
+    so instead of dividing by |fb| the combination is computed as the
+    EXACT int64 vector ``alpha_num * |fb| * q + beta_num * sum_fb``
+    (alpha_num/beta_num = 2/1 encodes alpha=1, beta=0.5). Dots and
+    norms stay integer (<= dim * (3e7)^2 ~ 6e16 for realistic inputs);
+    only the final cosine divides exact ints under IEEE sqrt. Ranking
+    ties break doc_id ASC; output rounds to 6 decimals.
+
+    Scale shape: one corpus cells pass (shared with tfidf/MLT), the
+    feedback sum is |fb|-bounded and broadcast, q' is <= dim rows and
+    broadcast into the feature-keyed dot join — one corpus pass, no
+    doc x doc join, exactly the MLT plan with a richer query vector.
+    """
+    cells = _tfidf_cells(docs, dim, 1e3, id_col, text_col, mode)
+    spark = docs.sparkSession
+    from collections import Counter
+
+    tf_q = Counter(query_terms)
+    qt = spark.createDataFrame(
+        sorted((t, int(c)) for t, c in tf_q.items()), "term string, tf long"
+    )
+    feat = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    idf_q = F.round(
+        F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")) * 1e3, 0
+    ).cast("long")
+    qcells = (
+        qt.join(dictionary.select("term", "df"), "term")
+        .select(feat.alias("f"), (F.col("tf") * idf_q).alias("qw"))
+        .groupBy("f")
+        .agg(F.sum("qw").alias("qw"))
+    )
+    n_fb = feedback.count()
+    fsum = (
+        cells.join(F.broadcast(feedback.select(F.col(id_col).alias("doc_id"))), "doc_id")
+        .groupBy("f")
+        .agg(F.sum("wq").alias("fw"))
+    )
+    qprime = (
+        qcells.join(fsum, "f", "full_outer")
+        .select(
+            "f",
+            (
+                F.lit(int(alpha_num) * int(n_fb)) * F.coalesce("qw", F.lit(0))
+                + F.lit(int(beta_num)) * F.coalesce("fw", F.lit(0))
+            ).alias("qpw"),
+        )
+        .filter(F.col("qpw") != 0)
+    )
+    norms = cells.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    qn2 = qprime.agg(F.sum(F.col("qpw") * F.col("qpw")).alias("qn2"))
+    dots = (
+        cells.join(F.broadcast(qprime), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wq") * F.col("qpw")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn2))
+        .select("doc_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("cos_raw", 6).alias("cosine"))
+    )

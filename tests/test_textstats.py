@@ -490,3 +490,79 @@ def test_dsir_select_deterministic(spark):
         ((lw, -d) for d, (nf, lw) in w.items() if lw is not None), reverse=True
     )[:5]
     assert topk == [-x[1] for x in by_w]
+
+
+def test_rocchio_matches_python(spark, docs, indexes, oracle):
+    """Rocchio feedback (alpha=1, beta=0.5 via exact 2|fb|-scaled int
+    vector) vs a full python replay of cells -> q' -> cosine."""
+    import math
+
+    from kma_information_retrieval_spark.operators.textstats import rocchio_topk
+
+    dim, k = 32, 10
+    terms = ["index", "shard", "compute"]
+    fb_ids = [d for d, _ in oracle.bm25_topk(terms, 5)]
+    feedback = spark.createDataFrame([(d,) for d in fb_ids], "doc_id bigint")
+    got = rocchio_topk(
+        docs, terms, feedback, indexes.dictionary,
+        indexes.stats["n_docs"], k=k, dim=dim,
+    ).collect()
+
+    rows = [(r["doc_id"], r["content"]) for r in docs.collect()]
+    n = len(rows)
+    tf, df = {}, {}
+    for d, text in rows:
+        ts = tokenize(text, "code")
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    cells = {}
+    for (d, t), c in tf.items():
+        f = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        w = c * int(math.floor(math.log(1.0 + n / df[t]) * 1e3 + 0.5))
+        cells[(d, f)] = cells.get((d, f), 0) + w
+    qcells = {}
+    for t in set(terms):
+        if t not in df:
+            continue
+        f = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        w = int(math.floor(math.log(1.0 + n / df[t]) * 1e3 + 0.5))
+        qcells[f] = qcells.get(f, 0) + w
+    fsum = {}
+    for (d, f), w in cells.items():
+        if d in set(fb_ids):
+            fsum[f] = fsum.get(f, 0) + w
+    qprime = {}
+    for f in set(qcells) | set(fsum):
+        v = 2 * len(fb_ids) * qcells.get(f, 0) + fsum.get(f, 0)
+        if v:
+            qprime[f] = v
+    qn2 = sum(v * v for v in qprime.values())
+    scores = []
+    for d, _ in rows:
+        dot = sum(cells.get((d, f), 0) * v for f, v in qprime.items())
+        n2 = sum(w * w for (dd, _), w in cells.items() if dd == d)
+        if dot or n2:
+            if n2 and dot:
+                scores.append((d, dot / (math.sqrt(n2) * math.sqrt(qn2))))
+    scores.sort(key=lambda kv: (-kv[1], kv[0]))
+    want = scores[:k]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["cosine"], round(s, 6), abs_tol=1.5e-6)
+
+
+def test_rocchio_feedback_pulls_toward_feedback_docs(spark, docs, indexes, oracle):
+    """Property: with massive beta the ranking must surface feedback
+    docs themselves at the top (q' ~ feedback centroid)."""
+    from kma_information_retrieval_spark.operators.textstats import rocchio_topk
+
+    terms = ["information", "retrieval"]
+    fb_ids = [d for d, _ in oracle.bm25_topk(terms, 3)]
+    feedback = spark.createDataFrame([(d,) for d in fb_ids], "doc_id bigint")
+    got = rocchio_topk(
+        docs, terms, feedback, indexes.dictionary, indexes.stats["n_docs"],
+        k=3, dim=32, alpha_num=0, beta_num=1,
+    ).collect()
+    assert {r["doc_id"] for r in got} & set(fb_ids)
