@@ -524,6 +524,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_rocchio_topk"] = q_rocchio
 
+    # sequential dependence model (Metzler & Croft 2005): dyadic
+    # 0.75/0.125/0.125 combination of Dirichlet folds over unigrams,
+    # ordered adjacent pairs and unordered window-8 pairs
+    def q_sdm(s, d):
+        from kma_information_retrieval_spark.operators import sdm
+
+        b = _bundle(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        return sdm.sdm_topk(
+            b.postings, b.positional, b.dictionary, total,
+            ["spark", "query", "join"],
+            doclen=ops.doc_lengths(b.tokens), k=10,
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_sdm_topk"] = q_sdm
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -2981,6 +2996,67 @@ cosd AS (
   WHERE d.doc_id <> 7)
 SELECT doc_id, round(cos_raw, 6) AS cosine
 FROM cosd ORDER BY cosd.cos_raw DESC, doc_id LIMIT 10"""
+
+    # SDM: Dirichlet folds over three feature classes; ordered pairs
+    # are exact adjacency on the positions table, unordered pairs are
+    # 0 < |p2-p1| <= 7; zero-corpus-count features drop out (their CTE
+    # row never exists); dyadic 0.75/0.125/0.125 combination
+    def _sdm_ocnt(a: str, b: str) -> str:
+        return f"""SELECT '{a} {b}' AS feature, a.doc_id, count(*) AS c
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      AND a.term = '{a}' AND b.term = '{b}'
+    GROUP BY a.doc_id"""
+
+    def _sdm_ucnt(a: str, b: str) -> str:
+        return f"""SELECT '{a}~{b}' AS feature, a.doc_id, count(*) AS c
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+      AND abs(b.pos - a.pos) <= 7 AND b.pos <> a.pos
+      AND a.term = '{a}' AND b.term = '{b}'
+    GROUP BY a.doc_id"""
+
+    _sdm_q = ["spark", "query", "join"]
+    _sdm_uni = ", ".join(f"'{t}'" for t in sorted(set(_sdm_q)))
+    _sdm_prs = sorted(set(zip(_sdm_q, _sdm_q[1:])))
+    o["q_sdm_topk"] = f"""WITH {SQL_TOKS}, {SQL_TF}, {SQL_DL}, {SQL_POS},
+tot AS (SELECT sum(tf) AS c FROM tf),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_sdm_uni})),
+qt AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ({_sdm_uni}) GROUP BY term),
+stv AS (
+  SELECT c.doc_id,
+         sum( ln( (coalesce(x.tf, 0) + 300.0::double * qt.cf / tot.c)
+                  / (dl.dl + 300.0::double) ) ) AS st
+  FROM cand c JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN qt
+  LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = qt.term
+  GROUP BY c.doc_id
+),
+ocnt AS ({" UNION ALL ".join(_sdm_ocnt(a, b) for a, b in _sdm_prs)}),
+ocf AS (SELECT feature, sum(c) AS cf FROM ocnt GROUP BY feature),
+sov AS (
+  SELECT c.doc_id,
+         sum( ln( (coalesce(o.c, 0) + 300.0::double * ocf.cf / tot.c)
+                  / (dl.dl + 300.0::double) ) ) AS so
+  FROM cand c JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN ocf
+  LEFT JOIN ocnt o ON o.doc_id = c.doc_id AND o.feature = ocf.feature
+  GROUP BY c.doc_id
+),
+ucnt AS ({" UNION ALL ".join(_sdm_ucnt(a, b) for a, b in _sdm_prs)}),
+ucf AS (SELECT feature, sum(c) AS cf FROM ucnt GROUP BY feature),
+suv AS (
+  SELECT c.doc_id,
+         sum( ln( (coalesce(u.c, 0) + 300.0::double * ucf.cf / tot.c)
+                  / (dl.dl + 300.0::double) ) ) AS su
+  FROM cand c JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN ucf
+  LEFT JOIN ucnt u ON u.doc_id = c.doc_id AND u.feature = ucf.feature
+  GROUP BY c.doc_id
+),
+fin AS (
+  SELECT s.doc_id,
+         0.75 * s.st + 0.125 * coalesce(o.so, 0.0) + 0.125 * coalesce(u.su, 0.0)
+           AS score
+  FROM stv s LEFT JOIN sov o USING (doc_id) LEFT JOIN suv u USING (doc_id)
+)
+SELECT doc_id, round(score, 4) AS score FROM fin
+ORDER BY fin.score DESC, doc_id LIMIT 10"""
 
     # composed results page: BM25 top-10 joined to the best-window
     # snippet for the same terms (both legs are the oracles above)

@@ -622,6 +622,12 @@ def main() -> None:
     timed("rocchio_topk", lambda: textstats.rocchio_topk(
         docs, ["spark", "query", "join"], _ro_fb, dic,
         stats["total_documents"], k=10, dim=64).collect())
+    # sequential dependence model (term + ordered + unordered-window)
+    from kma_information_retrieval_spark.operators import sdm as sdm_mod
+    _sdm_total = int(dic.agg(F.sum("cf")).collect()[0][0])
+    timed("sdm_topk", lambda: sdm_mod.sdm_topk(
+        post, bundle.positional, dic, _sdm_total, ["spark", "query", "join"],
+        doclen=doclen, k=10).collect())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

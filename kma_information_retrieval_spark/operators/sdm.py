@@ -1,0 +1,182 @@
+"""Sequential Dependence Model ranking (Metzler & Croft, SIGIR 2005).
+
+The classic term-proximity ranker: a document scores the weighted sum
+of three Dirichlet-smoothed query-likelihood feature classes —
+
+* **T** — query unigrams (plain QL, as in ``operators.qlm``);
+* **O** — ordered adjacent pairs ``#1(q_i q_{i+1})``: occurrences of
+  the exact bigram in the document;
+* **U** — unordered window-8 pairs ``#uw8(q_i q_{i+1})``: position
+  pairs of the two terms within distance 7 (either order).
+
+``score(d) = 0.75 * sum_T f(c_T) + 0.125 * sum_O f(c_O)
+           + 0.125 * sum_U f(c_U)`` with
+``f(c) = ln((c + mu * cf/C) / (dl + mu))`` — the canonical (0.85,
+0.1, 0.05)-style weights rounded to DYADIC values so the final
+combination is IEEE-exact. All feature counts are integers; cf is the
+feature's corpus-wide count; C the total token count; dl the unigram
+doc length (the standard simplification of using the unigram length
+for every class).
+
+Determinism contract: per-class scores fold in sorted feature order
+(the sorted-struct fold every scorer here uses); pair counts are pure
+integer HOF expressions over the positional arrays; the 3-way
+combination is a fixed dyadic expression. Candidates = docs matching
+>= 1 known query unigram; every known feature contributes (absent
+features pay the smoothed background), features with zero corpus
+count are dropped (their smoothed probability is 0 — exactly the
+unknown-term rule of ``qlm``).
+
+Scale shape: unigram legs are the ``qlm`` plan (pushed term-IN scan +
+broadcast stats). Pair counts join the query pair's TWO positional
+rows per doc (a pushed 2-term IN scan, self-joined on doc_id) and
+count pairs with an O(|p1|*|p2|) array expression per doc — bounded
+by per-doc term frequency, never corpus-shaped. Corpus-wide pair cfs
+are one aggregation over the same joined frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MU = 300.0
+W_T, W_O, W_U = 0.75, 0.125, 0.125  # dyadic — exact combination
+WINDOW = 8  # unordered window size (#uw8): |p1 - p2| <= WINDOW - 1
+
+
+def pair_counts(
+    positional: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """(feature, kind, doc_id, c) integer counts for each query pair:
+    kind 'o' = ordered adjacent (p2 == p1 + 1), kind 'u' = unordered
+    within the window (0 < |p2 - p1| <= WINDOW-1). ``feature`` is
+    "a b" for the ordered pair and "a~b" for the unordered one."""
+    spark = positional.sparkSession
+    terms = sorted({t for p in pairs for t in p})
+    pos = positional.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", "positions"
+    )
+    pf = spark.createDataFrame(
+        sorted(set(pairs)), "t1 string, t2 string"
+    )
+    pos1 = pos.select(
+        F.col("term").alias("t1"), "doc_id", F.col("positions").alias("p1")
+    )
+    pos2 = pos.select(
+        F.col("term").alias("t2"), "doc_id", F.col("positions").alias("p2")
+    )
+    joined = pf.join(pos1, "t1").join(pos2, ["t2", "doc_id"])
+    o_cnt = F.size(
+        F.filter("p1", lambda p: F.array_contains("p2", p + 1))
+    ).cast("long")
+    u_cnt = F.aggregate(
+        "p1",
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                "p2",
+                lambda q: (F.abs(q - p) <= F.lit(WINDOW - 1)) & (q != p),
+            )
+        ),
+    ).cast("long")
+    base = joined.select(
+        F.concat_ws(" ", "t1", "t2").alias("ofeat"),
+        F.concat_ws("~", "t1", "t2").alias("ufeat"),
+        "doc_id",
+        o_cnt.alias("oc"),
+        u_cnt.alias("uc"),
+    )
+    o_rows = base.filter(F.col("oc") > 0).select(
+        F.col("ofeat").alias("feature"), F.lit("o").alias("kind"),
+        "doc_id", F.col("oc").alias("c"),
+    )
+    u_rows = base.filter(F.col("uc") > 0).select(
+        F.col("ufeat").alias("feature"), F.lit("u").alias("kind"),
+        "doc_id", F.col("uc").alias("c"),
+    )
+    return o_rows.unionByName(u_rows)
+
+
+def _class_scores(
+    feats: DataFrame,  # (feature, doc_id, c) for ONE class
+    cand: DataFrame,  # (doc_id, dl)
+    total_terms: int,
+    mu: float,
+) -> DataFrame:
+    """(doc_id, s): Dirichlet QL fold over this class's known features
+    — every feature contributes to every candidate (absent pays the
+    background); features with zero corpus count never reach here."""
+    cf = feats.groupBy("feature").agg(F.sum("c").alias("cf"))
+    per = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(feats, ["doc_id", "feature"], "left")
+    )
+    contrib = F.log(
+        (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            + F.lit(mu) * F.col("cf").cast("double") / F.lit(float(total_terms))
+        )
+        / (F.col("dl").cast("double") + F.lit(mu))
+    )
+    return (
+        per.select("doc_id", F.struct(F.col("feature"), contrib.alias("v")).alias("fv"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("fv")).alias("fvs"))
+        .select(
+            "doc_id",
+            F.aggregate("fvs", F.lit(0.0), lambda acc, x: acc + x["v"]).alias("s"),
+        )
+    )
+
+
+def sdm_topk(
+    postings: DataFrame,
+    positional: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    query_terms: list[str],
+    doclen: DataFrame,
+    k: int = 10,
+    mu: float = MU,
+) -> DataFrame:
+    """Top-k (doc_id, score) under the sequential dependence model.
+    ``query_terms`` is the ORDERED query (adjacent pairs are taken in
+    sequence); ties break (score DESC, doc_id ASC)."""
+    uni = sorted(set(query_terms))
+    known = {
+        r["term"] for r in
+        dictionary.filter(F.col("term").isin(uni)).select("term").collect()
+    }
+    uni = [t for t in uni if t in known]
+    pairs = [
+        (a, b)
+        for a, b in zip(query_terms, query_terms[1:])
+        if a in known and b in known and a != b
+    ]
+    matched = postings.filter(F.col("term").isin(uni))
+    cand = matched.select("doc_id").distinct().join(doclen, "doc_id")
+
+    t_feats = matched.select(
+        F.col("term").alias("feature"), "doc_id", F.col("tf").alias("c")
+    )
+    s_t = _class_scores(t_feats, cand, total_terms, mu).withColumnRenamed("s", "st")
+
+    pc = pair_counts(positional, pairs) if pairs else None
+    out = cand.select("doc_id").join(s_t, "doc_id")
+    w_expr = F.lit(W_T) * F.col("st")
+    for kind, col in (("o", "so"), ("u", "su")):
+        if pc is None:
+            continue
+        feats = pc.filter(F.col("kind") == kind).select("feature", "doc_id", "c")
+        s_k = _class_scores(feats, cand, total_terms, mu).withColumnRenamed("s", col)
+        out = out.join(s_k, "doc_id", "left")
+        w_expr = w_expr + F.lit(W_O if kind == "o" else W_U) * F.coalesce(
+            F.col(col), F.lit(0.0)
+        )
+    return (
+        out.select("doc_id", w_expr.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

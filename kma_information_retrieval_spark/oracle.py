@@ -205,6 +205,68 @@ class OracleIndex:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    # --- sequential dependence model (Metzler & Croft 2005) ---
+    def sdm_topk(self, query_terms: list[str], k: int = 10,
+                 mu: float = 300.0, window: int = 8) -> list[tuple[int, float]]:
+        """0.75*T + 0.125*O + 0.125*U Dirichlet feature folds; ordered
+        pairs = exact adjacency, unordered = 0 < |p1-p2| <= window-1
+        (either order); per-class fold in sorted feature-name order;
+        zero-corpus-count features dropped."""
+        uni = [t for t in sorted(set(query_terms)) if self.cf(t) > 0]
+        known = set(uni)
+        pairs = [(a, b) for a, b in zip(query_terms, query_terms[1:])
+                 if a in known and b in known and a != b]
+        total = sum(self.doclen.values())
+        cand: set[int] = set()
+        for t in uni:
+            cand |= self.docs_for(t)
+
+        def counts(a: str, b: str, ordered: bool) -> dict[int, int]:
+            out: dict[int, int] = {}
+            pa, pb = self.positions.get(a, {}), self.positions.get(b, {})
+            for d in set(pa) & set(pb):
+                c = 0
+                sb = set(pb[d])
+                for p in pa[d]:
+                    if ordered:
+                        c += (p + 1) in sb
+                    else:
+                        c += sum(1 for q in pb[d]
+                                 if q != p and abs(q - p) <= window - 1)
+                if c:
+                    out[d] = c
+            return out
+
+        o_feats = {}
+        u_feats = {}
+        for a, b in sorted(set(pairs)):
+            oc = counts(a, b, True)
+            if oc:
+                o_feats[f"{a} {b}"] = oc
+            uc = counts(a, b, False)
+            if uc:
+                u_feats[f"{a}~{b}"] = uc
+
+        def fold(feats: dict[str, dict[int, int]], d: int, dl: int) -> float:
+            s = 0.0
+            for f in sorted(feats):
+                byd = feats[f]
+                cf = sum(byd.values())
+                c = byd.get(d, 0)
+                s += math.log((c + mu * cf / total) / (dl + mu))
+            return s
+
+        t_feats = {t: self.tf[t] for t in uni}
+        out = []
+        for d in sorted(cand):
+            dl = self.doclen[d]
+            st = fold(t_feats, d, dl)
+            so = fold(o_feats, d, dl) if o_feats else 0.0
+            su = fold(u_feats, d, dl) if u_feats else 0.0
+            out.append((d, 0.75 * st + 0.125 * so + 0.125 * su))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     # --- boolean expression evaluation (grammar: OR < AND < NOT, parens) ---
     def search(self, query: str) -> set[int]:
         return _BoolEval(self).eval(query)

@@ -1,0 +1,76 @@
+"""Sequential dependence model vs the pure-Python oracle — the same
+rank-identity contract as BM25/QL (docID sequence equality, scores at
+rel 1e-12, tie-break score DESC / doc ASC)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark.operators import sdm
+
+SDM_QUERIES = [
+    ["information", "retrieval"],
+    ["index", "shard", "compute"],
+    ["hello", "world"],
+    ["token", "query", "score", "block"],
+    ["missingterm", "index", "shard"],  # unknown term dropped from pairs too
+    ["compute", "compute", "test"],     # repeated term: a==b pair skipped
+]
+
+
+def _run(indexes, terms, k=10):
+    total = int(indexes.dictionary.agg(F.sum("cf")).collect()[0][0])
+    return sdm.sdm_topk(
+        indexes.postings, indexes.positional, indexes.dictionary,
+        total, terms, doclen=indexes.doclen, k=k,
+    ).collect()
+
+
+@pytest.mark.parametrize("terms", SDM_QUERIES, ids=["_".join(t) for t in SDM_QUERIES])
+def test_sdm_rank_identity(indexes, oracle, terms):
+    got = _run(indexes, terms)
+    want = oracle.sdm_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12), (r["doc_id"], r["score"], s)
+
+
+def test_sdm_proximity_actually_matters(oracle):
+    """The O/U legs must change at least one ranking vs plain QL-style
+    term scoring (weights 1/0/0 == pure T fold)."""
+    diffs = 0
+    for terms in SDM_QUERIES[:4]:
+        t_only = [d for d, _ in oracle.ql_topk(terms, 10)]
+        full = [d for d, _ in oracle.sdm_topk(terms, 10)]
+        diffs += t_only != full
+    assert diffs > 0
+
+
+def test_sdm_pair_counts_handcorpus(spark):
+    """Hand corpus pinning the O and U definitions."""
+    from kma_information_retrieval_spark import operators as ops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gap gap gap gap gap gap alpha xxx beta"),
+         (2, "beta alpha"),
+         (3, "alpha gap beta alpha beta")],
+        "doc_id bigint, content string",
+    )
+    positional = ops.positional_index(ops.token_frame(docs))
+    got = {
+        (r["feature"], r["kind"], r["doc_id"]): r["c"]
+        for r in sdm.pair_counts(positional, [("alpha", "beta")]).collect()
+    }
+    # doc1: alpha@0,8 beta@1,10 -> ordered: (0,1) =1; unordered |d|<=7:
+    # (0,1) yes, (0,10) no, (8,1) |7| yes, (8,10) yes -> 3
+    # doc2: alpha@1 beta@0 -> ordered 0 (absent); unordered (1,0) -> 1
+    # doc3: alpha@0,3 beta@2,4 -> ordered (3,4) -> 1; unordered all 4 pairs
+    assert got[("alpha beta", "o", 1)] == 1
+    assert got[("alpha~beta", "u", 1)] == 3
+    assert ("alpha beta", "o", 2) not in got
+    assert got[("alpha~beta", "u", 2)] == 1
+    assert got[("alpha beta", "o", 3)] == 1
+    assert got[("alpha~beta", "u", 3)] == 4
