@@ -1524,9 +1524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grep_literal", "q_identifier_split", "q_dsir_weights",
         # end-of-r5 ranking family (Dirichlet query likelihood, RM3
         # relevance feedback, hybrid BM25+vector RRF fusion; the other
-        # four end-of-r5 features — synonym fold, champion lists,
-        # prefix suggest, field collapsing — stay in the judge-run tail
-        # this round, every slot being spoken for)
+        # end-of-r5 features — synonym fold, champion lists, prefix
+        # suggest, field collapsing, MaxScore, the eval harness,
+        # corpus-law diagnostics, doc-id reordering, Rocchio, SDM —
+        # stay in the judge-run tail this round, every slot being
+        # spoken for)
         "q_ql_topk", "q_rm3_topk", "q_hybrid_rrf",
     ]
     assert len(first_50) == 50 and set(first_50) <= set(q), (
