@@ -539,6 +539,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_sdm_topk"] = q_sdm
 
+    # percolator / reverse search: which stored queries match each doc
+    PERC_QUERIES = {
+        "alert_sj": ["spark", "join"],
+        "alert_big": ["merge", "sort", "table"],
+        "alert_miss": ["zzznone", "spark"],
+    }
+
+    def q_percolate(s, d):
+        from kma_information_retrieval_spark.operators.percolate import percolate
+
+        b = _bundle(s, d)
+        return percolate(
+            b.postings.select("doc_id", "term"), PERC_QUERIES,
+            min_match={"alert_miss": 1},
+        )
+    q["q_percolate"] = q_percolate
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -3059,6 +3076,24 @@ fin AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM fin
 ORDER BY fin.score DESC, doc_id LIMIT 10"""
+
+    # percolator: stored queries exploded to (query_id, term, need);
+    # match = count of distinct shared terms >= need
+    _perc = {"alert_sj": ["join", "spark"],
+             "alert_big": ["merge", "sort", "table"],
+             "alert_miss": ["spark", "zzznone"]}
+    _perc_need = {"alert_miss": 1}
+    _perc_vals = ", ".join(
+        f"('{qid}', '{t}', {_perc_need.get(qid, len(ts))})"
+        for qid, ts in sorted(_perc.items()) for t in sorted(set(ts))
+    )
+    o["q_percolate"] = f"""{W},
+qi AS (SELECT * FROM (VALUES {_perc_vals}) v(query_id, term, need)),
+dt AS (SELECT DISTINCT doc_id, term FROM tf)
+SELECT doc_id, query_id, count(*)::int AS n_matched
+FROM dt JOIN qi USING (term)
+GROUP BY doc_id, query_id, need
+HAVING count(*) >= need"""
 
     # composed results page: BM25 top-10 joined to the best-window
     # snippet for the same terms (both legs are the oracles above)

@@ -628,6 +628,14 @@ def main() -> None:
     timed("sdm_topk", lambda: sdm_mod.sdm_topk(
         post, bundle.positional, dic, _sdm_total, ["spark", "query", "join"],
         doclen=doclen, k=10).collect())
+    # percolator: 64 stored alert queries against the whole batch
+    from kma_information_retrieval_spark.operators.percolate import percolate
+    _vocab_head = [r["term"] for r in dic.orderBy(
+        F.desc("cf"), "term").limit(16).collect()]
+    _stored = {f"alert{i}": [_vocab_head[i % 16], _vocab_head[(i * 7 + 3) % 16]]
+               for i in range(64)}
+    timed("percolate64", lambda: percolate(
+        post.select("doc_id", "term"), _stored).count())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

@@ -1,0 +1,72 @@
+"""Percolator / reverse search: match DOCUMENTS against stored QUERIES.
+
+The Elasticsearch-percolate / Lucene-Monitor shape, used for alerting
+and routing: thousands of standing queries are registered up front;
+each incoming document batch asks "which queries match this doc?".
+This inverts the usual direction — the query table is the indexed
+side, the documents stream through.
+
+Queries here are conjunctive bags of required terms plus an optional
+minimum-match count (Lucene's minimum_should_match): a (query_id,
+terms) row matches a doc iff the doc contains >= min_match distinct
+terms of the query (min_match = len(terms) is pure AND; smaller values
+give OR-ish alerting).
+
+Scale shape: the stored-query table explodes ONCE into (query_id,
+term) pairs — that inverted query index is tiny relative to any
+corpus and broadcasts; matching a document batch is one semi-join of
+the batch's distinct (doc_id, term) pairs against it plus one
+(doc_id, query_id)-keyed count — no per-query scan, cost linear in
+the batch's token count times the average number of queries sharing a
+term (the selectivity stored-query systems are designed around). The
+same frame works under Structured Streaming (the join is
+stateless-stream-static).
+
+Determinism: integer match counts, tie-free output (doc_id, query_id,
+n_matched) — fully SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def query_index(queries: dict[str, list[str]]) -> list[tuple[str, str, int]]:
+    """Flatten stored queries to (query_id, term, n_required) rows —
+    the registration-time artifact (persist it; re-register rarely)."""
+    out = []
+    for qid, terms in sorted(queries.items()):
+        ts = sorted(set(terms))
+        for t in ts:
+            out.append((qid, t, len(ts)))
+    return out
+
+
+def percolate(
+    tokens: DataFrame,
+    queries: dict[str, list[str]],
+    min_match: dict[str, int] | None = None,
+) -> DataFrame:
+    """(doc_id, query_id, n_matched) for every stored query a document
+    satisfies. ``tokens`` is the engine token frame (doc_id, term) of
+    the incoming batch; ``min_match`` overrides the per-query required
+    count (default: all of the query's distinct terms — pure AND)."""
+    spark = tokens.sparkSession
+    rows = query_index(queries)
+    mm = dict(min_match or {})
+    qi = spark.createDataFrame(
+        [
+            (qid, t, int(mm.get(qid, n)))
+            for qid, t, n in rows
+        ],
+        "query_id string, term string, need int",
+    )
+    doc_terms = tokens.select("doc_id", "term").distinct()
+    return (
+        doc_terms.join(F.broadcast(qi), "term")
+        .groupBy("doc_id", "query_id", "need")
+        .agg(F.count("*").cast("int").alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("need"))
+        .select("doc_id", "query_id", "n_matched")
+    )

@@ -1,0 +1,59 @@
+"""Percolator (reverse search) vs a pure-Python replay."""
+
+from __future__ import annotations
+
+from kma_information_retrieval_spark import operators as ops
+from kma_information_retrieval_spark.operators.percolate import percolate
+
+QUERIES = {
+    "alert_ir": ["information", "retrieval"],
+    "alert_idx": ["index", "shard", "compute"],
+    "alert_hello": ["hello", "world"],
+    "alert_missing": ["zzznotaterm", "index"],
+}
+
+
+def _py_percolate(oracle, queries, min_match=None):
+    mm = dict(min_match or {})
+    out = set()
+    docs_terms: dict[int, set[str]] = {}
+    for t, byd in oracle.tf.items():
+        for d in byd:
+            docs_terms.setdefault(d, set()).add(t)
+    for qid, terms in queries.items():
+        ts = sorted(set(terms))
+        need = mm.get(qid, len(ts))
+        for d, dts in docs_terms.items():
+            n = len(dts & set(ts))
+            if n >= need:
+                out.add((d, qid, n))
+    return out
+
+
+def test_percolate_matches_python(indexes, oracle):
+    toks = indexes.postings.select("doc_id", "term")
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(toks, QUERIES).collect()
+    }
+    assert got == _py_percolate(oracle, QUERIES)
+    # a query with an unknown required term can never fully match
+    assert not any(q == "alert_missing" for _, q, _ in got)
+
+
+def test_percolate_min_match(indexes, oracle):
+    toks = indexes.postings.select("doc_id", "term")
+    mm = {"alert_idx": 2, "alert_missing": 1}
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(toks, QUERIES, min_match=mm).collect()
+    }
+    want = _py_percolate(oracle, QUERIES, mm)
+    assert got == want
+    # min_match=1 resurrects the query with one unknown term
+    assert any(q == "alert_missing" for _, q, _ in got)
+    # and the AND queries are a subset of the relaxed ones
+    strict = _py_percolate(oracle, QUERIES)
+    assert {x for x in strict if x[1] == "alert_idx"} <= {
+        x for x in want if x[1] == "alert_idx"
+    }
