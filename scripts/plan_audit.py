@@ -333,6 +333,40 @@ def main() -> None:
         "slices pay the per-prefix top-k window)")
     sections.append(("prefix term completion (2 prefixes)", frag))
 
+    # 20. SDM pair counts: both positional rows arrive via ONE pushed
+    # 2-term IN scan self-joined on doc_id; the O/U window counting is
+    # array expressions per row — no explode of positions, no Python
+    from kma_information_retrieval_spark.operators import sdm as sdm_mod
+
+    pos_dir = tempfile.mkdtemp(prefix="kma_plan_audit_pos_")
+    ops.positional_index(ops.token_frame(docs)).write.mode(
+        "overwrite").parquet(pos_dir)
+    pos_p = spark.read.parquet(pos_dir)
+    sdm_plan = plan_of(sdm_mod.pair_counts(
+        pos_p, [("spark", "query"), ("query", "join")]))
+    frag = fragments(sdm_plan)
+    frag.append(
+        f"pushed_term_in_list={'In(term' in sdm_plan or 'in(term' in sdm_plan} "
+        f"python_stages={sdm_plan.count('InPandas')} "
+        f"explodes={sdm_plan.count('Generate')} "
+        "(pair windows counted as array expressions on the joined "
+        "positional rows; positions never explode)")
+    sections.append(("SDM pair counts (2 query pairs)", frag))
+
+    # 21. percolator: the stored-query index broadcasts; matching a
+    # batch is one broadcast semi-join + one (doc, query)-keyed count
+    from kma_information_retrieval_spark.operators.percolate import percolate
+
+    perc_plan = plan_of(percolate(
+        post_p.select("doc_id", "term"),
+        {"a1": ["spark", "join"], "a2": ["merge", "sort"]}))
+    frag = fragments(perc_plan)
+    frag.append(
+        f"broadcast_exchanges={perc_plan.count('BroadcastExchange')} "
+        "(stored-query index broadcast; the corpus side pays one "
+        "distinct + one count, no per-query scan)")
+    sections.append(("percolator (2 stored queries)", frag))
+
     for title, frags in sections:
         print(f"## {title}")
         for f in frags:
