@@ -148,6 +148,8 @@ def cmd_search(args, spark: SparkSession) -> int:
             idx, {"q": terms}, args.topk,
             strategy=getattr(args, "strategy", None),
         ).collect()
+        if not rows and getattr(args, "suggest_on_miss", False):
+            _print_miss_suggestions(idx, terms)
         return _emit_topk(
             spark, [(r["doc_id"], r["score"]) for r in rows], terms, args)
     try:
@@ -155,9 +157,42 @@ def cmd_search(args, spark: SparkSession) -> int:
     except KeyError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    for r in hits.orderBy("doc_id").collect():
+    out = hits.orderBy("doc_id").collect()
+    if not out and getattr(args, "suggest_on_miss", False):
+        import re
+
+        _print_miss_suggestions(
+            idx, [t for t in re.findall(r"[a-z0-9]+", args.query.lower())
+                  if t not in ("and", "or", "not")])
+    for r in out:
         print(r["doc_id"])
     return 0
+
+
+def _print_miss_suggestions(idx, terms: list[str]) -> None:
+    """Zero-hit UX: for each query term NOT in the vocabulary, print
+    'did you mean' corrections from the index's own trigram tables
+    (stderr, so stdout stays a clean doc-id/score stream)."""
+    from pyspark.sql import functions as F
+
+    from .operators.spelling import suggest_batch
+
+    vocab = idx.dictionary.select("term", "cf")
+    known = {
+        r["term"] for r in
+        vocab.filter(F.col("term").isin(sorted(set(terms)))).collect()
+    }
+    unknown = sorted(set(terms) - known)
+    if not unknown:
+        return
+    sugg = suggest_batch(vocab, idx.trigrams, unknown, k=3).collect()
+    by_q: dict[str, list[str]] = {}
+    for r in sugg:
+        by_q.setdefault(r["query"], []).append(r["term"])
+    for t in unknown:
+        alts = by_q.get(t)
+        if alts:
+            print(f"did you mean: {t} -> {', '.join(alts)}", file=sys.stderr)
 
 
 def cmd_grep(args, spark: SparkSession) -> int:
@@ -387,6 +422,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["exact", "wand", "maxscore"],
                    help="with --topk on a segment index: scoring kernel "
                         "(all three are rank-identical by contract)")
+    s.add_argument("--suggest-on-miss", action="store_true",
+                   help="zero hits: print 'did you mean' corrections for "
+                        "unknown query terms on stderr (trigram index)")
     s.set_defaults(fn=cmd_search)
 
     sg = sub.add_parser("suggest", help="term completion (--prefix) and "

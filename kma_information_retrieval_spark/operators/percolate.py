@@ -18,9 +18,11 @@ corpus and broadcasts; matching a document batch is one semi-join of
 the batch's distinct (doc_id, term) pairs against it plus one
 (doc_id, query_id)-keyed count — no per-query scan, cost linear in
 the batch's token count times the average number of queries sharing a
-term (the selectivity stored-query systems are designed around). The
-same frame works under Structured Streaming (the join is
-stateless-stream-static).
+term (the selectivity stored-query systems are designed around).
+Under Structured Streaming, run it per micro-batch via
+``foreachBatch`` (the join is stream-static; the per-doc match count
+is batch-local by design — alerting is per incoming document, not a
+running aggregate). Tested in ``tests/test_percolate.py``.
 
 Determinism: integer match counts, tie-free output (doc_id, query_id,
 n_matched) — fully SQL-replayable.

@@ -262,3 +262,35 @@ def test_cli_suggest_and_maxscore(spark, text_dir, tmp_path, capsys):
             baseline = got
         else:
             assert got == baseline, strat
+
+
+def test_cli_suggest_on_miss(spark, text_dir, tmp_path, capsys):
+    """Zero-hit searches print 'did you mean' corrections on stderr
+    while stdout stays a clean (empty) result stream."""
+    out = str(tmp_path / "idx_miss")
+    rc = main(["build", "--input", text_dir, "--output", out,
+               "--formats", "parquet", "--xml-body", "--suffix", ".txt",
+               "--num-segments", "4", "--mode", "code"], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["search", "--query", "compyte and worlld", "--dict", out,
+               "--suggest-on-miss"], spark=spark)
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert cap.out.strip() == ""
+    assert "did you mean: compyte ->" in cap.err and "compute" in cap.err
+    assert "did you mean: worlld ->" in cap.err and "world" in cap.err
+
+    # BM25 top-k path: same flag
+    rc = main(["search", "--query", "compyte", "--dict", out,
+               "--topk", "5", "--suggest-on-miss"], spark=spark)
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "did you mean: compyte ->" in cap.err
+
+    # hits present: no suggestion noise
+    rc = main(["search", "--query", "compute", "--dict", out,
+               "--suggest-on-miss"], spark=spark)
+    assert rc == 0
+    assert "did you mean" not in capsys.readouterr().err

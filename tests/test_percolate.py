@@ -57,3 +57,36 @@ def test_percolate_min_match(indexes, oracle):
     assert {x for x in strict if x[1] == "alert_idx"} <= {
         x for x in want if x[1] == "alert_idx"
     }
+
+
+def test_percolate_streaming_foreachbatch(spark, tmp_path, docs, oracle):
+    """The alerting deployment shape: a file stream of documents,
+    percolate per micro-batch via foreachBatch — union of per-batch
+    alerts must equal the whole-corpus result."""
+    from kma_information_retrieval_spark import operators as ops
+
+    src = str(tmp_path / "stream_src")
+    rows = [(r["doc_id"], r["content"]) for r in docs.collect()]
+    half = len(rows) // 2
+    schema = "doc_id bigint, content string"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    alerts: list[tuple] = []
+
+    def handle(batch_df, batch_id):
+        toks = ops.token_frame(batch_df).select("doc_id", "term")
+        for r in percolate(toks, QUERIES).collect():
+            alerts.append((r["doc_id"], r["query_id"], r["n_matched"]))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    q = stream.writeStream.foreachBatch(handle).start()
+    q.processAllAvailable()
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    assert set(alerts) == _py_percolate(oracle, QUERIES)
+    assert len(alerts) == len(set(alerts))  # each doc alerted exactly once
