@@ -556,6 +556,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_percolate"] = q_percolate
 
+    # Lucene-style score explanation: every BM25 factor per (doc, term)
+    def q_explain(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import bm25_explain
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        return bm25_explain(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], doclen=ops.doc_lengths(b.tokens),
+        )
+    q["q_bm25_explain"] = q_explain
+
     # search-engine composition: BM25 top-k restricted to a boolean
     # filter, semi-joined BEFORE the top-k truncation
     def q_bm25_filtered(s, d):
@@ -3094,6 +3106,21 @@ SELECT doc_id, query_id, count(*)::int AS n_matched
 FROM dt JOIN qi USING (term)
 GROUP BY doc_id, query_id, need
 HAVING count(*) >= need"""
+
+    # BM25 explain: every factor per (doc, term), display-rounded to 6
+    _ex_terms = ", ".join(f"'{t}'" for t in sorted({"spark", "query", "join"}))
+    o["q_bm25_explain"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term,
+       tf.tf::bigint AS tf, dl.dl::bigint AS dl, dfreq.df::bigint AS df,
+       round(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS idf,
+       round((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS tf_norm,
+       round(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)
+         AS contribution
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+WHERE tf.term IN ({_ex_terms})"""
 
     # composed results page: BM25 top-10 joined to the best-window
     # snippet for the same terms (both legs are the oracles above)

@@ -636,6 +636,10 @@ def main() -> None:
                for i in range(64)}
     timed("percolate64", lambda: percolate(
         post.select("doc_id", "term"), _stored).count())
+    from kma_information_retrieval_spark.operators.bm25 import bm25_explain
+    timed("bm25_explain", lambda: bm25_explain(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], doclen=doclen).count())
 
     # ---- curation operators (round 5): boilerplate removal over the
     # same banner-injected corpus the paragraph-dedup bench uses,

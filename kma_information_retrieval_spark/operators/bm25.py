@@ -286,3 +286,53 @@ def rm3_topk(
     )
     scores = bm25_scores_weighted(postings, dictionary, n_docs, avgdl, qw, doclen)
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------------------- explain
+
+
+def bm25_explain(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    doclen: DataFrame,
+) -> DataFrame:
+    """Lucene-style score explanation: one row per (doc_id, term) with
+    every factor of the BM25 contribution — (doc_id, term, tf, dl, df,
+    idf, tf_norm, contribution) — so a ranking can be audited term by
+    term ("why did doc X beat doc Y"). ``sum(contribution) grouped by
+    doc`` in ascending term order reproduces :func:`bm25_scores`
+    exactly (the fold contract); this frame is the audit trail, not a
+    new scorer.
+
+    Scale shape: identical to bm25_scores (pushed term-IN scan,
+    broadcast stats) — the output is postings-of-the-query-terms
+    sized, suitable for joining against a top-k frame to explain just
+    the winners."""
+    terms = sorted(set(query_terms))
+    matched = postings.filter(F.col("term").isin(terms))
+    if "dl" not in matched.columns:
+        matched = matched.join(doclen, "doc_id")
+    stats = dictionary.filter(F.col("term").isin(terms)).select("term", "df")
+    matched = matched.join(F.broadcast(stats), "term")
+    idf = idf_col(F.col("df").cast("double"), n_docs)
+    tf_norm = (
+        F.col("tf").cast("double")
+        * (K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + K1 * (1.0 - B + B * F.col("dl").cast("double") / F.lit(float(avgdl)))
+        )
+    )
+    return matched.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.round(idf, 6).alias("idf"),
+        F.round(tf_norm, 6).alias("tf_norm"),
+        F.round(idf * tf_norm, 6).alias("contribution"),
+    )

@@ -179,3 +179,38 @@ def test_rm3_expansion_changes_ranking(indexes, oracle):
         rm3 = [d for d, _ in oracle.rm3_topk(terms, 10)]
         diffs += plain != rm3
     assert diffs > 0
+
+
+def test_bm25_explain_reconstructs_scores(indexes, oracle):
+    """The explain frame's per-term factors must multiply/compose back
+    to the python oracle's contributions, and summing contributions in
+    ascending term order reproduces bm25_scores exactly (at the
+    explain frame's 6-decimal display rounding)."""
+    from kma_information_retrieval_spark.operators.bm25 import bm25_explain
+
+    terms = ["index", "shard", "compute"]
+    rows = bm25_explain(
+        indexes.postings, indexes.dictionary,
+        indexes.stats["n_docs"], indexes.stats["avgdl"], terms,
+        doclen=indexes.doclen,
+    ).collect()
+    assert rows and {r["term"] for r in rows} <= set(terms)
+    K1, B = 1.2, 0.75
+    for r in rows[:200]:
+        tf, dl, df = r["tf"], r["dl"], r["df"]
+        assert df == oracle.df(r["term"]) and tf == oracle.tf[r["term"]][r["doc_id"]]
+        idf = math.log(1.0 + (oracle.n_docs - df + 0.5) / (df + 0.5))
+        tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / oracle.avgdl))
+        assert math.isclose(r["idf"], round(idf, 6), abs_tol=1.5e-6)
+        assert math.isclose(r["tf_norm"], round(tfn, 6), abs_tol=1.5e-6)
+        assert math.isclose(r["contribution"], round(idf * tfn, 6), abs_tol=1.5e-6)
+    # reconstruct doc scores from contributions (ascending term order)
+    per_doc: dict[int, list[tuple[str, float]]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["term"], r["contribution"]))
+    want = dict(oracle.bm25_topk(terms, 10_000))
+    for d, tcs in per_doc.items():
+        s = 0.0
+        for _, c in sorted(tcs):
+            s += c
+        assert math.isclose(s, want[d], abs_tol=len(tcs) * 1e-6), d
