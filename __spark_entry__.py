@@ -485,6 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.zipf_fit(b.dictionary, top_n=10_000)
     q["q_zipf_fit"] = q_zipf
 
+    def q_heaps(s, d):
+        b = _bundle(s, d)
+        return ops.heaps_fit(b.postings, 10)
+    q["q_heaps_fit"] = q_heaps
+
     # index-layout optimization: source-clustered doc-id reordering
     # (URL-sort heuristic) and its exact varbyte-cost effect
     def q_docid_cluster(s, d):
@@ -2217,6 +2222,49 @@ SELECT base.bucket AS bucket,
        (sum(coalesce(toks, 0)) OVER (ORDER BY base.bucket))::bigint AS cum_tokens,
        (sum(coalesce(vocab, 0)) OVER (ORDER BY base.bucket))::bigint AS cum_vocab
 FROM base LEFT JOIN tok USING (bucket) LEFT JOIN voc USING (bucket)"""
+
+    # Heaps fit: the growth table's log-log regression with the same
+    # milli quantization and fixed float combination as q_zipf_fit
+    o["q_heaps_fit"] = f"""{W},
+mx AS (SELECT max(doc_id) AS m FROM tf),
+tok AS (
+  SELECT least(9, floor(10 * doc_id / (m + 1)))::int AS bucket, sum(tf) AS toks
+  FROM tf CROSS JOIN mx GROUP BY 1
+),
+voc AS (
+  SELECT least(9, floor(10 * first_doc / (m + 1)))::int AS bucket,
+         count(*) AS vocab
+  FROM (SELECT term, min(doc_id) AS first_doc FROM tf GROUP BY term)
+  CROSS JOIN mx GROUP BY 1
+),
+base AS (SELECT unnest(range(10))::int AS bucket),
+growth AS (
+  SELECT base.bucket,
+         (sum(coalesce(toks, 0)) OVER (ORDER BY base.bucket))::bigint AS ct,
+         (sum(coalesce(vocab, 0)) OVER (ORDER BY base.bucket))::bigint AS cv
+  FROM base LEFT JOIN tok USING (bucket) LEFT JOIN voc USING (bucket)
+),
+pts AS (
+  SELECT round(ln(ct) * 1000)::bigint AS x, round(ln(cv) * 1000)::bigint AS y
+  FROM growth WHERE ct > 0 AND cv > 0
+),
+agg AS (
+  SELECT count(*)::bigint AS n, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+       round( (n::double * (sxy::double / 1000000.0)
+               - (sx::double / 1000.0) * (sy::double / 1000.0))
+            / (n::double * (sxx::double / 1000000.0)
+               - (sx::double / 1000.0) * (sx::double / 1000.0)), 6) AS beta,
+       round( ((sy::double / 1000.0)
+               - ( (n::double * (sxy::double / 1000000.0)
+                    - (sx::double / 1000.0) * (sy::double / 1000.0))
+                 / (n::double * (sxx::double / 1000000.0)
+                    - (sx::double / 1000.0) * (sx::double / 1000.0)) )
+                 * (sx::double / 1000.0)) / n::double, 6) AS ln_k
+FROM agg"""
 
     # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
     # the identical fixed float expression

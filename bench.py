@@ -596,6 +596,7 @@ def main() -> None:
         10).collect())
     timed("vocab_growth", lambda: ops.vocabulary_growth(post, 10).collect())
     timed("zipf_fit", lambda: ops.zipf_fit(dic, top_n=10_000).collect())
+    timed("heaps_fit", lambda: ops.heaps_fit(post, 10).collect())
     # doc-id reordering: exact varbyte cost before/after source
     # clustering over the SF corpus (dense sequential ids at this SF
     # keep most gaps < 128, so expect parity here — the operator's

@@ -477,3 +477,42 @@ def posting_gap_bytes(post: DataFrame) -> DataFrame:
     return post.select(vb_len.alias("b")).agg(
         F.sum("b").cast("long").alias("total_vb_bytes")
     )
+
+
+def heaps_fit(post: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps'-law fit V = k * T^beta over the :func:`vocabulary_growth`
+    checkpoints: least squares of ln(cum_vocab) vs ln(cum_tokens) —
+    one row (n_points, beta, ln_k), beta ~ 0.4-0.6 for natural text
+    (IIR §5.1.1). Same determinism recipe as :func:`zipf_fit`:
+    milli-quantized int64 logs, exact integer sums (n_points is the
+    constant ``n_buckets``), fixed float combination. Empty buckets
+    (zero cumulative counts, possible only before the first doc
+    bucket) are dropped."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    g = vocabulary_growth(post, n_buckets).filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    )
+    q = lambda c: F.round(F.log(c) * 1e3, 0).cast("long")  # noqa: E731
+    pts = g.select(
+        q(F.col("cum_tokens").cast("double")).alias("x"),
+        q(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e3
+    sy = F.col("sy").cast("double") / 1e3
+    sxy = F.col("sxy").cast("double") / 1e6
+    sxx = F.col("sxx").cast("double") / 1e6
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round((sy - beta * sx) / n, 6).alias("ln_k"),
+    )

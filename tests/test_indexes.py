@@ -285,3 +285,37 @@ def test_cluster_doc_ids_strictly_helps_on_source_vocab(spark):
         "term", F.col("new_id").alias("doc_id"), "tf")
     clus = ops.posting_gap_bytes(remapped).collect()[0]["total_vb_bytes"]
     assert clus < orig, (clus, orig)
+
+
+def test_heaps_fit(indexes, oracle):
+    """log-log least squares over the growth checkpoints vs a python
+    replay; beta in (0, 1) for the synthetic corpus."""
+    import math
+
+    from kma_information_retrieval_spark import operators as ops
+
+    B = 10
+    row = ops.heaps_fit(indexes.postings, B).collect()[0]
+    max_id = max(d for byd in oracle.tf.values() for d in byd)
+    bkt = lambda d: min(B - 1, B * d // (max_id + 1))  # noqa: E731
+    toks, voc = [0] * B, [0] * B
+    for t, byd in oracle.tf.items():
+        voc[bkt(min(byd))] += 1
+        for d, n in byd.items():
+            toks[bkt(d)] += n
+    pts, ct, cv = [], 0, 0
+    for b in range(B):
+        ct += toks[b]
+        cv += voc[b]
+        if ct > 0 and cv > 0:
+            pts.append((round(math.log(ct) * 1e3), round(math.log(cv) * 1e3)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts) / 1e3
+    sy = sum(y for _, y in pts) / 1e3
+    sxy = sum(x * y for x, y in pts) / 1e6
+    sxx = sum(x * x for x, _ in pts) / 1e6
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_points"] == n
+    assert math.isclose(row["beta"], round(beta, 6), abs_tol=1.5e-6)
+    assert math.isclose(row["ln_k"], round((sy - beta * sx) / n, 6), abs_tol=1.5e-6)
+    assert 0.0 < row["beta"] < 1.0
