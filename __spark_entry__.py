@@ -382,6 +382,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("rrf", 6).alias("rrf"))
     q["q_hybrid_rrf"] = q_hybrid
 
+    # 3-way fusion: BM25 + Dirichlet QL + embedding cosine — the
+    # n-list generality of the same operator (fold stays exact: the
+    # oracle sums coalesced terms in the identical list-index order)
+    def q_hybrid3(s, d):
+        from kma_information_retrieval_spark.operators import fusion, qlm
+        from kma_information_retrieval_spark.operators.bm25 import bm25_scores
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        dl = ops.doc_lengths(b.tokens)
+        terms = ["spark", "query", "join"]
+        lex = bm25_scores(b.postings, b.dictionary, n_docs, avgdl, terms, doclen=dl)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        ql = qlm.ql_scores(b.postings, b.dictionary, total, terms, doclen=dl)
+        emb = _emb(s, d)
+        qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+        vec = ann.cosine_scores(emb, qv).select(
+            F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+        )
+        return fusion.rrf_fuse(
+            [(lex, "doc_id", "score"), (ql, "doc_id", "score"),
+             (vec, "doc_id", "score")],
+            k=60, depth=100, topk=10,
+        ).select("doc_id", F.round("rrf", 6).alias("rrf"))
+    q["q_hybrid_rrf3"] = q_hybrid3
+
     # field collapsing: one result per source for the BM25 ranking
     def q_collapse(s, d):
         from kma_information_retrieval_spark.operators import fusion
@@ -2051,6 +2077,60 @@ fused AS (
   SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
          coalesce(1.0 / (60 + l.r), 0.0) + coalesce(1.0 / (60 + v.r), 0.0) AS rrf
   FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY fused.rrf DESC, doc_id LIMIT 10"""
+
+    # 3-way RRF: BM25 + Dirichlet QL + cosine; coalesced contributions
+    # sum left-to-right in list-index order (exact: adding 0.0 and
+    # summing <= 3 doubles in a fixed order)
+    from kma_information_retrieval_spark.operators.qlm import MU as _QL_MU3
+    o["q_hybrid_rrf3"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_hy_terms})
+  GROUP BY tf.doc_id
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM s1 QUALIFY r <= 100
+),
+ct AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+qts AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ({_hy_terms}) GROUP BY term),
+qcand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_hy_terms})),
+qls AS (
+  SELECT c.doc_id,
+         sum( ln( (coalesce(x.tf, 0) + {_QL_MU3!r}::double * qts.cf / ct.ctot)
+                  / (dl.dl + {_QL_MU3!r}::double) ) ) AS score
+  FROM qcand c JOIN dl USING (doc_id) CROSS JOIN ct CROSS JOIN qts
+  LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = qts.term
+  GROUP BY c.doc_id
+),
+qlr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM qls QUALIFY r <= 100
+),
+q3 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vc AS (SELECT a.vec_id AS doc_id, round({cos.replace("b.embedding", "b.embedding")}, 4) AS c
+       FROM embeddings a CROSS JOIN q3 b),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM vc QUALIFY r <= 100
+),
+lq AS (
+  SELECT coalesce(l.doc_id, q.doc_id) AS doc_id, l.r AS lr, q.r AS qr
+  FROM lexr l FULL OUTER JOIN qlr q ON l.doc_id = q.doc_id
+),
+fused AS (
+  SELECT coalesce(lq.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + lq.lr), 0.0) + coalesce(1.0 / (60 + lq.qr), 0.0)
+           + coalesce(1.0 / (60 + v.r), 0.0) AS rrf
+  FROM lq FULL OUTER JOIN vecr v ON lq.doc_id = v.doc_id
 )
 SELECT doc_id, round(rrf, 6) AS rrf FROM fused
 ORDER BY fused.rrf DESC, doc_id LIMIT 10"""
