@@ -516,6 +516,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.heaps_fit(b.postings, 10)
     q["q_heaps_fit"] = q_heaps
 
+    # federated resource selection: source-clustered range shards
+    # ranked by CORI belief for a query — the "query only the top-k of
+    # 1000 shards" primitive, composed with cluster_doc_ids
+    def q_cori(s, d):
+        from kma_information_retrieval_spark.operators.federation import (
+            cori_shard_scores,
+            shard_stats,
+        )
+
+        b = _bundle(s, d)
+        meta = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        mapping = ops.cluster_doc_ids(meta, "source")
+        n_docs = meta.count()
+        stats = shard_stats(b.postings, mapping, 8, n_docs)
+        return cori_shard_scores(
+            stats, ["spark", "query", "join"], 8
+        ).select("shard", F.round("score", 6).alias("score"))
+    q["q_cori_shards"] = q_cori
+
     # index-layout optimization: source-clustered doc-id reordering
     # (URL-sort heuristic) and its exact varbyte-cost effect
     def q_docid_cluster(s, d):
@@ -2345,6 +2364,41 @@ SELECT n AS n_points,
                     - (sx::double / 1000.0) * (sx::double / 1000.0)) )
                  * (sx::double / 1000.0)) / n::double, 6) AS ln_k
 FROM agg"""
+
+    # CORI resource selection: shard = range bucket over the source-
+    # clustered new ids; belief = 0.4 + 0.6*T*I with the standard
+    # constants; score = mean belief over known query terms
+    _cori_terms = ", ".join(f"'{t}'" for t in sorted({"spark", "query", "join"}))
+    o["q_cori_shards"] = f"""{W},
+m AS (SELECT doc_id, (row_number() OVER (ORDER BY source, doc_id) - 1)::bigint AS new_id
+      FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+sh AS (SELECT doc_id, least(7, floor(8 * new_id / n))::int AS shard
+       FROM m CROSS JOIN nd),
+sdocs AS (SELECT shard, count(*)::bigint AS shard_docs FROM sh GROUP BY shard),
+dfst AS (
+  SELECT shard, term, count(*)::bigint AS df
+  FROM tf JOIN sh USING (doc_id)
+  WHERE term IN ({_cori_terms})
+  GROUP BY shard, term
+),
+cfq AS (SELECT term, count(*)::bigint AS cf FROM dfst GROUP BY term),
+avgsw AS (SELECT avg(shard_docs) AS a FROM sdocs),
+per AS (
+  SELECT s.shard, c.term, coalesce(d.df, 0)::bigint AS df, s.shard_docs, c.cf
+  FROM sdocs s CROSS JOIN cfq c
+  LEFT JOIN dfst d ON d.shard = s.shard AND d.term = c.term
+),
+bel AS (
+  SELECT shard,
+         0.4 + 0.6
+           * (df::double / (df::double + 50.0 + 150.0 * shard_docs::double / a))
+           * (ln((8 + 0.5) / cf::double) / ln(8 + 1.0)) AS v
+  FROM per CROSS JOIN avgsw
+),
+sc AS (SELECT shard, sum(v) / count(*) AS score FROM bel GROUP BY shard)
+SELECT shard, round(score, 6) AS score FROM sc
+ORDER BY sc.score DESC, shard"""
 
     # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
     # the identical fixed float expression

@@ -615,6 +615,15 @@ def main() -> None:
     reorder_bytes["clustered"] = timed(
         "reorder_bytes_clustered",
         lambda: ops.posting_gap_bytes(_remap).collect()[0]["total_vb_bytes"])
+    # CORI resource selection over 32 source-clustered range shards
+    from kma_information_retrieval_spark.operators.federation import (
+        cori_shard_scores, shard_stats)
+    _fed_map = ops.cluster_doc_ids(sf_meta, "source")
+    _fed_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    _fed_stats = shard_stats(sf_post, _fed_map, 32, _fed_n).cache()
+    timed("cori_shard_stats", lambda: _fed_stats.count())
+    timed("cori_select", lambda: cori_shard_scores(
+        _fed_stats, ["spark", "query", "join"], 32, topk=4).collect())
     # Rocchio vector-space feedback (BM25 top-5 -> exact-int q')
     from kma_information_retrieval_spark.operators import textstats
 

@@ -1,0 +1,108 @@
+"""Resource selection for federated / sharded search (CORI).
+
+At 1000-executor scale a query should not fan out to every index
+shard: resource selection ranks shards by how promising they look for
+the query and the query runs only on the top-k (Callan, Lu & Croft,
+SIGIR 1995 — the CORI inference network; the same shape Elasticsearch
+calls adaptive shard routing). This pays off exactly when shards are
+TOPICALLY clustered — which :func:`..operators.indexes.cluster_doc_ids`
+produces (source-clustered dense ids + range sharding = shards that
+specialize), closing the loop with the doc-id-reordering operator.
+
+CORI belief for shard s and term t (standard constants):
+
+    T = df_st / (df_st + 50 + 150 * sw_s / avg_sw)
+    I = ln((n_shards + 0.5) / cf_t) / ln(n_shards + 1.0)
+    belief(s, t) = b + (1 - b) * T * I,   b = 0.4
+
+where df_st = docs containing t in shard s, sw_s = shard s's doc
+count, cf_t = number of shards containing t. score(s) = mean belief
+over the query terms, folded in ascending term order (the repo-wide
+fold contract); terms no shard contains are dropped.
+
+Scale shape: shard stats are one (shard, term)-keyed aggregation at
+index-build time — tiny relative to postings (vocab x shards rows,
+prunable to query terms at selection time with a pushed IN filter);
+selection itself touches |q| * n_shards rows. Everything is integer
+stats + one fixed float expression — SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+B_BELIEF = 0.4
+
+
+def shard_stats(
+    post: DataFrame, mapping: DataFrame, n_shards: int, n_docs: int
+) -> DataFrame:
+    """(shard, term, df, shard_docs) from postings + a (doc_id, new_id)
+    reorder mapping: shard = floor(n_shards * new_id / n_docs) (range
+    sharding over the clustered ids). Build-time artifact — persist it
+    next to the index and prune it to query terms at selection time."""
+    shard = F.least(
+        F.lit(n_shards - 1),
+        F.floor(F.lit(n_shards) * F.col("new_id") / F.lit(int(n_docs))),
+    ).cast("int")
+    docs_per = (
+        mapping.select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("shard_docs"))
+    )
+    df_st = (
+        post.join(mapping, "doc_id")
+        .select("term", shard.alias("shard"))
+        .groupBy("shard", "term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    return df_st.join(docs_per, "shard")
+
+
+def cori_shard_scores(
+    stats: DataFrame,
+    query_terms: list[str],
+    n_shards: int,
+    topk: int | None = None,
+) -> DataFrame:
+    """(shard, score) CORI ranking, ties (score DESC, shard ASC).
+    ``stats`` is :func:`shard_stats` output (or the persisted table).
+    Shards missing a term contribute that term's minimum belief ``b``
+    (the CORI default-belief floor) via the left join."""
+    terms = sorted(set(query_terms))
+    st = stats.filter(F.col("term").isin(terms))
+    cf = st.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    shards = stats.select("shard", "shard_docs").distinct()
+    avg_sw = shards.agg(F.avg("shard_docs")).collect()[0][0]
+    known = cf.join(
+        st.sparkSession.createDataFrame([(t,) for t in terms], "term string"),
+        "term",
+    )
+    per = (
+        shards.crossJoin(F.broadcast(known))
+        .join(st.select("shard", "term", "df"), ["shard", "term"], "left")
+    )
+    t_part = F.coalesce(F.col("df"), F.lit(0)).cast("double") / (
+        F.coalesce(F.col("df"), F.lit(0)).cast("double")
+        + F.lit(50.0)
+        + F.lit(150.0) * F.col("shard_docs").cast("double") / F.lit(float(avg_sw))
+    )
+    i_part = F.log(
+        (F.lit(float(n_shards)) + F.lit(0.5)) / F.col("cf").cast("double")
+    ) / F.log(F.lit(float(n_shards)) + F.lit(1.0))
+    belief = F.lit(B_BELIEF) + F.lit(1.0 - B_BELIEF) * t_part * i_part
+    scored = (
+        per.select("shard", F.struct(F.col("term"), belief.alias("v")).alias("tv"))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list("tv")).alias("tvs"))
+        .select(
+            "shard",
+            (
+                F.aggregate("tvs", F.lit(0.0), lambda acc, x: acc + x["v"])
+                / F.size("tvs").cast("double")
+            ).alias("score"),
+        )
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("shard"))
+    return out.limit(topk) if topk else out

@@ -1,0 +1,89 @@
+"""CORI resource selection vs a pure-Python replay, plus the property
+that topically-clustered shards make selection meaningful."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kma_information_retrieval_spark import operators as ops
+from kma_information_retrieval_spark.operators.federation import (
+    cori_shard_scores,
+    shard_stats,
+)
+
+N_SHARDS = 8
+
+
+def _py_cori(oracle, mapping: dict[int, int], n_docs: int, terms: list[str]):
+    shard_of = {d: min(N_SHARDS - 1, N_SHARDS * nid // n_docs)
+                for d, nid in mapping.items()}
+    shard_docs: dict[int, int] = {}
+    for d in mapping:
+        shard_docs[shard_of[d]] = shard_docs.get(shard_of[d], 0) + 1
+    df_st: dict[tuple[int, str], int] = {}
+    for t in sorted(set(terms)):
+        for d in oracle.tf.get(t, {}):
+            k = (shard_of[d], t)
+            df_st[k] = df_st.get(k, 0) + 1
+    cf = {t: len({s for (s, tt) in df_st if tt == t})
+          for t in sorted(set(terms))}
+    known = [t for t in sorted(set(terms)) if cf.get(t, 0) > 0]
+    avg_sw = sum(shard_docs.values()) / len(shard_docs)
+    out = []
+    for s in sorted(shard_docs):
+        acc = 0.0
+        for t in known:
+            df = df_st.get((s, t), 0)
+            T = df / (df + 50.0 + 150.0 * shard_docs[s] / avg_sw)
+            I = math.log((N_SHARDS + 0.5) / cf[t]) / math.log(N_SHARDS + 1.0)
+            acc += 0.4 + 0.6 * T * I
+        out.append((s, acc / len(known)))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_cori_matches_python(spark, docs, indexes, oracle):
+    meta = docs.select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+    )
+    mapping_df = ops.cluster_doc_ids(meta, "source")
+    mapping = {r["doc_id"]: r["new_id"] for r in mapping_df.collect()}
+    n_docs = len(mapping)
+    stats = shard_stats(indexes.postings, mapping_df, N_SHARDS, n_docs)
+    terms = ["index", "shard", "compute", "zzznotaterm"]
+    got = [
+        (r["shard"], r["score"])
+        for r in cori_shard_scores(stats, terms, N_SHARDS).collect()
+    ]
+    want = _py_cori(oracle, mapping, n_docs, terms)
+    assert [s for s, _ in got] == [s for s, _ in want]
+    for (gs, gv), (_, wv) in zip(got, want):
+        assert math.isclose(gv, wv, rel_tol=1e-12), (gs, gv, wv)
+
+
+def test_cori_prefers_specialized_shard(spark):
+    """Topical clustering makes selection sharp: docs containing the
+    query term all land in one source -> that shard must rank first."""
+    rows = []
+    for d in range(80):
+        src = "hot" if d < 10 else f"cold{d % 4}"
+        text = "needle special signal" if d < 10 else "filler common words"
+        rows.append((d, src, text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, content string")
+    mapping = ops.cluster_doc_ids(docs.select("doc_id", "source"), "source")
+    post = ops.postings(ops.token_frame(docs))
+    stats = shard_stats(post, mapping, 8, 80)
+    ranked = cori_shard_scores(stats, ["needle", "signal"], 8).collect()
+    # 'hot' docs get new ids 40..49 (sources sort: cold0..3 first, 10+4*... )
+    top = ranked[0]
+    hot_shards = {
+        r["shard"]
+        for r in shard_stats(
+            post.filter(F.col("term") == "needle"), mapping, 8, 80
+        ).collect()
+    }
+    assert top["shard"] in hot_shards
+    assert top["score"] > ranked[-1]["score"]
