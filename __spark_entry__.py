@@ -535,6 +535,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("shard", F.round("score", 6).alias("score"))
     q["q_cori_shards"] = q_cori
 
+    # selective search (Kulkarni & Callan): run BM25 ONLY on the CORI
+    # top-3 of 8 shards — scores stay corpus-global (full df/avgdl),
+    # candidates restricted to the selected shards' documents
+    def q_selective(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import (
+            bm25_topk_filtered,
+        )
+        from kma_information_retrieval_spark.operators.federation import (
+            cori_shard_scores,
+            shard_stats,
+        )
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        terms = ["spark", "query", "join"]
+        meta = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source")
+        mapping = ops.cluster_doc_ids(meta, "source")
+        stats = shard_stats(b.postings, mapping, 8, n_docs)
+        top = cori_shard_scores(stats, terms, 8, topk=3).select("shard")
+        shard_col = F.least(
+            F.lit(7), F.floor(F.lit(8) * F.col("new_id") / F.lit(n_docs))
+        ).cast("int")
+        selected = (
+            mapping.select("doc_id", shard_col.alias("shard"))
+            .join(F.broadcast(top), "shard")
+            .select("doc_id")
+        )
+        return bm25_topk_filtered(
+            b.postings, b.dictionary, n_docs, avgdl, terms, selected, 10,
+            doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_selective_search"] = q_selective
+
     # index-layout optimization: source-clustered doc-id reordering
     # (URL-sort heuristic) and its exact varbyte-cost effect
     def q_docid_cluster(s, d):
@@ -2399,6 +2432,54 @@ bel AS (
 sc AS (SELECT shard, sum(v) / count(*) AS score FROM bel GROUP BY shard)
 SELECT shard, round(score, 6) AS score FROM sc
 ORDER BY sc.score DESC, shard"""
+
+    # selective search: the CORI CTEs pick the top-3 shards; BM25 runs
+    # with full corpus stats over only those shards' docs
+    o["q_selective_search"] = f"""{W},
+m AS (SELECT doc_id, (row_number() OVER (ORDER BY source, doc_id) - 1)::bigint AS new_id
+      FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+sh AS (SELECT doc_id, least(7, floor(8 * new_id / n))::int AS shard
+       FROM m CROSS JOIN nd),
+sdocs AS (SELECT shard, count(*)::bigint AS shard_docs FROM sh GROUP BY shard),
+dfst AS (
+  SELECT shard, term, count(*)::bigint AS df
+  FROM tf JOIN sh USING (doc_id)
+  WHERE term IN ({_cori_terms})
+  GROUP BY shard, term
+),
+cfq AS (SELECT term, count(*)::bigint AS cf FROM dfst GROUP BY term),
+avgsw AS (SELECT avg(shard_docs) AS a FROM sdocs),
+per AS (
+  SELECT s.shard, c.term, coalesce(d.df, 0)::bigint AS df, s.shard_docs, c.cf
+  FROM sdocs s CROSS JOIN cfq c
+  LEFT JOIN dfst d ON d.shard = s.shard AND d.term = c.term
+),
+bel AS (
+  SELECT shard,
+         0.4 + 0.6
+           * (df::double / (df::double + 50.0 + 150.0 * shard_docs::double / a))
+           * (ln((8 + 0.5) / cf::double) / ln(8 + 1.0)) AS v
+  FROM per CROSS JOIN avgsw
+),
+sel AS (
+  SELECT shard FROM (SELECT shard, sum(v) / count(*) AS score FROM bel GROUP BY shard)
+  ORDER BY score DESC, shard LIMIT 3
+),
+cand AS (SELECT doc_id FROM sh WHERE shard IN (SELECT shard FROM sel)),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_cori_terms})
+    AND tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
 
     # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
     # the identical fixed float expression

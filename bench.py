@@ -624,6 +624,23 @@ def main() -> None:
     timed("cori_shard_stats", lambda: _fed_stats.count())
     timed("cori_select", lambda: cori_shard_scores(
         _fed_stats, ["spark", "query", "join"], 32, topk=4).collect())
+    # selective search: BM25 (full SF-corpus stats) restricted to the
+    # selected shards' docs
+    _fed_top = cori_shard_scores(
+        _fed_stats, ["spark", "query", "join"], 32, topk=4).select("shard")
+    _fed_shard = F.least(F.lit(31), F.floor(
+        F.lit(32) * F.col("new_id") / F.lit(_fed_n))).cast("int")
+    _fed_sel = (_fed_map.select("doc_id", _fed_shard.alias("shard"))
+                .join(F.broadcast(_fed_top), "shard").select("doc_id"))
+    _sf_toks = ops.token_frame(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+            "doc_id", "text AS content"))
+    _sf_dl = ops.doc_lengths(_sf_toks).cache()
+    _sf_avgdl = float(_sf_dl.agg(F.avg("dl")).collect()[0][0])
+    timed("selective_bm25", lambda: bm25_topk_filtered(
+        sf_post, ops.dictionary(sf_post), _fed_n, _sf_avgdl,
+        ["spark", "query", "join"], _fed_sel, 10,
+        doclen=_sf_dl).collect())
     # Rocchio vector-space feedback (BM25 top-5 -> exact-int q')
     from kma_information_retrieval_spark.operators import textstats
 
