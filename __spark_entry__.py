@@ -343,6 +343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_ql_topk"] = q_ql
 
+    # the other classic smoothing (Zhai & Lafferty's ablation pair):
+    # Jelinek-Mercer mix with a dyadic lambda
+    def q_ql_jm(s, d):
+        from kma_information_retrieval_spark.operators import qlm
+
+        b = _bundle(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        return qlm.ql_topk_jm(
+            b.postings, b.dictionary, total, ["spark", "query", "join"],
+            doclen=ops.doc_lengths(b.tokens), k=10,
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_ql_jm_topk"] = q_ql_jm
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -1775,6 +1788,26 @@ scores AS (
   SELECT c.doc_id,
          sum( ln( (coalesce(x.tf, 0) + {QL_MU!r}::double * qt.cf / st.ctot)
                   / (dl.dl + {QL_MU!r}::double) ) ) AS score
+  FROM cand c
+  JOIN dl ON c.doc_id = dl.doc_id
+  CROSS JOIN st
+  CROSS JOIN qt
+  LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = qt.term
+  GROUP BY c.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # Jelinek-Mercer QL: ln((1-lam)*tf/dl + lam*cf/C), lam = 0.25
+    # dyadic; identical operation order to the engine expression
+    o["q_ql_jm_topk"] = f"""{W},
+st AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+qt AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ({_ql_terms}) GROUP BY term),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_ql_terms})),
+scores AS (
+  SELECT c.doc_id,
+         sum( ln( 0.75::double * coalesce(x.tf, 0) / dl.dl
+                  + 0.25::double * qt.cf / st.ctot ) ) AS score
   FROM cand c
   JOIN dl ON c.doc_id = dl.doc_id
   CROSS JOIN st

@@ -415,6 +415,9 @@ def main() -> None:
     timed("ql_topk", lambda: qlm.ql_topk(
         post, dic, total_terms, ["spark", "query", "join"], doclen=doclen,
         k=10).collect())
+    timed("ql_jm_topk", lambda: qlm.ql_topk_jm(
+        post, dic, total_terms, ["spark", "query", "join"], doclen=doclen,
+        k=10).collect())
     timed("rm3_topk", lambda: rm3_topk(
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], doclen=doclen, k=10).collect())

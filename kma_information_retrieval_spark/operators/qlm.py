@@ -85,3 +85,67 @@ def ql_topk(
     """Top-k (doc_id, score), tie-break (score DESC, doc_id ASC)."""
     s = ql_scores(postings, dictionary, total_terms, query_terms, doclen, mu)
     return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+LAMBDA_JM = 0.25  # dyadic Jelinek-Mercer mixing weight (exact in IEEE)
+
+
+def ql_scores_jm(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    query_terms: list[str],
+    doclen: DataFrame,
+    lam: float = LAMBDA_JM,
+) -> DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood (Zhai & Lafferty 2001,
+    the other classic smoothing next to the Dirichlet prior):
+
+        score(d) = sum over known query terms of
+                   ln( (1-lam) * tf/dl + lam * cf/C )
+
+    Same candidate rule, fold contract and unknown-term drop as
+    :func:`ql_scores`; ``lam`` defaults to a DYADIC value so the mix
+    arithmetic is IEEE-exact and SQL-replayable. JM smooths
+    proportionally to the document model (favoring verbose queries);
+    Dirichlet adapts to document length — having both is the standard
+    ablation pair."""
+    terms = sorted(set(query_terms))
+    qstats = dictionary.filter(F.col("term").isin(terms)).select("term", "cf")
+    matched = postings.filter(F.col("term").isin(terms))
+    cand = matched.select("doc_id").distinct().join(doclen, "doc_id")
+    per_term = (
+        cand.crossJoin(F.broadcast(qstats))
+        .join(matched.select("term", "doc_id", "tf"), ["doc_id", "term"], "left")
+    )
+    contrib = F.log(
+        F.lit(1.0 - lam)
+        * F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+        / F.col("dl").cast("double")
+        + F.lit(lam) * F.col("cf").cast("double") / F.lit(float(total_terms))
+    )
+    return (
+        per_term.select(
+            "doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+        )
+    )
+
+
+def ql_topk_jm(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    query_terms: list[str],
+    doclen: DataFrame,
+    k: int = 10,
+    lam: float = LAMBDA_JM,
+) -> DataFrame:
+    """Top-k under JM smoothing, ties (score DESC, doc_id ASC)."""
+    s = ql_scores_jm(postings, dictionary, total_terms, query_terms, doclen, lam)
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -205,6 +205,26 @@ class OracleIndex:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def ql_topk_jm(self, query_terms: list[str], k: int = 10,
+                   lam: float = 0.25) -> list[tuple[int, float]]:
+        """Jelinek-Mercer smoothing: ln((1-lam)*tf/dl + lam*cf/C) per
+        known query term; same candidate/fold/tie contract."""
+        terms = [t for t in sorted(set(query_terms)) if self.cf(t) > 0]
+        total = sum(self.doclen.values())
+        cand: set[int] = set()
+        for t in terms:
+            cand |= self.docs_for(t)
+        out = []
+        for d in sorted(cand):
+            dl = self.doclen[d]
+            s = 0.0
+            for t in terms:
+                tf = self.tf[t].get(d, 0)
+                s += math.log((1.0 - lam) * tf / dl + lam * self.cf(t) / total)
+            out.append((d, s))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     # --- sequential dependence model (Metzler & Croft 2005) ---
     def sdm_topk(self, query_terms: list[str], k: int = 10,
                  mu: float = 300.0, window: int = 8) -> list[tuple[int, float]]:

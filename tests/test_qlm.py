@@ -55,3 +55,27 @@ def test_ql_partitioning_invariance(indexes, oracle):
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in base] == \
         [(r["doc_id"], r["score"]) for r in repart]
+
+
+@pytest.mark.parametrize("terms", QL_QUERIES[:5], ids=["jm_" + "_".join(t) for t in QL_QUERIES[:5]])
+def test_ql_jm_rank_identity(indexes, oracle, terms):
+    total = int(indexes.dictionary.agg(F.sum("cf")).collect()[0][0])
+    got = qlm.ql_topk_jm(
+        indexes.postings, indexes.dictionary, total, terms,
+        doclen=indexes.doclen, k=10,
+    ).collect()
+    want = oracle.ql_topk_jm(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-12)
+
+
+def test_ql_smoothings_differ(oracle):
+    """Dirichlet and JM must produce a different ranking somewhere —
+    otherwise the ablation pair proves nothing."""
+    diffs = 0
+    for terms in QL_QUERIES[:5]:
+        a = [d for d, _ in oracle.ql_topk(terms, 10)]
+        b = [d for d, _ in oracle.ql_topk_jm(terms, 10)]
+        diffs += a != b
+    assert diffs > 0
