@@ -581,6 +581,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_selective_search"] = q_selective
 
+    # LTR feature extraction: LETOR-style per-(query, candidate)
+    # vectors — the reranker-training-data manufacturing pass
+    LTR_QUERIES = {"l1": ["spark", "query", "join"], "l2": ["merge", "sort"]}
+
+    def q_ltr(s, d):
+        from kma_information_retrieval_spark.operators.ltr import ltr_features
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        return ltr_features(
+            b.postings, b.dictionary, n_docs, avgdl, total,
+            LTR_QUERIES, ops.doc_lengths(b.tokens),
+        )
+    q["q_ltr_features"] = q_ltr
+
     # index-layout optimization: source-clustered doc-id reordering
     # (URL-sort heuristic) and its exact varbyte-cost effect
     def q_docid_cluster(s, d):
@@ -2513,6 +2529,61 @@ scores AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # LTR features: one generic replay over a (query_id, term) VALUES
+    # map — bm25 and ql legs are the oracled scorer expressions
+    _ltr_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(
+            {"l1": ["spark", "query", "join"], "l2": ["merge", "sort"]}.items())
+        for t in sorted(set(ts))
+    )
+    o["q_ltr_features"] = f"""{W},
+qt AS (SELECT * FROM (VALUES {_ltr_vals}) v(query_id, term)),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+ct AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cfreq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+known AS (SELECT qt.query_id, qt.term FROM qt JOIN dfreq USING (term)),
+nknown AS (SELECT query_id, count(*)::int AS nk FROM known GROUP BY query_id),
+matched AS (
+  SELECT k.query_id, tf.doc_id, tf.term, tf.tf
+  FROM tf JOIN known k USING (term)
+),
+agg AS (
+  SELECT query_id, doc_id, count(DISTINCT term)::int AS n_matched,
+         sum(tf)::bigint AS tf_sum
+  FROM matched GROUP BY 1, 2
+),
+bm AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (m.tf * 2.2) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS bm25
+  FROM matched m JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2
+),
+kcf AS (SELECT k.query_id, k.term, c.cf FROM known k JOIN cfreq c USING (term)),
+qls AS (
+  SELECT a.query_id, a.doc_id,
+         sum( ln( (coalesce(x.tf, 0) + 300.0::double * kcf.cf / ct.ctot)
+                  / (dl.dl + 300.0::double) ) ) AS ql
+  FROM agg a
+  JOIN dl ON a.doc_id = dl.doc_id
+  CROSS JOIN ct
+  JOIN kcf ON kcf.query_id = a.query_id
+  LEFT JOIN tf x ON x.doc_id = a.doc_id AND x.term = kcf.term
+  GROUP BY 1, 2
+)
+SELECT a.query_id AS query_id, a.doc_id AS doc_id,
+       round(bm.bm25, 4) AS bm25, round(qls.ql, 4) AS ql,
+       a.n_matched AS n_matched,
+       round(a.n_matched * 1.0 / nk.nk, 4) AS coverage,
+       a.tf_sum AS tf_sum, dl.dl::bigint AS dl
+FROM agg a
+JOIN bm ON bm.query_id = a.query_id AND bm.doc_id = a.doc_id
+JOIN qls ON qls.query_id = a.query_id AND qls.doc_id = a.doc_id
+JOIN dl ON a.doc_id = dl.doc_id
+JOIN nknown nk ON nk.query_id = a.query_id"""
 
     # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
     # the identical fixed float expression

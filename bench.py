@@ -418,6 +418,11 @@ def main() -> None:
     timed("ql_jm_topk", lambda: qlm.ql_topk_jm(
         post, dic, total_terms, ["spark", "query", "join"], doclen=doclen,
         k=10).collect())
+    from kma_information_retrieval_spark.operators.ltr import ltr_features
+    timed("ltr_features", lambda: ltr_features(
+        post, dic, stats["total_documents"], stats["avgdl"], total_terms,
+        {"l1": ["spark", "query", "join"], "l2": ["merge", "sort"]},
+        doclen).count())
     timed("rm3_topk", lambda: rm3_topk(
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], doclen=doclen, k=10).collect())

@@ -1,0 +1,86 @@
+"""Learning-to-rank feature extraction.
+
+The training-data side of ranking: for each (query, candidate doc)
+pair emit the classic LTR feature vector — BM25, Dirichlet query
+likelihood, matched-term count, coverage ratio, term-frequency sum
+and document length (the LETOR-style core set) — ready to join with
+click/qrel labels and feed a reranker trainer. At 100 TB this IS the
+pipeline that manufactures reranker training examples: one pass per
+query batch, everything join-shaped.
+
+Each feature column reuses the already-oracled scorer expressions
+(``operators.bm25.bm25_scores`` fold, ``operators.qlm.ql_scores``
+fold), so the vectors inherit the engine-wide determinism contract;
+floats are display-rounded to 4 decimals like the scorer queries.
+
+Scale shape: candidates = docs matching >= 1 known query term (pushed
+term-IN scan per query, attached via a broadcast (query_id, term)
+map); features come from two candidate-keyed aggregations + one
+doclen join — no per-query scans, a query batch shares one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import bm25_scores
+from .qlm import ql_scores
+
+
+def ltr_features(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    total_terms: int,
+    queries: dict[str, list[str]],
+    doclen: DataFrame,
+) -> DataFrame:
+    """(query_id, doc_id, bm25, ql, n_matched, coverage, tf_sum, dl)
+    for every candidate of every query. ``coverage`` = matched distinct
+    terms / known query terms (known = present in the dictionary);
+    queries with no known term produce no rows."""
+    out = None
+    for qid in sorted(queries):
+        terms = sorted(set(queries[qid]))
+        known = [
+            r["term"]
+            for r in dictionary.filter(F.col("term").isin(terms))
+            .select("term").collect()
+        ]
+        if not known:
+            continue
+        matched = postings.filter(F.col("term").isin(known))
+        agg = matched.groupBy("doc_id").agg(
+            F.count_distinct("term").cast("int").alias("n_matched"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+        bm = bm25_scores(
+            postings, dictionary, n_docs, avgdl, known, doclen=doclen
+        ).withColumnRenamed("score", "bm25")
+        ql = ql_scores(
+            postings, dictionary, total_terms, known, doclen=doclen
+        ).withColumnRenamed("score", "ql")
+        feats = (
+            agg.join(bm, "doc_id")
+            .join(ql, "doc_id")
+            .join(doclen, "doc_id")
+            .select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.round("bm25", 4).alias("bm25"),
+                F.round("ql", 4).alias("ql"),
+                "n_matched",
+                F.round(
+                    F.col("n_matched").cast("double") / F.lit(float(len(known))),
+                    4,
+                ).alias("coverage"),
+                "tf_sum",
+                F.col("dl").cast("long").alias("dl"),
+            )
+        )
+        out = feats if out is None else out.unionByName(feats)
+    if out is None:
+        raise ValueError("no query has a known term")
+    return out

@@ -1,0 +1,50 @@
+"""LTR feature extraction vs per-feature python replays."""
+
+from __future__ import annotations
+
+import math
+
+from kma_information_retrieval_spark.operators.ltr import ltr_features
+
+QUERIES = {
+    "l1": ["index", "shard", "compute"],
+    "l2": ["information", "retrieval"],
+    "l3": ["zzznotaterm", "hello"],
+}
+
+
+def test_ltr_features_match_python(indexes, oracle):
+    total = sum(oracle.doclen.values())
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in ltr_features(
+            indexes.postings, indexes.dictionary,
+            indexes.stats["n_docs"], indexes.stats["avgdl"], total,
+            QUERIES, indexes.doclen,
+        ).collect()
+    }
+    for qid, terms in QUERIES.items():
+        known = sorted(t for t in set(terms) if oracle.cf(t) > 0)
+        bm = dict(oracle.bm25_topk(known, 10_000))
+        ql = dict(oracle.ql_topk(known, 10_000))
+        cand = set()
+        for t in known:
+            cand |= oracle.docs_for(t)
+        for d in cand:
+            r = got[(qid, d)]
+            nm = sum(1 for t in known if d in oracle.tf.get(t, {}))
+            tfs = sum(oracle.tf[t].get(d, 0) for t in known)
+            assert r["n_matched"] == nm and r["tf_sum"] == tfs
+            assert r["dl"] == oracle.doclen[d]
+            assert math.isclose(r["bm25"], round(bm[d], 4), abs_tol=1.5e-4)
+            assert math.isclose(r["ql"], round(ql[d], 4), abs_tol=1.5e-4)
+            assert math.isclose(r["coverage"], round(nm / len(known), 4),
+                                abs_tol=1.5e-4)
+    # row count = total candidates over queries
+    n_expected = 0
+    for qid, terms in QUERIES.items():
+        cand = set()
+        for t in set(terms):
+            cand |= oracle.docs_for(t)
+        n_expected += len(cand)
+    assert len(got) == n_expected
