@@ -356,6 +356,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_ql_jm_topk"] = q_ql_jm
 
+    # pivoted length normalization VSM (Singhal 1996) — the vector-
+    # space classic completing the BM25 / LM / proximity family set
+    def q_pivoted(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import pivoted_topk
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        return pivoted_topk(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], 10, doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_pivoted_topk"] = q_pivoted
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -1830,6 +1843,23 @@ scores AS (
   CROSS JOIN qt
   LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = qt.term
   GROUP BY c.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # pivoted normalization VSM: (1 + ln(1 + ln(tf))) / ((1-s) + s*dl/avgdl)
+    # * ln((N+1)/df), s = 0.25 dyadic; identical operation order
+    o["q_pivoted_topk"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (1.0 + ln(1.0 + ln(tf.tf)))
+              / (0.75 + 0.25 * dl.dl / st.avgdl)
+              * ln((st.n + 1.0) / dfreq.df) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_ql_terms})
+  GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY scores.score DESC, doc_id LIMIT 10"""

@@ -336,3 +336,66 @@ def bm25_explain(
         F.round(tf_norm, 6).alias("tf_norm"),
         F.round(idf * tf_norm, 6).alias("contribution"),
     )
+
+
+# ---------------------------------------------- pivoted-normalization VSM
+
+
+S_PIVOT = 0.25  # dyadic pivot slope (Singhal's 0.2-0.3 band, IEEE-exact)
+
+
+def pivoted_scores(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    doclen: DataFrame | None = None,
+    s: float = S_PIVOT,
+) -> DataFrame:
+    """Pivoted length normalization VSM (Singhal, Buckley & Mitra,
+    SIGIR 1996) — the vector-space classic alongside BM25/LM:
+
+        contrib(t, d) = (1 + ln(1 + ln(tf))) / ((1-s) + s * dl/avgdl)
+                        * ln((N + 1) / df)
+
+    Same frame shapes, fold contract (sorted-struct fold) and
+    unknown-term handling as :func:`bm25_scores`; ``s`` defaults to a
+    dyadic value so the normalizer mix is IEEE-exact."""
+    terms = sorted(set(query_terms))
+    matched = postings.filter(F.col("term").isin(terms))
+    if "dl" not in matched.columns:
+        if doclen is None:
+            raise ValueError("postings lack dl; pass doclen")
+        matched = matched.join(doclen, "doc_id")
+    stats = dictionary.filter(F.col("term").isin(terms)).select("term", "df")
+    matched = matched.join(F.broadcast(stats), "term")
+    tfw = F.lit(1.0) + F.log(F.lit(1.0) + F.log(F.col("tf").cast("double")))
+    norm = F.lit(1.0 - s) + F.lit(s) * F.col("dl").cast("double") / F.lit(float(avgdl))
+    idf = F.log((F.lit(float(n_docs)) + F.lit(1.0)) / F.col("df").cast("double"))
+    contrib = tfw / norm * idf
+    return (
+        matched.select("doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("tc"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["c"]).alias("score"),
+        )
+    )
+
+
+def pivoted_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    doclen: DataFrame | None = None,
+    s: float = S_PIVOT,
+) -> DataFrame:
+    """Top-k under pivoted normalization, ties (score DESC, doc ASC)."""
+    sc = pivoted_scores(postings, dictionary, n_docs, avgdl, query_terms,
+                        doclen=doclen, s=s)
+    return sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -225,6 +225,24 @@ class OracleIndex:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def pivoted_topk(self, query_terms: list[str], k: int = 10,
+                     s: float = 0.25) -> list[tuple[int, float]]:
+        """Pivoted length normalization VSM (Singhal 1996): same fold
+        order / tie-break contract as bm25_topk."""
+        terms = sorted(set(query_terms))
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            byd = self.tf.get(t)
+            if not byd:
+                continue
+            idf = math.log((self.n_docs + 1.0) / self.df(t))
+            for d, tf in byd.items():
+                tfw = 1.0 + math.log(1.0 + math.log(tf))
+                norm = (1.0 - s) + s * self.doclen[d] / self.avgdl
+                scores[d] += tfw / norm * idf
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     # --- sequential dependence model (Metzler & Croft 2005) ---
     def sdm_topk(self, query_terms: list[str], k: int = 10,
                  mu: float = 300.0, window: int = 8) -> list[tuple[int, float]]:

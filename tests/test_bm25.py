@@ -214,3 +214,31 @@ def test_bm25_explain_reconstructs_scores(indexes, oracle):
         for _, c in sorted(tcs):
             s += c
         assert math.isclose(s, want[d], abs_tol=len(tcs) * 1e-6), d
+
+
+PIV_QUERIES = [["index"], ["shard", "merge"], ["index", "shard", "compute"],
+               ["information", "retrieval"]]
+
+
+@pytest.mark.parametrize("terms", PIV_QUERIES, ids=["piv_" + "_".join(t) for t in PIV_QUERIES])
+def test_pivoted_rank_identity(indexes, oracle, terms):
+    from kma_information_retrieval_spark.operators.bm25 import pivoted_topk
+
+    got = pivoted_topk(
+        indexes.postings, indexes.dictionary,
+        indexes.stats["n_docs"], indexes.stats["avgdl"], terms, 10,
+        doclen=indexes.doclen,
+    ).collect()
+    want = oracle.pivoted_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, sc) in zip(got, want):
+        assert math.isclose(r["score"], sc, rel_tol=1e-12)
+
+
+def test_pivoted_differs_from_bm25(oracle):
+    diffs = 0
+    for terms in PIV_QUERIES:
+        a = [d for d, _ in oracle.bm25_topk(terms, 10)]
+        b = [d for d, _ in oracle.pivoted_topk(terms, 10)]
+        diffs += a != b
+    assert diffs > 0
