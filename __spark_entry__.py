@@ -369,6 +369,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_pivoted_topk"] = q_pivoted
 
+    # query performance prediction: Clarity (KL of the BM25-top-10
+    # feedback model from the collection model)
+    def q_clarity(s, d):
+        from kma_information_retrieval_spark.operators.qlm import clarity_score
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        dl = ops.doc_lengths(b.tokens)
+        fb = bm25_topk(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], 10, doclen=dl,
+        ).select("doc_id")
+        return clarity_score(b.postings, b.dictionary, total, fb, dl)
+    q["q_clarity"] = q_clarity
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -1910,6 +1926,38 @@ scores AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
+    # Clarity: feedback model from micro-unit-quantized tf/dl weights
+    # over the BM25 top-10, KL against the collection model
+    o["q_clarity"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+ct AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cfreq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_rm3_orig})
+  GROUP BY tf.doc_id
+),
+fb AS (SELECT doc_id FROM s1 ORDER BY s1.score DESC, doc_id LIMIT 10),
+w AS (
+  SELECT tf.term,
+         sum(round(1000000.0::double * tf.tf / dl.dl)::bigint) AS w
+  FROM tf JOIN fb USING (doc_id) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.term
+),
+tot AS (SELECT sum(w)::bigint AS tw FROM w),
+kl AS (
+  SELECT (w.w::double / tot.tw)
+         * log2( (w.w::double / tot.tw) / (c.cf::double / ct.ctot) ) AS v
+  FROM w JOIN cfreq c USING (term) CROSS JOIN tot CROSS JOIN ct
+)
+SELECT (SELECT count(*)::bigint FROM w) AS n_terms,
+       round(sum(v), 6) AS clarity
+FROM kl"""
 
     # wildcard-expanded BM25: same scorer, term set = vocab matching the
     # pattern (the engine expands 'qu*' via the persisted gram tables)

@@ -418,6 +418,11 @@ def main() -> None:
     timed("ql_jm_topk", lambda: qlm.ql_topk_jm(
         post, dic, total_terms, ["spark", "query", "join"], doclen=doclen,
         k=10).collect())
+    from kma_information_retrieval_spark.operators.qlm import clarity_score
+    _cl_fb = bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                       ["spark", "query", "join"], 10, doclen=doclen).select("doc_id")
+    timed("clarity", lambda: clarity_score(
+        post, dic, total_terms, _cl_fb, doclen).collect())
     from kma_information_retrieval_spark.operators.bm25 import pivoted_topk
     timed("pivoted_topk", lambda: pivoted_topk(
         post, dic, stats["total_documents"], stats["avgdl"],

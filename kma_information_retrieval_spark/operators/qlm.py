@@ -149,3 +149,62 @@ def ql_topk_jm(
     """Top-k under JM smoothing, ties (score DESC, doc_id ASC)."""
     s = ql_scores_jm(postings, dictionary, total_terms, query_terms, doclen, lam)
     return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def clarity_score(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    total_terms: int,
+    feedback: DataFrame,
+    doclen: DataFrame,
+) -> DataFrame:
+    """Query performance prediction: the Clarity score (Cronen-Townsend,
+    Zhou & Croft, SIGIR 2002) — KL divergence between the query's
+    feedback language model and the collection model:
+
+        clarity = sum over terms t in the feedback docs of
+                  P(t|q) * log2( P(t|q) / P(t|C) )
+
+    High clarity = the query's top documents speak a focused language
+    (likely a good query); low clarity = they look like the collection
+    (likely ambiguous). At pipeline scale this is the query-triage
+    signal: route low-clarity queries to expansion/hybrid paths before
+    spending a full ranking pass.
+
+    Determinism: P(t|q) ∝ the RM3-style micro-unit-quantized weight
+    sum round(1e6 * tf/dl) per posting (exact int64 under any
+    aggregation order); P(t|C) = cf/C from exact integer stats; the KL
+    fold runs over the feedback vocabulary in sorted term order
+    (single sorted-struct fold — feedback vocab is |fb|-bounded).
+    Output: one row (n_terms, clarity).
+    """
+    fbtf = postings.join(
+        F.broadcast(feedback.select("doc_id")), "doc_id"
+    ).join(doclen, "doc_id")
+    w = (
+        fbtf.groupBy("term")
+        .agg(
+            F.sum(
+                F.round(F.lit(1e6) * F.col("tf") / F.col("dl"), 0).cast("long")
+            ).alias("w")
+        )
+        .join(dictionary.select("term", "cf"), "term")
+    )
+    tot = w.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
+    contrib = (
+        F.col("w").cast("double") / F.lit(float(tot))
+    ) * F.log2(
+        (F.col("w").cast("double") / F.lit(float(tot)))
+        / (F.col("cf").cast("double") / F.lit(float(total_terms)))
+    )
+    return (
+        w.select(F.struct(F.col("term"), contrib.alias("c")).alias("tc"))
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            F.size("tcs").cast("long").alias("n_terms"),
+            F.round(
+                F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["c"]),
+                6,
+            ).alias("clarity"),
+        )
+    )

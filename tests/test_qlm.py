@@ -79,3 +79,39 @@ def test_ql_smoothings_differ(oracle):
         b = [d for d, _ in oracle.ql_topk_jm(terms, 10)]
         diffs += a != b
     assert diffs > 0
+
+
+def test_clarity_matches_python(spark, indexes, oracle):
+    """Clarity vs a python replay of the quantized feedback model and
+    the sorted KL fold; a focused query must out-clarity a broad one."""
+    import math
+
+    from kma_information_retrieval_spark.operators.qlm import clarity_score
+
+    total = sum(oracle.doclen.values())
+
+    def run(terms, fb_k):
+        fb_ids = [d for d, _ in oracle.bm25_topk(terms, fb_k)]
+        fb = spark.createDataFrame([(d,) for d in fb_ids], "doc_id bigint")
+        row = clarity_score(
+            indexes.postings, indexes.dictionary, total, fb, indexes.doclen
+        ).collect()[0]
+        # python replay
+        w = {}
+        for t, byd in oracle.tf.items():
+            for d, tf in byd.items():
+                if d in set(fb_ids):
+                    w[t] = w.get(t, 0) + int(
+                        math.floor(1e6 * tf / oracle.doclen[d] + 0.5))
+        tw = sum(w.values())
+        s = 0.0
+        for t in sorted(w):
+            p = w[t] / tw
+            s += p * math.log2(p / (oracle.cf(t) / total))
+        assert row["n_terms"] == len(w)
+        assert math.isclose(row["clarity"], round(s, 6), abs_tol=1.5e-6)
+        return row["clarity"]
+
+    focused = run(["wonderful"], 5)
+    broad = run(["compute", "test", "index", "information"], 40)
+    assert focused > broad
