@@ -385,6 +385,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return clarity_score(b.postings, b.dictionary, total, fb, dl)
     q["q_clarity"] = q_clarity
 
+    # DFR PL2 (Amati & van Rijsbergen 2002) — the divergence-from-
+    # randomness family, fifth ranking family under the same contract
+    def q_pl2(s, d):
+        from kma_information_retrieval_spark.operators.bm25 import pl2_topk
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        return pl2_topk(
+            b.postings, b.dictionary, n_docs, avgdl,
+            ["spark", "query", "join"], 10, doclen=ops.doc_lengths(b.tokens),
+        ).select("doc_id", F.round("score", 4).alias("score"))
+    q["q_pl2_topk"] = q_pl2
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -1879,6 +1892,28 @@ scores AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY scores.score DESC, doc_id LIMIT 10"""
+    # DFR PL2: tfn = tf * log2(1 + c*avgdl/dl); Poisson + Laplace +
+    # normalization-2, identical operation order and the same double
+    # literals for log2(e) and 2*pi
+    o["q_pl2_topk"] = f"""{W},
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+cfreq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ( (tf.tf * log2(1.0 + 1.0 * st.avgdl / dl.dl))
+                  * log2( (tf.tf * log2(1.0 + 1.0 * st.avgdl / dl.dl))
+                          / (cfreq.cf * 1.0 / st.n) )
+                + ((cfreq.cf * 1.0 / st.n) - (tf.tf * log2(1.0 + 1.0 * st.avgdl / dl.dl)))
+                  * 1.4426950408889634
+                + 0.5 * log2(6.283185307179586 * (tf.tf * log2(1.0 + 1.0 * st.avgdl / dl.dl))) )
+              / ((tf.tf * log2(1.0 + 1.0 * st.avgdl / dl.dl)) + 1.0) ) AS score
+  FROM tf JOIN cfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_ql_terms})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY scores.score DESC, doc_id LIMIT 10"""
+
     # filtered variant: same scorer, candidates restricted to the
     # boolean filter BEFORE the LIMIT (scores stay corpus-global)
     o["q_bm25_filtered"] = bm25_sql(["spark", "query", "join"]).replace(

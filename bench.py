@@ -423,7 +423,10 @@ def main() -> None:
                        ["spark", "query", "join"], 10, doclen=doclen).select("doc_id")
     timed("clarity", lambda: clarity_score(
         post, dic, total_terms, _cl_fb, doclen).collect())
-    from kma_information_retrieval_spark.operators.bm25 import pivoted_topk
+    from kma_information_retrieval_spark.operators.bm25 import pivoted_topk, pl2_topk
+    timed("pl2_topk", lambda: pl2_topk(
+        post, dic, stats["total_documents"], stats["avgdl"],
+        ["spark", "query", "join"], 10, doclen=doclen).collect())
     timed("pivoted_topk", lambda: pivoted_topk(
         post, dic, stats["total_documents"], stats["avgdl"],
         ["spark", "query", "join"], 10, doclen=doclen).collect())

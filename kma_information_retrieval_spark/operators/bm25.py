@@ -399,3 +399,78 @@ def pivoted_topk(
     sc = pivoted_scores(postings, dictionary, n_docs, avgdl, query_terms,
                         doclen=doclen, s=s)
     return sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# --------------------------------------------------------- DFR PL2
+
+
+C_PL2 = 1.0  # tf-normalization hyperparameter (Terrier default)
+
+
+def pl2_scores(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    doclen: DataFrame | None = None,
+    c: float = C_PL2,
+) -> DataFrame:
+    """DFR PL2 (Amati & van Rijsbergen 2002; Terrier's flagship
+    divergence-from-randomness model — Poisson randomness, Laplace
+    after-effect, normalization 2):
+
+        tfn  = tf * log2(1 + c * avgdl / dl)
+        lam  = cf / N
+        contrib = (tfn * log2(tfn / lam)
+                   + (lam - tfn) * log2(e)
+                   + 0.5 * log2(2 * pi * tfn)) / (tfn + 1)
+
+    Same frame shapes, fold contract and unknown-term handling as
+    :func:`bm25_scores`; every factor is a fixed float expression over
+    integer stats, mirrored verbatim by the SQL oracle (log2(e) and
+    2*pi enter as the same double literals on both sides)."""
+    import math
+
+    terms = sorted(set(query_terms))
+    matched = postings.filter(F.col("term").isin(terms))
+    if "dl" not in matched.columns:
+        if doclen is None:
+            raise ValueError("postings lack dl; pass doclen")
+        matched = matched.join(doclen, "doc_id")
+    stats = dictionary.filter(F.col("term").isin(terms)).select("term", "cf")
+    matched = matched.join(F.broadcast(stats), "term")
+    tfn = F.col("tf").cast("double") * F.log2(
+        F.lit(1.0) + F.lit(float(c)) * F.lit(float(avgdl)) / F.col("dl").cast("double")
+    )
+    lam = F.col("cf").cast("double") / F.lit(float(n_docs))
+    contrib = (
+        tfn * F.log2(tfn / lam)
+        + (lam - tfn) * F.lit(math.log2(math.e))
+        + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+    ) / (tfn + F.lit(1.0))
+    return (
+        matched.select("doc_id", F.struct(F.col("term"), contrib.alias("s")).alias("tc"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id",
+            F.aggregate("tcs", F.lit(0.0), lambda acc, x: acc + x["s"]).alias("score"),
+        )
+    )
+
+
+def pl2_topk(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    doclen: DataFrame | None = None,
+    c: float = C_PL2,
+) -> DataFrame:
+    """Top-k under PL2, ties (score DESC, doc ASC)."""
+    sc = pl2_scores(postings, dictionary, n_docs, avgdl, query_terms,
+                    doclen=doclen, c=c)
+    return sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -243,6 +243,28 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def pl2_topk(self, query_terms: list[str], k: int = 10,
+                 c: float = 1.0) -> list[tuple[int, float]]:
+        """DFR PL2 (Amati & van Rijsbergen 2002): same fold/tie
+        contract; log2(e) and 2*pi as the same double literals the
+        engine uses."""
+        log2 = lambda x: math.log2(x)  # noqa: E731
+        terms = sorted(set(query_terms))
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            byd = self.tf.get(t)
+            if not byd:
+                continue
+            lam = self.cf(t) / self.n_docs
+            for d, tf in byd.items():
+                tfn = tf * log2(1.0 + c * self.avgdl / self.doclen[d])
+                contrib = (tfn * log2(tfn / lam)
+                           + (lam - tfn) * math.log2(math.e)
+                           + 0.5 * log2(2.0 * math.pi * tfn)) / (tfn + 1.0)
+                scores[d] += contrib
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     # --- sequential dependence model (Metzler & Croft 2005) ---
     def sdm_topk(self, query_terms: list[str], k: int = 10,
                  mu: float = 300.0, window: int = 8) -> list[tuple[int, float]]:

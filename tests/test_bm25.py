@@ -242,3 +242,18 @@ def test_pivoted_differs_from_bm25(oracle):
         b = [d for d, _ in oracle.pivoted_topk(terms, 10)]
         diffs += a != b
     assert diffs > 0
+
+
+@pytest.mark.parametrize("terms", PIV_QUERIES, ids=["pl2_" + "_".join(t) for t in PIV_QUERIES])
+def test_pl2_rank_identity(indexes, oracle, terms):
+    from kma_information_retrieval_spark.operators.bm25 import pl2_topk
+
+    got = pl2_topk(
+        indexes.postings, indexes.dictionary,
+        indexes.stats["n_docs"], indexes.stats["avgdl"], terms, 10,
+        doclen=indexes.doclen,
+    ).collect()
+    want = oracle.pl2_topk(terms, 10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, sc) in zip(got, want):
+        assert math.isclose(r["score"], sc, rel_tol=1e-12)
