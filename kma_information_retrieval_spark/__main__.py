@@ -371,6 +371,56 @@ def cmd_suggest(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_rank(args, spark: SparkSession) -> int:
+    """Top-k under any of the engine's ranking families, straight off a
+    parquet corpus (the DataFrame path; no prebuilt index needed)."""
+    from .operators import indexes as ops
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("content"),
+    )
+    toks = ops.token_frame(docs)
+    post = ops.postings(toks)
+    dic = ops.dictionary(post)
+    dl = ops.doc_lengths(toks)
+    st = ops.collection_stats(docs, toks).collect()[0]
+    n_docs, avgdl = int(st["total_documents"]), float(st["avgdl"])
+    terms = args.query.split()
+    k = args.topk
+    if args.model == "bm25":
+        from .operators.bm25 import bm25_topk
+        out = bm25_topk(post, dic, n_docs, avgdl, terms, k, doclen=dl)
+    elif args.model == "pivoted":
+        from .operators.bm25 import pivoted_topk
+        out = pivoted_topk(post, dic, n_docs, avgdl, terms, k, doclen=dl)
+    elif args.model == "pl2":
+        from .operators.bm25 import pl2_topk
+        out = pl2_topk(post, dic, n_docs, avgdl, terms, k, doclen=dl)
+    elif args.model in ("ql", "jm"):
+        from .operators import qlm
+        total = int(dic.agg(F.sum("cf")).collect()[0][0])
+        fn = qlm.ql_topk if args.model == "ql" else qlm.ql_topk_jm
+        out = fn(post, dic, total, terms, doclen=dl, k=k)
+    elif args.model == "sdm":
+        from .operators import sdm
+        total = int(dic.agg(F.sum("cf")).collect()[0][0])
+        out = sdm.sdm_topk(post, ops.positional_index(toks), dic, total,
+                           terms, doclen=dl, k=k)
+    else:  # rrf: BM25 + QL fused
+        from .operators import fusion, qlm
+        from .operators.bm25 import bm25_scores
+        total = int(dic.agg(F.sum("cf")).collect()[0][0])
+        lex = bm25_scores(post, dic, n_docs, avgdl, terms, doclen=dl)
+        ql = qlm.ql_scores(post, dic, total, terms, doclen=dl)
+        out = fusion.rrf_fuse(
+            [(lex, "doc_id", "score"), (ql, "doc_id", "score")], topk=k
+        ).withColumnRenamed("rrf", "score")
+    for r in out.collect():
+        print(f"{r['doc_id']}\t{r['score']:.6f}")
+    return 0
+
+
 def _common_build_args(p: argparse.ArgumentParser, default_mode: str) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default=default_mode,
@@ -437,6 +487,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="suggest corrections for this term (repeatable)")
     sg.add_argument("--topk", type=int, default=5)
     sg.set_defaults(fn=cmd_suggest)
+
+    rk = sub.add_parser("rank", help="top-k over a parquet corpus under any "
+                        "ranking family (bm25/ql/jm/pivoted/pl2/sdm/rrf)")
+    rk.add_argument("--input", required=True, help="parquet corpus")
+    rk.add_argument("--query", required=True, help="whitespace-split terms")
+    rk.add_argument("--model", default="bm25",
+                    choices=["bm25", "ql", "jm", "pivoted", "pl2", "sdm", "rrf"])
+    rk.add_argument("--topk", type=int, default=10)
+    rk.add_argument("--id-col", default="doc_id")
+    rk.add_argument("--text-col", default="text")
+    rk.set_defaults(fn=cmd_rank)
 
     r = sub.add_parser("related", help="PMI collocations / related terms "
                                        "over a parquet corpus")

@@ -294,3 +294,19 @@ def test_cli_suggest_on_miss(spark, text_dir, tmp_path, capsys):
                "--suggest-on-miss"], spark=spark)
     assert rc == 0
     assert "did you mean" not in capsys.readouterr().err
+
+
+def test_cli_rank_all_models(spark, parquet_corpus, capsys):
+    """rank verb: every ranking family produces k (doc, score) lines;
+    at least two families disagree on the ordering."""
+    orders = {}
+    for model in ("bm25", "ql", "jm", "pivoted", "pl2", "sdm", "rrf"):
+        rc = main(["rank", "--input", parquet_corpus, "--query",
+                   "compute test", "--model", model, "--topk", "5"],
+                  spark=spark)
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 5, model
+        assert all("\t" in line for line in lines)
+        orders[model] = tuple(line.split("\t")[0] for line in lines)
+    assert len(set(orders.values())) > 1
