@@ -398,6 +398,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
     q["q_pl2_topk"] = q_pl2
 
+    # ranker bake-off: BM25 vs QL vs pivoted VSM evaluated through the
+    # trec_eval harness on the same pseudo-qrels — the composition the
+    # eval harness exists for; query_id = "model:query"
+    def q_eval_compare(s, d):
+        from functools import reduce
+
+        from kma_information_retrieval_spark.operators import evaluation, qlm
+        from kma_information_retrieval_spark.operators.bm25 import pivoted_topk
+
+        b = _bundle(s, d)
+        n_docs, avgdl = _stats(s, d)
+        total = int(b.dictionary.agg(F.sum("cf")).collect()[0][0])
+        dl = ops.doc_lengths(b.tokens)
+        EVQ = {"e1": ["spark", "query", "join"], "e2": ["merge", "sort", "table"]}
+        frames = []
+        for qid, terms in sorted(EVQ.items()):
+            frames.append(
+                bm25_topk(b.postings, b.dictionary, n_docs, avgdl, terms, 10,
+                          doclen=dl)
+                .select(F.lit(f"bm25:{qid}").alias("query_id"), "doc_id", "score"))
+            frames.append(
+                qlm.ql_topk(b.postings, b.dictionary, total, terms,
+                            doclen=dl, k=10)
+                .select(F.lit(f"ql:{qid}").alias("query_id"), "doc_id", "score"))
+            frames.append(
+                pivoted_topk(b.postings, b.dictionary, n_docs, avgdl, terms, 10,
+                             doclen=dl)
+                .select(F.lit(f"piv:{qid}").alias("query_id"), "doc_id", "score"))
+        results = reduce(lambda a, c: a.unionByName(c), frames)
+        base_qrels = evaluation.relevance_judgments(b.postings, EVQ, min_grade=2)
+        models = s.createDataFrame([("bm25",), ("ql",), ("piv",)], "model string")
+        qrels = base_qrels.crossJoin(models).select(
+            F.concat_ws(":", "model", "query_id").alias("query_id"),
+            "doc_id", "grade",
+        )
+        return evaluation.eval_ranking(results, qrels, 10)
+    q["q_eval_compare"] = q_eval_compare
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -2697,6 +2735,103 @@ JOIN bm ON bm.query_id = a.query_id AND bm.doc_id = a.doc_id
 JOIN qls ON qls.query_id = a.query_id AND qls.doc_id = a.doc_id
 JOIN dl ON a.doc_id = dl.doc_id
 JOIN nknown nk ON nk.query_id = a.query_id"""
+
+    # ranker bake-off: three scoring CTEs -> one union of
+    # "model:query"-keyed ranked lists -> the same trec_eval machinery
+    # as q_eval_metrics, qrels joined via split_part(mq, ':', 2)
+    _cmp_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(
+            {"e1": ["spark", "query", "join"],
+             "e2": ["merge", "sort", "table"]}.items())
+        for t in sorted(set(ts))
+    )
+    o["q_eval_compare"] = f"""{W},
+qt AS (SELECT * FROM (VALUES {_cmp_vals}) v(query_id, term)),
+st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+ct AS (SELECT (SELECT sum(tf) FROM tf) AS ctot),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cfreq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+s_bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY qt.query_id, tf.doc_id
+),
+s_pv AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( (1.0 + ln(1.0 + ln(tf.tf)))
+              / (0.75 + 0.25 * dl.dl / st.avgdl)
+              * ln((st.n + 1.0) / dfreq.df) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY qt.query_id, tf.doc_id
+),
+kcf AS (SELECT qt.query_id, qt.term, c.cf FROM qt JOIN cfreq c USING (term)),
+cand AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM tf JOIN qt USING (term)),
+s_ql AS (
+  SELECT c.query_id, c.doc_id,
+         sum( ln( (coalesce(x.tf, 0) + 300.0::double * kcf.cf / ct.ctot)
+                  / (dl.dl + 300.0::double) ) ) AS score
+  FROM cand c
+  JOIN dl ON c.doc_id = dl.doc_id
+  CROSS JOIN ct
+  JOIN kcf ON kcf.query_id = c.query_id
+  LEFT JOIN tf x ON x.doc_id = c.doc_id AND x.term = kcf.term
+  GROUP BY c.query_id, c.doc_id
+),
+ranked AS (
+  SELECT mq, doc_id, rnk FROM (
+    SELECT 'bm25:' || query_id AS mq, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+    FROM s_bm
+    UNION ALL
+    SELECT 'ql:' || query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+    FROM s_ql
+    UNION ALL
+    SELECT 'piv:' || query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+    FROM s_pv
+  ) WHERE rnk <= 10
+),
+qrels AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term)::int AS grade
+  FROM tf JOIN qt USING (term)
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= 2
+),
+j AS (
+  SELECT r.mq, r.rnk, coalesce(q.grade, 0) AS grade,
+         sum(CASE WHEN q.grade IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.mq ORDER BY r.rnk) AS cum_rel
+  FROM ranked r
+  LEFT JOIN qrels q ON split_part(r.mq, ':', 2) = q.query_id AND r.doc_id = q.doc_id
+),
+relstats AS (SELECT query_id, count(*)::int AS n_rel FROM qrels GROUP BY query_id),
+idcg AS (
+  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS idcg
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS rnk
+        FROM qrels) WHERE rnk <= 10 GROUP BY query_id
+),
+percq AS (
+  SELECT mq,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0 AS p_at_k,
+         sum(CASE WHEN grade > 0 THEN cum_rel * 1.0 / rnk END) AS ap_num,
+         sum((pow(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg,
+         min(CASE WHEN grade > 0 THEN rnk END) AS first_rel
+  FROM j GROUP BY mq
+)
+SELECT p.mq AS query_id,
+       round(p_at_k, 6) AS p_at_k,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(ap_num, 0.0) / least(n_rel, 10) ELSE 0.0 END, 6) AS ap,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0 THEN dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       round(coalesce(1.0 / first_rel, 0.0), 6) AS rr
+FROM percq p
+LEFT JOIN relstats ON relstats.query_id = split_part(p.mq, ':', 2)
+LEFT JOIN idcg i ON i.query_id = split_part(p.mq, ':', 2)"""
 
     # Zipf fit: milli-quantized ln(rank)/ln(cf) -> exact int64 sums ->
     # the identical fixed float expression
