@@ -226,3 +226,20 @@ def test_wildcard_topk_layouts_agree(pidx, docidx):
     assert [doc for doc, _ in t] == [doc for doc, _ in d]
     assert [s for _, s in t] == pytest.approx([s for _, s in d])
     assert pidx.wildcard_topk("zzzznothing*") == []
+
+
+def test_doc_partitioned_maxscore_matches_wand(pidx, docidx):
+    """All three strategies are bit-identical on BOTH layouts — the
+    doc layout's local top-k merge composes with any kernel because
+    each partition holds a doc's complete postings."""
+    queries = {
+        "q1": ["compute", "test"],
+        "q2": ["hello", "world", "index"],
+        "q3": ["cat"],
+    }
+    for idx in (pidx, docidx):
+        base = sorted(map(tuple, bm25_topk_batch(idx, queries, 10).collect()))
+        for strat in ("exact", "maxscore"):
+            got = sorted(map(tuple, bm25_topk_batch(
+                idx, queries, 10, strategy=strat).collect()))
+            assert got == base, (strat, idx.meta.get("partition_by"))
