@@ -88,6 +88,14 @@ def test_wand_equals_exact(c):
     ms_q = _maxscore_kernel(rows, idf, avgdl_query, k, rescale_bounds=True)
     assert ms_q == exact_q
 
+    # tombstoned docs: every third posting doc deleted — all three
+    # kernels must skip them identically (the streaming delete path)
+    all_docs = sorted({d for docs_, _ in postings.values() for d in docs_})
+    deleted = frozenset(all_docs[::3])
+    exact_d = _exact_kernel(rows, idf, avgdl_build, k, deleted=deleted)
+    assert _wand_kernel(rows, idf, avgdl_build, k, deleted=deleted) == exact_d
+    assert _maxscore_kernel(rows, idf, avgdl_build, k, deleted=deleted) == exact_d
+
 
 def test_catalyst_log_vs_math_log_divergence(spark):
     """The measurement behind the kernel-side idf design (round-4
