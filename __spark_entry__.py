@@ -436,6 +436,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return evaluation.eval_ranking(results, qrels, 10)
     q["q_eval_compare"] = q_eval_compare
 
+    # leakage-safe train/val split: near-dup clusters never straddle
+    # splits (the contamination-by-duplication guard)
+    def q_leak_split(s, d):
+        from kma_information_retrieval_spark.operators.curation import (
+            leakage_safe_split,
+        )
+
+        docs = _docs(s, d)
+        clusters = dedup.duplicate_clusters(
+            dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), JACCARD_THR)
+        ).select("doc_id", "cluster_id")
+        return leakage_safe_split(docs, clusters, 20)
+    q["q_leakage_split"] = q_leak_split
+
     # RM3 pseudo-relevance feedback: BM25 first pass -> micro-unit-
     # quantized expansion-term selection from the top-10 feedback docs
     # -> weighted second pass (originals 1.0, expansion 0.5)
@@ -2245,6 +2259,33 @@ reach AS (
   SELECT e.x, r.label FROM edges e JOIN reach r ON r.id = e.y
 )
 SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id"""
+
+    # leakage-safe split: the SAME recursive cluster CTE, then the
+    # md5(split#rep) % 100 hash decides the whole cluster's side
+    o["q_leakage_split"] = f"""WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+prs AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i::double / (sa.sz + sb.sz - i) >= {JACCARD_THR}),
+edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach AS (
+  SELECT x AS id, x AS label FROM edges
+  UNION
+  SELECT e.x, r.label FROM edges e JOIN reach r ON r.id = e.y
+),
+clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+reps AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split#' || rep::varchar), 1, 15))::bigint % 100 < 20
+            THEN 'val' ELSE 'train' END AS split
+FROM reps"""
 
     votes = ",\n       ".join(
         f"sum(tf * ((((th >> {i}) & 1) * 2) - 1)) AS v_{i}" for i in range(60)

@@ -552,6 +552,12 @@ def main() -> None:
         dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count())
     timed("dedup_clusters", lambda: dedup.duplicate_clusters(
         dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), 0.15)).count())
+    from kma_information_retrieval_spark.operators.curation import (
+        leakage_safe_split)
+    timed("leakage_split", lambda: leakage_safe_split(
+        docs, dedup.duplicate_clusters(
+            dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), 0.15)),
+        20).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])

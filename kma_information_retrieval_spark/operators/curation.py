@@ -169,3 +169,44 @@ def pack_sequences(
     return base.groupBy("shard").applyInPandas(
         pack, "shard int, doc_id long, n_tokens long, seq_id long"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_pct: int,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-duplicate-aware train/val split: every member of a
+    near-dup cluster lands in the SAME split, so no validation example
+    has a training-set near-copy (contamination-by-duplication — the
+    split-leakage failure mode benchmark decontamination does not
+    cover). ``clusters`` is the (doc_id, cluster_id) frame from
+    ``dedup.duplicate_clusters``; docs absent from it are singletons.
+
+    Split is decided by the cluster representative's hash
+    (``md5(salt#rep) % 100 < val_pct`` -> 'val'), the same
+    reproducible-growable contract as ``textstats.hash_sample``:
+    stable under reruns and partitionings, and raising ``val_pct``
+    grows the val split monotonically (cluster-level).
+
+    Scale shape: one left join against the cluster frame (dedup-output
+    sized, usually a small fraction of the corpus) + one Catalyst hash
+    filter — no shuffle beyond the join. Output: (doc_id, split).
+    """
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit("#"), rep)), 1, 15),
+        16, 10,
+    ).cast("long")
+    return (
+        docs.select(id_col)
+        .join(clusters.select(F.col(id_col), "cluster_id"), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.pmod(h, 100) < F.lit(int(val_pct)), F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -182,3 +182,39 @@ def test_fuzz_pack_vs_python(spark, toks, budget, n_shards):
     out = curation.pack_sequences(docs, budget, n_shards).collect()
     got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"]) for r in out}
     assert got == _py_pack(rows, budget, n_shards)
+
+
+def test_leakage_safe_split(spark):
+    """Cluster members share a split; singletons split by own id;
+    python md5 replay; raising val_pct grows val monotonically."""
+    import hashlib
+
+    from kma_information_retrieval_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(200)], "doc_id bigint")
+    # clusters: {0,1,2} -> 0, {10,11} -> 10
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id bigint, cluster_id bigint",
+    )
+
+    def py_split(d, pct):
+        rep = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}.get(d, d)
+        h = int(hashlib.md5(f"split#{rep}".encode()).hexdigest()[:15], 16)
+        return "val" if h % 100 < pct else "train"
+
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, clusters, 20).collect()
+    }
+    assert got == {d: py_split(d, 20) for d in range(200)}
+    assert len({got[d] for d in (0, 1, 2)}) == 1
+    assert len({got[d] for d in (10, 11)}) == 1
+    # growable: every val doc at 10% stays val at 30%
+    v10 = {d for d, s in leakage_safe_split(docs, clusters, 10).collect()
+           if s == "val"}
+    v30 = {d for d, s in leakage_safe_split(docs, clusters, 30).collect()
+           if s == "val"}
+    assert v10 <= v30 and len(v30) > len(v10)
