@@ -1,0 +1,327 @@
+"""Isolation benchmarks for the optimization round (guide §1.1/§1.4).
+
+bench.py is FROZEN for measurement; this harness reproduces its timed
+items individually so a single query can be measured (and its plan
+captured) without paying for the whole suite. Timings use the same
+methodology as bench.py (wall seconds around the same action); targets
+are labelled via setJobDescription.
+
+Usage:
+  python bench_extra.py --targets minhash_pairs,dedup_clusters [--sf DIR]
+  python bench_extra.py --targets bucketcap_uncapped --explain plans/r06
+  python bench_extra.py --list
+
+Prints one JSON line: {"sf": ..., "timings": {...}, "counts": {...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=SF_DIR)
+    ap.add_argument("--targets", default="")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--explain", default=None,
+                    help="directory to write <target>.txt explain('formatted') into")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark import operators as ops
+    from kma_information_retrieval_spark.corpus import synthetic_corpus
+    from kma_information_retrieval_spark.index import build_index, load_index
+    from kma_information_retrieval_spark.index.wand import bm25_topk_batch
+    from kma_information_retrieval_spark.operators import ann, dedup
+    from kma_information_retrieval_spark.operators.bm25 import (
+        bm25_scores, bm25_topk, bm25_topk_filtered, rm3_topk,
+    )
+    from kma_information_retrieval_spark.operators.boolean import (
+        IndexBundle, compile_query,
+    )
+    from kma_information_retrieval_spark.session import get_spark
+
+    spark = get_spark("bench_extra", master=f"local[{CPUS}]")
+    sf = args.sf
+
+    timings: dict[str, float] = {}
+    counts: dict[str, object] = {}
+    tmp = tempfile.mkdtemp(prefix="kma_bx_", dir=FAST_TMP)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    ).cache()
+    docs.count()
+
+    # ---- lazily-built shared fixtures (mirror bench.py exactly)
+    _state: dict = {}
+
+    def bundle_state() -> dict:
+        if "bundle" not in _state:
+            toks = ops.token_frame(docs).cache()
+            post = ops.postings(toks).cache()
+            post.count()
+            dic = ops.dictionary(post).cache()
+            dic.count()
+            vocab = dic.select("term")
+            _state["toks"] = toks
+            _state["post"] = post
+            _state["dic"] = dic
+            _state["bundle"] = IndexBundle(
+                post, docs.select("doc_id"), ops.positional_index(toks).cache(),
+                vocab, ops.trigram_index(vocab).cache(),
+                ops.permuterm_index(vocab).cache(),
+                ops.bigram_index(docs).cache(), grams2=ops.gram2_index(vocab).cache(),
+                suffixes=ops.suffix_index(vocab).cache(),
+            )
+            _state["stats"] = ops.collection_stats(docs, toks).collect()[0]
+            _state["doclen"] = ops.doc_lengths(toks).cache()
+        return _state
+
+    def adv_ids():
+        if "adv_ids" not in _state:
+            adv = docs.withColumn(
+                "content", F.concat(F.lit("alpha beta gamma "), F.col("content"))
+            )
+            adv_sh = dedup.shingle_frame(adv, 3).cache()
+            _state["n_adv"] = adv_sh.select("doc_id").distinct().count()
+            _state["adv_ids"] = adv_sh.select(
+                F.col("doc_id").alias("id"), "shingle_hash")
+        return _state["adv_ids"], _state["n_adv"]
+
+    def emb():
+        if "emb" not in _state:
+            _state["emb"] = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+            _state["emb"].count()
+        return _state["emb"]
+
+    # ---- target registry: name -> zero-arg callable returning a result
+    # (count-like) — mirrors the corresponding bench.py lambda.
+    T: dict = {}
+
+    def bm25_ctx():
+        st = bundle_state()
+        return st["post"], st["dic"], st["stats"], st["doclen"]
+
+    T["boolean"] = lambda: compile_query(
+        "(spark or query) and not dup", bundle_state()["bundle"]).count()
+    T["phrase"] = lambda: compile_query('"hash join"', bundle_state()["bundle"]).count()
+    T["wildcard"] = lambda: compile_query("s*n or *er", bundle_state()["bundle"]).count()
+
+    def t_bm25_dataframe():
+        post, dic, stats, doclen = bm25_ctx()
+        return bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                         ["spark", "query", "join"], 10, doclen=doclen).collect()
+    T["bm25_dataframe"] = t_bm25_dataframe
+
+    def t_rm3():
+        post, dic, stats, doclen = bm25_ctx()
+        return rm3_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                        ["spark", "query", "join"], doclen=doclen, k=10).collect()
+    T["rm3_topk"] = t_rm3
+
+    def t_clarity():
+        from kma_information_retrieval_spark.operators.qlm import clarity_score
+        post, dic, stats, doclen = bm25_ctx()
+        total_terms = int(dic.agg(F.sum("cf")).collect()[0][0])
+        fb = bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                       ["spark", "query", "join"], 10, doclen=doclen).select("doc_id")
+        return clarity_score(post, dic, total_terms, fb, doclen).collect()
+    T["clarity"] = t_clarity
+
+    def t_rocchio():
+        from kma_information_retrieval_spark.operators import textstats
+        post, dic, stats, doclen = bm25_ctx()
+        fb = bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                       ["spark", "query", "join"], 5, doclen=doclen).select("doc_id")
+        return textstats.rocchio_topk(
+            docs, ["spark", "query", "join"], fb, dic,
+            stats["total_documents"], k=10, dim=64).collect()
+    T["rocchio_topk"] = t_rocchio
+
+    def t_sdm():
+        from kma_information_retrieval_spark.operators import sdm as sdm_mod
+        st = bundle_state()
+        total = int(st["dic"].agg(F.sum("cf")).collect()[0][0])
+        return sdm_mod.sdm_topk(
+            st["post"], st["bundle"].positional, st["dic"], total,
+            ["spark", "query", "join"], doclen=st["doclen"], k=10).collect()
+    T["sdm_topk"] = t_sdm
+
+    def t_ltr():
+        from kma_information_retrieval_spark.operators.ltr import ltr_features
+        post, dic, stats, doclen = bm25_ctx()
+        total_terms = int(dic.agg(F.sum("cf")).collect()[0][0])
+        return ltr_features(
+            post, dic, stats["total_documents"], stats["avgdl"], total_terms,
+            {"l1": ["spark", "query", "join"], "l2": ["merge", "sort"]},
+            doclen).count()
+    T["ltr_features"] = t_ltr
+
+    def t_eval():
+        from functools import reduce
+
+        from kma_information_retrieval_spark.operators import evaluation
+        post, dic, stats, doclen = bm25_ctx()
+        ev_queries = {"e1": ["spark", "query", "join"],
+                      "e2": ["merge", "sort", "table"], "e3": ["scan", "filter"]}
+        ev_results = reduce(
+            lambda a, c: a.unionByName(c),
+            [bm25_topk(post, dic, stats["total_documents"], stats["avgdl"],
+                       terms, 10, doclen=doclen)
+             .select(F.lit(qid).alias("query_id"), "doc_id", "score")
+             for qid, terms in sorted(ev_queries.items())])
+        return evaluation.eval_ranking(
+            ev_results,
+            evaluation.relevance_judgments(post, ev_queries, min_grade=2),
+            10).collect()
+    T["eval_metrics"] = t_eval
+
+    def t_synonym():
+        post, dic, stats, doclen = bm25_ctx()
+        syn_post = ops.synonym_fold(post, {"sort": "order", "merge": "join"})
+        return bm25_topk(
+            syn_post, ops.dictionary(syn_post), stats["total_documents"],
+            stats["avgdl"], ["order", "join", "spark"], 10, doclen=doclen).collect()
+    T["synonym_bm25"] = t_synonym
+
+    def t_snippets():
+        from kma_information_retrieval_spark.operators.snippets import snippets
+        return snippets(docs, ["table", "scan", "hash"], 8).count()
+    T["snippets"] = t_snippets
+
+    def t_pmi():
+        from kma_information_retrieval_spark.operators import textstats
+        return textstats.pmi_associations(docs, 3, 5).count()
+    T["pmi_associations"] = t_pmi
+
+    def t_identifier():
+        from kma_information_retrieval_spark.operators import codesearch as cs
+        return cs.identifier_token_frame(docs).count()
+    T["identifier_tokens"] = t_identifier
+
+    def t_grep_build():
+        from kma_information_retrieval_spark.operators import codesearch as cs
+        tri = cs.content_trigram_index(docs)
+        tri.write.mode("overwrite").parquet(f"{tmp}/grep_tri")
+    T["grep_index_build"] = t_grep_build
+
+    T["paragraph_dedup"] = lambda: dedup.paragraph_dedup(
+        docs.withColumn(
+            "content",
+            F.concat_ws("\n", F.col("content"),
+                        F.lit("license: common boilerplate"),
+                        F.concat(F.lit("group line "),
+                                 (F.col("doc_id") % 7).cast("string"))),
+        )).count()
+    T["minhash_pairs"] = lambda: dedup.minhash_pairs(
+        dedup.minhash_signatures(dedup.shingle_frame(docs, 3), 16), 16, 0.5).count()
+    T["dedup_clusters"] = lambda: dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), 0.15)).count()
+
+    def t_leakage():
+        from kma_information_retrieval_spark.operators.curation import (
+            leakage_safe_split,
+        )
+        return leakage_safe_split(
+            docs, dedup.duplicate_clusters(
+                dedup.ngram_jaccard_pairs(dedup.shingle_frame(docs, 3), 0.15)),
+            20).count()
+    T["leakage_split"] = t_leakage
+
+    T["simhash"] = lambda: dedup.simhash(docs).count()
+    T["embedding_neardup_lsh"] = lambda: dedup.embedding_neardup_pairs_lsh(
+        emb(), 0.35).count()
+    T["semdedup"] = lambda: dedup.semdedup(emb(), 16, 0.35).count()
+
+    def t_bucketcap_uncapped():
+        ids, _ = adv_ids()
+        return dedup.skew_salted_pairs(ids, ["shingle_hash"]).count()
+    T["bucketcap_uncapped"] = t_bucketcap_uncapped
+
+    def t_bucketcap_capped():
+        ids, n_adv = adv_ids()
+        return dedup.skew_salted_pairs(
+            ids, ["shingle_hash"], bucket_cap=max(n_adv // 2, 1)).count()
+    T["bucketcap_capped"] = t_bucketcap_capped
+
+    def t_segment_build():
+        seg_dir = os.path.join(tmp, "segidx")
+        build_index(spark, docs, seg_dir, num_segments=CPUS,
+                    postings_per_group=50_000, block_size=128, partition_by="term")
+        _state["seg_dir"] = seg_dir
+    T["segment_build_sf"] = t_segment_build
+
+    def t_wand8():
+        if "seg_dir" not in _state:
+            t_segment_build()
+        idx = load_index(spark, _state["seg_dir"])
+        qs = {"q1": ["spark", "query", "join"], "q2": ["hash", "scan"],
+              "q3": ["dup", "merge"], "q4": ["table", "window", "stream", "batch"],
+              "q5": ["customer", "order"], "q6": ["filter"],
+              "q7": ["big", "data", "fast"], "q8": ["sort", "group", "key"]}
+        return bm25_topk_batch(idx, qs, 10).collect()
+    T["bm25_wand_batch8"] = t_wand8
+
+    def t_build_scaling():
+        """lo/hi build pair via bench.py's own subprocess worker (same
+        methodology: fixed plan, ActiveProcessorCount, warm-up build)."""
+        import bench as bench_mod
+        corpus_path = os.path.join(tmp, "corpus.parquet")
+        warm_path = os.path.join(tmp, "warm.parquet")
+        n_docs = int(os.environ.get("KMA_BENCH_DOCS", "80000"))
+        synthetic_corpus(spark, n_docs, CPUS * 2).write.mode(
+            "overwrite").parquet(corpus_path)
+        synthetic_corpus(spark, 8000, 4).write.mode("overwrite").parquet(warm_path)
+        for cpus_lvl, tag in ((1, "lo"), (4, "hi")):
+            r = bench_mod._run_build_at(cpus_lvl, corpus_path, warm_path, 16)
+            timings[f"index_build_{tag}"] = round(r["secs"], 4)
+            counts[f"build_{tag}"] = {
+                "docs_per_sec": round(r["docs_per_sec"], 1),
+                "jvm_cpu_secs": r["jvm_cpu_secs"], "phases": r["phases"]}
+    T["build_scaling"] = t_build_scaling
+
+    if args.list:
+        print("\n".join(sorted(T)))
+        return
+
+    targets = [t for t in args.targets.split(",") if t]
+    for name in targets:
+        if name not in T:
+            raise SystemExit(f"unknown target {name!r}; --list shows choices")
+
+    for name in targets:
+        for rep in range(args.repeat):
+            spark.sparkContext.setJobDescription(f"bx:{name}#{rep}")
+            t0 = time.time()
+            out = T[name]()
+            secs = round(time.time() - t0, 4)
+            key = name if args.repeat == 1 else f"{name}#{rep}"
+            timings[key] = secs
+            if out is not None and not isinstance(out, (list, dict)):
+                counts[key] = out
+            spark.sparkContext.setJobDescription(None)
+            print(f"## {key}: {secs:.3f}s", flush=True)
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"sf": sf, "cpus": CPUS, "timings": timings,
+                      "counts": counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,27 @@ TOKENIZER_MODES = {
 }
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Fan a file-backed frame out to the session's parallelism before a
+    CPU-heavy per-row pass (tokenize / shingle / trigram explode).
+
+    Benchmark-scale corpora arrive as 1-2 parquet splits, which caps
+    the whole-stage-codegen tokenize at 1-2 cores no matter how many
+    the session has (measured: the sf1.0 documents table scans as 2
+    splits, so every tokenizing operator ran its hottest stage at 2/32
+    cores). File count comes from scan metadata — no job is submitted.
+    Non-file frames (createDataFrame, post-shuffle results) and inputs
+    that already have >= parallelism splits pass through untouched, so
+    at real scale this no-ops. Same policy as the index build's fan-out
+    (index/segments.py)."""
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        return df
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(slots) if 0 < n_in < slots else df
+
+
 def tokenize_expr(text: Column | str, mode: str = "code") -> Column:
     """Array<string> of tokens for one text column.
 
@@ -114,7 +135,7 @@ def tokens_with_positions(
     derives from (fixing the reference's re-parse-per-index pattern at
     ``main.rs:202-232``)."""
     toks = tokenize_expr(text_col, mode)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(toks).alias("pos", "term"),
     )

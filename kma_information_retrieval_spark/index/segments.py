@@ -436,7 +436,29 @@ def build_index(
     aggs = [F.count("*").alias("tf"), F.max("dl").alias("dl")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
+        # Single-shuffle positional store (round-6, guide §2.4): hash
+        # the token stream by the positional table's own partition key
+        # ONCE and aggregate after the exchange — HashPartitioning on
+        # part_id satisfies the (part_id, term, doc_id) grouping
+        # distribution, so the aggregate adds no second exchange. The
+        # previous shape (groupBy(term, doc_id) exchange, then a
+        # repartition(part_id) exchange before the write) moved the
+        # whole positional payload over two shuffles; this moves it
+        # once. The aggregate's sort-based fallback (collect_list is an
+        # ObjectHashAggregate) leaves rows grouped by (part_id, term,
+        # doc_id), which is exactly the order the partitioned write
+        # wants.
+        term_doc_full = (
+            toks.withColumn(
+                "part_id",
+                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+            )
+            .repartition(num_segments, "part_id")
+            .groupBy("part_id", "term", "doc_id")
+            .agg(*aggs)
+        )
+    else:
+        term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
 
     # fresh (non-resume) build: clear prior segment AND positional dirs —
     # both are partitioned by part_id, and an in-place rebuild must not
@@ -497,13 +519,14 @@ def build_index(
         # zstd already captures the sorted-small-int structure — and
         # would add a prefix-sum decode to every phrase/proximity query.
         if not (resume and _written(pos_dir)):
-            pos = term_doc_full.withColumn(
-                "part_id",
-                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
-            ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
+            # already hash-partitioned by part_id (see the aggregation
+            # above) — sort part_id-major so the dynamic-partition
+            # writer needs no extra sort and every part_id's file keeps
+            # term-sorted row groups for min/max pruning
             (
-                pos.repartition(num_segments, "part_id")
-                .sortWithinPartitions("term", "doc_id")
+                term_doc_full
+                .select("part_id", "term", "doc_id", "tf", "dl", "positions")
+                .sortWithinPartitions("part_id", "term", "doc_id")
                 .write.mode("overwrite").partitionBy("part_id")
                 .parquet(pos_dir)
             )

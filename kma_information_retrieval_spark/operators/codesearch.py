@@ -57,10 +57,12 @@ def content_trigram_index(
     callers pass the same flag to the grep functions, which match
     needle folding to it.
     """
+    from ..functions.tokenize import fan_out
+
     s = F.col(text_col)
     if fold_case:
         s = F.lower(s)
-    base = docs.select(F.col(id_col).alias("doc_id"), s.alias("s"))
+    base = fan_out(docs).select(F.col(id_col).alias("doc_id"), s.alias("s"))
     return (
         base.filter(F.length("s") >= 3)
         .select(
@@ -357,7 +359,9 @@ def identifier_token_frame(
     """(doc_id, pos, term) over identifier subtokens — drop-in for
     ``functions.tokenize.tokens_with_positions`` so every downstream
     index (postings, dictionary, BM25) can be built subtoken-aware."""
-    base = docs.select(
+    from ..functions.tokenize import fan_out
+
+    base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         split_identifiers_expr(F.col(text_col), min_len).alias("toks"),
     )

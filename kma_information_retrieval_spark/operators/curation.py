@@ -57,7 +57,9 @@ def remove_boilerplate_lines(
     (uniform). The threshold is computed inside the plan (count
     aggregate cross-joined in), keeping the whole operator one lazy
     DAG."""
-    lines = docs.select(
+    from ..functions.tokenize import fan_out
+
+    lines = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )

