@@ -302,24 +302,46 @@ def main() -> None:
         if name not in T:
             raise SystemExit(f"unknown target {name!r}; --list shows choices")
 
+    # throttle-aware timing (same rationale as bench.py's scaling
+    # probes): bracket each target with a short busy-spin probe of
+    # effective cores so a number taken in a hypervisor-throttled
+    # window is labelled as such instead of mistaken for a regression
+    from bench import _calibrate_cores
+
+    cal: dict[str, tuple[float, float]] = {}
+    probe_cores = min(CPUS, 8)
+
+    def _gc_secs() -> float:
+        beans = spark._jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return sum(beans[i].getCollectionTime()
+                   for i in range(beans.size())) / 1000.0
+
     for name in targets:
         for rep in range(args.repeat):
+            before = round(_calibrate_cores(probe_cores, 1.5), 2)
+            gc0 = _gc_secs()
             spark.sparkContext.setJobDescription(f"bx:{name}#{rep}")
             t0 = time.time()
             out = T[name]()
             secs = round(time.time() - t0, 4)
+            gc_d = round(_gc_secs() - gc0, 1)
+            after = round(_calibrate_cores(probe_cores, 1.5), 2)
             key = name if args.repeat == 1 else f"{name}#{rep}"
             timings[key] = secs
+            cal[key] = (before, after)
             if out is not None and not isinstance(out, (list, dict)):
                 counts[key] = out
             spark.sparkContext.setJobDescription(None)
-            print(f"## {key}: {secs:.3f}s", flush=True)
+            print(f"## {key}: {secs:.3f}s cal={before}/{after} of {probe_cores} "
+                  f"gc={gc_d}s", flush=True)
 
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"sf": sf, "cpus": CPUS, "timings": timings,
-                      "counts": counts}))
+                      "counts": counts,
+                      "cal": {k: list(v) for k, v in cal.items()}}))
     spark.stop()
 
 

@@ -1,0 +1,29 @@
+"""Plan-sharing helper: compute a multiply-referenced subtree once.
+
+Column pruning gives each reference to a shared frame a different
+subtree, so exchange reuse never fires and the upstream pipeline
+(tokenize -> shingle -> aggregate at minimum) executes once per
+reference — measured at up to six full corpus passes per operator call
+before these checkpoints were added.
+
+``shared()`` is a LAZY ``localCheckpoint`` (no job at plan-build time;
+the first action over the consuming plan materializes it) pinned to
+``DISK_ONLY``: checkpoint blocks live in ``spark.local.dir`` (tmpfs in
+this sandbox, executor-local disk on a real cluster) as serialized
+bytes instead of deserialized heap objects. Measured motivation for the
+storage level: deserialized MEMORY_AND_DISK checkpoint blocks
+accumulating across a ~70-query bench session pushed the 48 g driver
+heap into continuous GC — later queries ran 5-20x slower while CPU
+calibration probes stayed clean. Blocks are scoped to the call's plan
+(no state survives the query — nothing is memoized across runs) and are
+released by the context cleaner once the plan is garbage collected.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+
+def shared(df: DataFrame, eager: bool = False) -> DataFrame:
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)

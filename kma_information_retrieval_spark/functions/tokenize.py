@@ -92,6 +92,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     (index/segments.py)."""
     try:
         n_in = len(df.inputFiles())
+        if n_in == 0:
+            # a cached frame's analyzed plan is the InMemoryRelation, so
+            # inputFiles() reports no file scan; the in-memory
+            # relation's partition count is plan metadata (no job). The
+            # bench corpora are cached 1-2-split scans, exactly the
+            # frames that need the fan-out most.
+            n_in = df.rdd.getNumPartitions()
     except Exception:
         return df
     slots = df.sparkSession.sparkContext.defaultParallelism

@@ -436,29 +436,7 @@ def build_index(
     aggs = [F.count("*").alias("tf"), F.max("dl").alias("dl")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        # Single-shuffle positional store (round-6, guide §2.4): hash
-        # the token stream by the positional table's own partition key
-        # ONCE and aggregate after the exchange — HashPartitioning on
-        # part_id satisfies the (part_id, term, doc_id) grouping
-        # distribution, so the aggregate adds no second exchange. The
-        # previous shape (groupBy(term, doc_id) exchange, then a
-        # repartition(part_id) exchange before the write) moved the
-        # whole positional payload over two shuffles; this moves it
-        # once. The aggregate's sort-based fallback (collect_list is an
-        # ObjectHashAggregate) leaves rows grouped by (part_id, term,
-        # doc_id), which is exactly the order the partitioned write
-        # wants.
-        term_doc_full = (
-            toks.withColumn(
-                "part_id",
-                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
-            )
-            .repartition(num_segments, "part_id")
-            .groupBy("part_id", "term", "doc_id")
-            .agg(*aggs)
-        )
-    else:
-        term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
+    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
 
     # fresh (non-resume) build: clear prior segment AND positional dirs —
     # both are partitioned by part_id, and an in-place rebuild must not
@@ -519,14 +497,23 @@ def build_index(
         # zstd already captures the sorted-small-int structure — and
         # would add a prefix-sum decode to every phrase/proximity query.
         if not (resume and _written(pos_dir)):
-            # already hash-partitioned by part_id (see the aggregation
-            # above) — sort part_id-major so the dynamic-partition
-            # writer needs no extra sort and every part_id's file keeps
-            # term-sorted row groups for min/max pruning
+            # Single-shuffle positional store (round-6, guide §2.4):
+            # the groupBy's own exchange is the only shuffle the
+            # positional payload crosses. The previous shape re-moved
+            # the SAME aggregated rows through a second
+            # `repartition(part_id)` exchange purely to get one file
+            # per part_id directory; a LOCAL part_id-major sort gives
+            # the dynamic-partition writer its required ordering
+            # instead, trading one file per directory for one
+            # term-sorted file per (shuffle partition x directory) —
+            # same pruning behavior (directory + row-group min/max),
+            # half the shuffle volume on the dominant build phase.
+            pos = term_doc_full.withColumn(
+                "part_id",
+                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+            ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
             (
-                term_doc_full
-                .select("part_id", "term", "doc_id", "tf", "dl", "positions")
-                .sortWithinPartitions("part_id", "term", "doc_id")
+                pos.sortWithinPartitions("part_id", "term", "doc_id")
                 .write.mode("overwrite").partitionBy("part_id")
                 .parquet(pos_dir)
             )

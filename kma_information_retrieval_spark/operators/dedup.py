@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.share import shared
+
 # 64-bit-safe universal hashing over a 32-bit reduced universe:
 # a*h32 + b with a,b < 2^31 and h32 < 2^32 stays below 2^63.
 _MERSENNE_P = 4294967311  # prime > 2^32
@@ -56,6 +58,7 @@ def skew_salted_pairs(
     bucket_cap: int | None = None,
     keep_multiplicity: bool = False,
     broadcast_hot: bool = True,
+    join_parallelism: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs ``(a, b[, payload_a..., payload_b...])``
     from an equi-self-join of ``bands`` (columns: ``id``, *keys*,
@@ -126,7 +129,7 @@ def skew_salted_pairs(
     state survives the query (nothing is memoized across runs).
     """
     keys = list(keys)
-    bands = bands.localCheckpoint(eager=False)
+    bands = shared(bands)
     _bcast = F.broadcast if broadcast_hot else (lambda df: df)
     counts = bands.groupBy(*keys).agg(F.count("*").alias("bkt_n"))
     if bucket_cap is not None:
@@ -171,6 +174,20 @@ def skew_salted_pairs(
         F.col("cell_i").cast("int").alias("cell_i"), F.col("bsalt").alias("cell_j"),
         *[F.col(c).alias(f"{c}_b") for c in payload],
     )
+    # The grid join's INPUT is band-table-sized while its OUTPUT is
+    # quadratic, so AQE (which sizes reduce stages by input bytes)
+    # coalesces the join stage to ~core-count tasks that each
+    # materialize tens of millions of pairs. An explicit wide
+    # repartition by the full join key keeps the cell fan-out wide
+    # (measured on the 1.25B-pair adversarial bench: 100-155 s at 8x
+    # parallelism vs 288 s AQE-sized); the dedup exchange after it,
+    # whose volume AQE *can* see, stays AQE-managed.
+    n_join = join_parallelism or max(
+        64, 8 * bands.sparkSession.sparkContext.defaultParallelism
+    )
+    jk = [*keys, "cell_i", "cell_j"]
+    a = a.repartition(n_join, *jk)
+    b = b.repartition(n_join, *jk)
     swap = F.col("a") > F.col("b")
     out = (
         a.join(b.hint("shuffle_hash"), [*keys, "cell_i", "cell_j"])
@@ -279,7 +296,7 @@ def minhash_pairs(
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
     # three plan references (band explode + both verify sides): compute
     # the signature aggregation once
-    signatures = signatures.localCheckpoint(eager=False)
+    signatures = shared(signatures)
     long_fmt = signatures.select(
         F.col("doc_id").alias("id"),
         F.posexplode(F.array(*[F.col(c) for c in mh_cols])).alias("band", "mh"),
@@ -322,8 +339,7 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     # joins) — lazily checkpointed so the shingle pipeline under it
     # runs once, not twice (see skew_salted_pairs on why exchange
     # reuse does not fire here)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz")) \
-        .localCheckpoint(eager=False)
+    sizes = shared(shingles.groupBy("doc_id").agg(F.count("*").alias("sz")))
     inter = (
         skew_salted_pairs(
             shingles.select(F.col("doc_id").alias("id"), "shingle_hash"),
@@ -392,7 +408,7 @@ def duplicate_clusters(
     # it, so the upstream pair pipeline executes exactly once (deriving
     # each from `pairs` directly re-ran the whole shingle->join->jaccard
     # pipeline twice — measured as the dominant cost at sf0.1)
-    base = pairs.select("a", "b").localCheckpoint()
+    base = shared(pairs.select("a", "b"), eager=True)
     # Scale-adaptive algorithm choice (round-6; guide §1.2 "choose the
     # distributed algorithm"): connected components over an edge set
     # that fits on the driver is a sequential union-find, not a
@@ -452,8 +468,8 @@ def duplicate_clusters(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
     )
+    cur = shared(cur, eager=True)
     # convergence detection: per round compare a cheap (count, hash-xor)
     # signature of the edge set; only when the signature repeats run the
     # exact one-sided exceptAll to CONFIRM (counts equal + both sides
@@ -505,8 +521,8 @@ def duplicate_clusters(
             .unionByName(smin.select(F.col("hi"), F.col("m").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        nxt = shared(nxt)
         # converged when the round was a no-op
         nxt_sig = _sig(nxt)
         ls.unpersist()
@@ -815,7 +831,8 @@ def embedding_neardup_pairs_lsh(
     sigs = sigs.withColumn(
         "norm",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)),
-    ).localCheckpoint(eager=False)  # referenced by bands + both verify sides
+    )
+    sigs = shared(sigs)  # referenced by bands + both verify sides
     bands = sigs.select("id", F.posexplode("bands").alias("band", "val"))
     cand = skew_salted_pairs(
         bands, ["band", "val"],

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.share import shared
+
 MU = 300.0  # Dirichlet pseudo-count, sized to this corpus's doc lengths
 
 
@@ -181,7 +183,9 @@ def clarity_score(
     fbtf = postings.join(
         F.broadcast(feedback.select("doc_id")), "doc_id"
     ).join(doclen, "doc_id")
-    w = (
+    # the tot collect below and the returned frame both read w —
+    # checkpoint (shared) so the feedback scan runs once, not twice
+    w = shared(
         fbtf.groupBy("term")
         .agg(
             F.sum(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.share import shared
 from ..functions.tokenize import fan_out, tokenize_expr
 
 
@@ -50,9 +51,9 @@ def snippets(
     lower = [t.lower() for t in terms]
     # tokenized corpus is referenced twice (position stream + snippet
     # reassembly) — lazily checkpointed so the tokenize pass runs once
-    base = fan_out(docs).select(
+    base = shared(fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
-    ).localCheckpoint(eager=False)
+    ))
     pos = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
     ).filter(F.col("term").isin(lower))

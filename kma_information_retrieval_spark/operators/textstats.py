@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.share import shared
 from ..functions.tokenize import fan_out, tokenize_expr
 
 # Small stopword inventories for the n-gram/stopword language heuristic.
@@ -502,7 +503,9 @@ def more_like_this(
     anywhere, so "find similar to X" costs one corpus pass at any
     scale.
     """
-    cells = _tfidf_cells(docs, dim, 1e3, id_col, text_col, mode)
+    # referenced three times (query cells, norms, dots) — checkpoint so
+    # the corpus tokenize+aggregate pass runs once
+    cells = shared(_tfidf_cells(docs, dim, 1e3, id_col, text_col, mode))
     qcells = cells.filter(F.col("doc_id") == query_doc_id).select(
         "f", F.col("wq").alias("qw")
     )
@@ -723,7 +726,9 @@ def rocchio_topk(
     broadcast into the feature-keyed dot join — one corpus pass, no
     doc x doc join, exactly the MLT plan with a richer query vector.
     """
-    cells = _tfidf_cells(docs, dim, 1e3, id_col, text_col, mode)
+    # referenced three times (feedback sum, norms, dots) — checkpoint so
+    # the corpus tokenize+aggregate pass runs once
+    cells = shared(_tfidf_cells(docs, dim, 1e3, id_col, text_col, mode))
     spark = docs.sparkSession
     from collections import Counter
 
