@@ -56,6 +56,15 @@ def get_spark(
             os.environ.get("KMA_INITIAL_SHUFFLE_PARTITIONS",
                            str(max(1024, shuffle_partitions))),
         )
+        # Cached plans apply AQE but keep partition-coalescing OFF by
+        # default (for cached-layout stability); with a wide
+        # initialPartitionNum that would freeze every .cache()d
+        # aggregation at 1024 partitions and every stage over it at
+        # 1024 tasks (measured: rm3 6 s -> 18 s from task-launch
+        # overhead alone). Allow cached plans the same size-based
+        # coalescing as everything else.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
