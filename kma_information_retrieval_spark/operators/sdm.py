@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.share import shared
+
 MU = 300.0
 W_T, W_O, W_U = 0.75, 0.125, 0.125  # dyadic — exact combination
 WINDOW = 8  # unordered window size (#uw8): |p1 - p2| <= WINDOW - 1
@@ -156,14 +158,17 @@ def sdm_topk(
         if a in known and b in known and a != b
     ]
     matched = postings.filter(F.col("term").isin(uni))
-    cand = matched.select("doc_id").distinct().join(doclen, "doc_id")
+    # candidate set feeds all three class scorers + the final join;
+    # the pair-count positional join feeds both the ordered and
+    # unordered class — compute each once (see functions/share)
+    cand = shared(matched.select("doc_id").distinct().join(doclen, "doc_id"))
 
     t_feats = matched.select(
         F.col("term").alias("feature"), "doc_id", F.col("tf").alias("c")
     )
     s_t = _class_scores(t_feats, cand, total_terms, mu).withColumnRenamed("s", "st")
 
-    pc = pair_counts(positional, pairs) if pairs else None
+    pc = shared(pair_counts(positional, pairs)) if pairs else None
     out = cand.select("doc_id").join(s_t, "doc_id")
     w_expr = F.lit(W_T) * F.col("st")
     for kind, col in (("o", "so"), ("u", "su")):
