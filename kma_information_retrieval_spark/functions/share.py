@@ -6,11 +6,18 @@ subtree, so exchange reuse never fires and the upstream pipeline
 reference — measured at up to six full corpus passes per operator call
 before these checkpoints were added.
 
-``shared()`` is a LAZY ``localCheckpoint`` (no job at plan-build time;
-the first action over the consuming plan materializes it) pinned to
+``shared()`` is a ``localCheckpoint(eager=False)`` pinned to
 ``DISK_ONLY``: checkpoint blocks live in ``spark.local.dir`` (tmpfs in
 this sandbox, executor-local disk on a real cluster) as serialized
-bytes instead of deserialized heap objects. Measured motivation for the
+bytes instead of deserialized heap objects. NOTE on laziness: under
+AQE, constructing the checkpoint RDD finalizes the adaptive plan,
+which EXECUTES the subtree's non-final shuffle stages at operator-call
+time (only the final stage and block persistence are deferred to the
+first action). The work still happens exactly once and inside the
+caller's evaluation of the operator — never ahead of it across
+queries — but an operator using ``shared()`` is no longer a purely
+lazy plan constructor; callers that build-and-discard pay the
+upstream stages. Measured motivation for the
 storage level: deserialized MEMORY_AND_DISK checkpoint blocks
 accumulating across a ~70-query bench session pushed the 48 g driver
 heap into continuous GC — later queries ran 5-20x slower while CPU

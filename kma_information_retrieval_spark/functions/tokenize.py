@@ -93,11 +93,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     try:
         n_in = len(df.inputFiles())
         if n_in == 0:
-            # a cached frame's analyzed plan is the InMemoryRelation, so
-            # inputFiles() reports no file scan; the in-memory
-            # relation's partition count is plan metadata (no job). The
-            # bench corpora are cached 1-2-split scans, exactly the
-            # frames that need the fan-out most.
+            # a cached frame's analyzed plan is the InMemoryRelation,
+            # so inputFiles() reports no file scan. Probe the cached
+            # relation's partition count instead — but ONLY for frames
+            # that are actually marked for caching: on an uncached
+            # shuffle-bearing frame, .rdd finalizes the adaptive plan
+            # and EXECUTES its stages at plan-build time, which this
+            # helper must never do. (storageLevel is plan metadata —
+            # no job either way.) The bench corpora are cached
+            # 1-2-split scans, exactly the frames that need the
+            # fan-out most; uncached non-file frames pass through.
+            from pyspark import StorageLevel
+
+            if df.storageLevel == StorageLevel.NONE:
+                return df
             n_in = df.rdd.getNumPartitions()
     except Exception:
         return df

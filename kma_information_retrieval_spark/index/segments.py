@@ -504,10 +504,16 @@ def build_index(
             # `repartition(part_id)` exchange purely to get one file
             # per part_id directory; a LOCAL part_id-major sort gives
             # the dynamic-partition writer its required ordering
-            # instead, trading one file per directory for one
-            # term-sorted file per (shuffle partition x directory) —
-            # same pruning behavior (directory + row-group min/max),
-            # half the shuffle volume on the dominant build phase.
+            # instead, trading one globally-term-sorted file per
+            # directory for one term-sorted file per (shuffle
+            # partition x directory) at half the shuffle volume on the
+            # dominant build phase. Directory pruning is unchanged;
+            # row-group min/max pruning still works WITHIN each file
+            # (each is term-sorted) but a point lookup now opens every
+            # file of its directory (terms hash-scatter across shuffle
+            # partitions) — measured flat on the persisted-query bench
+            # rows; AQE's size-based coalescing bounds the per-
+            # directory file count by exchange bytes.
             pos = term_doc_full.withColumn(
                 "part_id",
                 F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import fan_out
+
 # --------------------------------------------------------------- trigram index
 
 
@@ -57,7 +59,6 @@ def content_trigram_index(
     callers pass the same flag to the grep functions, which match
     needle folding to it.
     """
-    from ..functions.tokenize import fan_out
 
     s = F.col(text_col)
     if fold_case:
@@ -359,7 +360,6 @@ def identifier_token_frame(
     """(doc_id, pos, term) over identifier subtokens — drop-in for
     ``functions.tokenize.tokens_with_positions`` so every downstream
     index (postings, dictionary, BM25) can be built subtoken-aware."""
-    from ..functions.tokenize import fan_out
 
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import fan_out
+
 
 def _md5_long(expr) -> "F.Column":
     """Portable 60-bit integer from md5 — identical in Spark and DuckDB
@@ -57,7 +59,6 @@ def remove_boilerplate_lines(
     (uniform). The threshold is computed inside the plan (count
     aggregate cross-joined in), keeping the whole operator one lazy
     DAG."""
-    from ..functions.tokenize import fan_out
 
     lines = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),

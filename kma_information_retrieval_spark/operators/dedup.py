@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.share import shared
+from ..functions.tokenize import fan_out
 
 # 64-bit-safe universal hashing over a 32-bit reduced universe:
 # a*h32 + b with a,b < 2^31 and h32 < 2^32 stays below 2^63.
@@ -244,7 +245,6 @@ def shingle_frame(
     # materialize the token array as a column FIRST: referencing the raw
     # tokenize expression inside a per-element lambda would make Catalyst
     # re-evaluate the whole tokenizer per array element (O(len^2))
-    from ..functions.tokenize import fan_out
 
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
@@ -339,7 +339,14 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     # joins) — lazily checkpointed so the shingle pipeline under it
     # runs once, not twice (see skew_salted_pairs on why exchange
     # reuse does not fire here)
-    sizes = shared(shingles.groupBy("doc_id").agg(F.count("*").alias("sz")))
+    # ONE checkpoint of the shingle frame: `sizes` (referenced by both
+    # the a- and b-side joins) and the pair generator both derive from
+    # it, so the tokenize->shingle->distinct pipeline runs once per
+    # call instead of once per consumer (skew_salted_pairs' internal
+    # checkpoint of its projected bands input is then a cheap narrow
+    # copy of these blocks, not a recompute).
+    shingles = shared(shingles)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         skew_salted_pairs(
             shingles.select(F.col("doc_id").alias("id"), "shingle_hash"),
@@ -367,7 +374,7 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
 
 def duplicate_clusters(
     pairs: DataFrame, max_iter: int = 25,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-duplicate
     pair edges; ``cluster_id`` = the minimum doc id reachable through
@@ -416,7 +423,9 @@ def duplicate_clusters(
     # of corpus size by construction (they are the *output* of dedup
     # candidate filtering), so at bench scale the distributed loop's
     # per-round job overhead dominated wall time by >10x. Edges up to
-    # ``driver_threshold`` (2M rows = ~32 MB) are collected and
+    # ``driver_threshold`` (500k rows: ~8 MB on the wire, a few
+    # hundred MB as Python Row objects + union-find dicts) are
+    # collected and
     # resolved exactly (union-find with min-id labels — identical
     # output contract, still computed from the inputs within this
     # call); larger edge sets take the star-contraction loop below
@@ -575,7 +584,6 @@ def paragraph_dedup(
     reassemble. No joins, no UDFs; the paragraph hash distributes
     uniformly so the window has no hot keys beyond genuinely viral
     paragraphs, which is the data's skew, not the plan's."""
-    from ..functions.tokenize import fan_out
 
     paras = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -625,7 +633,6 @@ def span_dup_stats(
     windows and report 0.0."""
     from ..functions.tokenize import tokenize_expr
 
-    from ..functions.tokenize import fan_out
 
     tokf = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
@@ -696,7 +703,6 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content",
     Per-bit vote sums are plain aggregate expressions (one shuffle)."""
     from ..functions.tokenize import tokenize_expr
 
-    from ..functions.tokenize import fan_out
 
     toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
