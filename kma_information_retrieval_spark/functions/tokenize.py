@@ -157,6 +157,74 @@ def tokens_with_positions(
     )
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda variable
+    (single-element-array transform). Catalyst's CollapseProject inlines
+    multiply-referenced projection columns, which would otherwise
+    duplicate an expensive subexpression (an ``array_sort`` here) once
+    per reference; a lambda variable is bound exactly once by
+    construction."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def term_position_entries(tokens: Column) -> Column:
+    """array<struct<term, positions>> — per-document positional postings
+    computed entirely inside the row (round-6, guide §2.4 "remove
+    shuffles outright").
+
+    A ``(term, doc_id)`` group never crosses document boundaries, so the
+    classic ``posexplode -> groupBy(term, doc_id) ->
+    sort_array(collect_list(pos))`` shape pays a full exchange (plus an
+    object-hash aggregate over one row per token) for an aggregation
+    that is local to each document. This expression produces the
+    identical entries with array operations only: sort ``(term, pos)``
+    pairs (positions of equal terms stay ascending — the struct sort is
+    lexicographic), find the run starts, and slice one
+    ``(term, positions)`` struct per distinct term. O(L log L) per
+    document, no shuffle, no aggregation buffer; ``explode`` of the
+    result replaces the groupBy output row-for-row (equivalence pinned
+    by tests/test_segments.py).
+    """
+    pairs = F.transform(
+        tokens, lambda t, i: F.struct(t.alias("term"), i.alias("pos"))
+    )
+
+    def with_sorted(s):
+        length = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), length),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(s, i)["term"] != F.element_at(s, i - 1)["term"]),
+        )
+
+        def with_starts(st):
+            n_runs = F.size(st)
+            return F.transform(
+                st,
+                lambda b, k: F.struct(
+                    F.element_at(s, b)["term"].alias("term"),
+                    F.transform(
+                        F.slice(
+                            s,
+                            b,
+                            F.when(k < n_runs - 1, F.element_at(st, k + 2))
+                            .otherwise(length + 1) - b,
+                        ),
+                        lambda e: e["pos"],
+                    ).alias("positions"),
+                ),
+            )
+
+        return _bind(starts, with_starts)
+
+    # guard: sequence(1, 0) would DESCEND ([1, 0]) for an empty array and
+    # element_at would then read past the end (an error under ANSI mode)
+    return F.when(
+        F.size(tokens) == 0,
+        F.array().cast("array<struct<term:string,positions:array<int>>>"),
+    ).otherwise(_bind(F.array_sort(pairs), with_sorted))
+
+
 def bigrams_expr(tokens: Column) -> Column:
     """Adjacent-pair "w1 w2" strings from a token array (ref T6,
     ``bigram_index.rs:54-61``) — an array ``transform`` over indices, no

@@ -427,16 +427,39 @@ def build_index(
     # dl is carried through the explode (size of the token array), so the
     # postings never need a doc-keyed join back to a doc-length table —
     # at 10^12 files that join is a full extra shuffle of every posting.
-    toks = tok_arrays.select(
-        "doc_id", F.size("toks").alias("dl"),
-        F.posexplode("toks").alias("pos", "term"),
-    )
-    # ONE aggregation feeds everything downstream (positional table,
-    # dictionary, doc lengths, salting, encoding).
-    aggs = [F.count("*").alias("tf"), F.max("dl").alias("dl")]
+    # ONE per-doc aggregation feeds everything downstream (positional
+    # table, dictionary, doc lengths, salting, encoding). A
+    # (term, doc_id) group never crosses document boundaries, so the
+    # positional postings are computed INSIDE each row with array
+    # expressions (functions/tokenize.term_position_entries) instead of
+    # posexplode -> groupBy(term, doc_id) -> collect_list: that shape
+    # moved one row per TOKEN into an object-hash aggregate and pushed
+    # the whole positional payload through an exchange that the
+    # grouping key never actually needed (round-6, guide §2.4). The
+    # explode below emits the aggregate's output rows directly —
+    # map-only, no shuffle anywhere in the positional build.
     if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    term_doc_full = toks.groupBy("term", "doc_id").agg(*aggs)
+        from ..functions.tokenize import term_position_entries
+
+        term_doc_full = tok_arrays.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode(term_position_entries(F.col("toks"))).alias("e"),
+        ).select(
+            F.col("e.term").alias("term"), "doc_id",
+            F.size("e.positions").cast("long").alias("tf"), "dl",
+            F.col("e.positions").alias("positions"),
+        )
+    else:
+        # tf-only build (doc-layout / BM25-only): the slim aggregation
+        # keeps the classic two-level hash-agg shape — no positional
+        # payload, so the exchange it pays is narrow
+        toks = tok_arrays.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        term_doc_full = toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"), F.max("dl").alias("dl")
+        )
 
     # fresh (non-resume) build: clear prior segment AND positional dirs —
     # both are partitioned by part_id, and an in-place rebuild must not
@@ -595,34 +618,50 @@ def build_index(
     def w_grams():
         # wildcard prefilter tables over the vocabulary (T7/T8 + the
         # 2-gram infix table) — tiny relative to postings; lets a loaded
-        # index serve every wildcard shape without a vocab regex scan
+        # index serve every wildcard shape without a vocab regex scan.
+        # The four writes are INDEPENDENT jobs over the same written
+        # dictionary parquet; submitted concurrently (guide §2.6) so
+        # their driver-side job setup and short-stage tails overlap
+        # instead of forming a serial chain — measured as the
+        # worst-scaling slice of write_all at the bench's hi level
+        # (round-6).
         from ..operators.indexes import (
             gram2_index, permuterm_index, suffix_index, trigram_index,
         )
 
         vocab = dictionary.select("term")
+        gram_jobs = []
         if not _skip("trigrams"):
-            trigram_index(vocab).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "trigrams"))
+            gram_jobs.append(lambda: trigram_index(vocab).write.mode(
+                "overwrite").parquet(os.path.join(out_dir, "trigrams")))
         if not _skip("permuterm"):
-            permuterm_index(vocab).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "permuterm"))
+            gram_jobs.append(lambda: permuterm_index(vocab).write.mode(
+                "overwrite").parquet(os.path.join(out_dir, "permuterm")))
         if not _skip("grams2"):
-            gram2_index(vocab).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "grams2"))
+            gram_jobs.append(lambda: gram2_index(vocab).write.mode(
+                "overwrite").parquet(os.path.join(out_dir, "grams2")))
         if not _skip("suffixes"):
             # sorted so the suffix prefix scan (J12) prunes row groups
-            suffix_index(vocab).sort("suffix").write.mode("overwrite").parquet(
-                os.path.join(out_dir, "suffixes"))
+            gram_jobs.append(lambda: suffix_index(vocab).sort("suffix")
+                             .write.mode("overwrite")
+                             .parquet(os.path.join(out_dir, "suffixes")))
+        if gram_jobs:
+            with ThreadPoolExecutor(max_workers=len(gram_jobs)) as gp:
+                for f in [gp.submit(j) for j in gram_jobs]:
+                    f.result()
 
     def w_bigrams():
         if not with_bigrams or _skip("bigrams"):
             return
         from ..functions.tokenize import bigrams_expr
 
+        # per-row array_distinct == the old global .distinct() (dupes
+        # only arise within one doc's bigram array) — no shuffle
         bg = (
-            tok_arrays.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bigram"))
-            .distinct()
+            tok_arrays.select(
+                "doc_id",
+                F.explode(F.array_distinct(bigrams_expr(F.col("toks")))).alias("bigram"),
+            )
             .select("bigram", "doc_id")
         )
         bg.write.mode("overwrite").parquet(os.path.join(out_dir, "bigrams"))

@@ -64,10 +64,23 @@ def remove_boilerplate_lines(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
-    content = lines.filter(F.length("line") >= min_chars)
     n_docs = docs.select(F.count("*").alias("n_docs"))
+    # df per line = number of docs CONTAINING it: the per-doc
+    # array_distinct collapses within-doc repeats before the explode,
+    # so the old two-shuffle shape (global distinct on (line, doc_id),
+    # then a line-keyed count) becomes ONE map-side-combined count —
+    # a full shuffle of the line strings removed (round-6, guide §2.4)
     line_df = (
-        content.select("line", "doc_id").distinct()
+        fan_out(docs).select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.col(text_col), sep),
+                        lambda l: F.length(l) >= min_chars,
+                    )
+                )
+            ).alias("line")
+        )
         .groupBy("line").agg(F.count("*").alias("df"))
     )
     boiler = (

@@ -258,10 +258,19 @@ def shingle_frame(
             ),
         )
     )
-    return (
-        base.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", md5_long(F.col("shingle")).alias("shingle_hash"))
-        .distinct()
+    # distinct (doc_id, shingle_hash) rows WITHOUT a shuffle (round-6,
+    # guide §2.4): duplicates can only arise within one document's
+    # shingle array (doc_ids are unique across rows), so hashing each
+    # element and array_distinct-ing per row is exactly the old global
+    # .distinct() — including on a (cosmically unlikely) 60-bit hash
+    # collision, which both shapes collapse to one row. This removes a
+    # full exchange of the exploded shingle table (~one row per token)
+    # from every dedup pipeline (minhash, jaccard, LSH, contamination).
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(sh, lambda s: md5_long(s)))
+        ).alias("shingle_hash"),
     )
 
 

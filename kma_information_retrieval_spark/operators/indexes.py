@@ -91,10 +91,16 @@ def bigram_index(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize_expr(text_col, mode).alias("toks")
     )
+    # (bigram, doc_id) duplicates can only arise WITHIN one document's
+    # bigram array (doc_ids are unique), so a per-row array_distinct
+    # replaces the global .distinct() — identical rows, one full
+    # shuffle of the exploded table removed (round-6, guide §2.4)
     return (
-        base.select("doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bigram"))
+        base.select(
+            "doc_id",
+            F.explode(F.array_distinct(bigrams_expr(F.col("toks")))).alias("bigram"),
+        )
         .select("bigram", "doc_id")
-        .distinct()
     )
 
 
@@ -108,10 +114,13 @@ def trigram_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
         F.sequence(F.lit(1), F.length(padded) - F.lit(2)),
         lambda i: padded.substr(i, F.lit(3)),
     )
+    # (gram, term) duplicates can only arise WITHIN one term's gram
+    # array (vocab terms are unique), so a per-row array_distinct
+    # replaces the global .distinct() — identical rows, one full
+    # shuffle of the exploded table removed (round-6, guide §2.4)
     return (
-        base.select("term", F.explode(grams).alias("gram"))
+        base.select("term", F.explode(F.array_distinct(grams)).alias("gram"))
         .select("gram", "term")
-        .distinct()
     )
 
 
@@ -129,11 +138,12 @@ def gram2_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
         F.sequence(F.lit(1), F.length("term") - F.lit(1)),
         lambda i: F.col("term").substr(i, F.lit(2)),
     )
+    # per-row array_distinct == global distinct here (unique vocab
+    # terms; see trigram_index) — no shuffle
     return (
         base.filter(F.length("term") >= 2)
-        .select("term", F.explode(grams).alias("gram"))
+        .select("term", F.explode(F.array_distinct(grams)).alias("gram"))
         .select("gram", "term")
-        .distinct()
     )
 
 
@@ -154,10 +164,12 @@ def suffix_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
         F.sequence(F.lit(1), n),
         lambda i: F.col("term").substr(i, n),
     )
+    # suffixes of one term all have different lengths, and vocab terms
+    # are unique, so the exploded rows are distinct by construction —
+    # the old global .distinct() was a pure no-op shuffle (round-6)
     return (
         base.select("term", F.explode(sufs).alias("suffix"))
         .select("suffix", "term")
-        .distinct()
     )
 
 
@@ -171,10 +183,12 @@ def permuterm_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat(padded.substr(i + 1, n), padded.substr(F.lit(1), i)),
     )
+    # rotation i is the unique string with '$' at position n-i, so one
+    # term's rotations never collide, and vocab terms are unique — the
+    # exploded rows are distinct by construction, no shuffle needed
     return (
         base.select("term", F.explode(rotations).alias("rotation"))
         .select("rotation", "term")
-        .distinct()
     )
 
 

@@ -193,3 +193,57 @@ def test_decode_group_blocks_roundtrip(seg_index, oracle):
         all_tfs.extend(int(t) for t in tfs)
     want = oracle.tf["wonderful"]
     assert dict(zip(all_docs, all_tfs)) == want
+
+
+def test_term_position_entries_matches_groupby(spark, docs):
+    """The per-doc positional expression must replace the classic
+    posexplode -> groupBy(term, doc_id) -> sort_array(collect_list)
+    aggregation row-for-row (round-6 shuffle removal). Covers empty
+    and single-token documents alongside the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.functions.tokenize import (
+        term_position_entries,
+        tokenize_expr,
+    )
+
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "  ;;  "), (100003, "solo"),
+         (100004, "dup dup dup"), (100005, "ab abc ab abc xyz")],
+        "doc_id long, content string",
+    )
+    base = docs.select("doc_id", "content").unionByName(edge)
+    tok_arrays = base.select(
+        "doc_id", tokenize_expr("content", "code").alias("toks")
+    )
+
+    legacy = (
+        tok_arrays.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"), F.max("dl").alias("dl"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    perdoc = tok_arrays.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.explode(term_position_entries(F.col("toks"))).alias("e"),
+    ).select(
+        F.col("e.term").alias("term"), "doc_id",
+        F.size("e.positions").cast("long").alias("tf"), "dl",
+        F.col("e.positions").alias("positions"),
+    )
+
+    # simpleString ignores nullability: the when/otherwise guard makes
+    # the expression's fields nullable where the aggregate's were not,
+    # but parquet writes every field optional either way
+    assert (legacy.schema.simpleString()
+            == perdoc.select(*legacy.columns).schema.simpleString())
+    a = legacy.select("term", "doc_id", "tf", "dl", F.to_json("positions").alias("p"))
+    b = perdoc.select("term", "doc_id", "tf", "dl", F.to_json("positions").alias("p"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
