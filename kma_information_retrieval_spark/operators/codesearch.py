@@ -47,12 +47,16 @@ def content_trigram_index(
 ) -> DataFrame:
     """Distinct (trigram, doc_id) over raw content.
 
-    One codegen pass: sequence+explode emits a row per character
-    position, ``substring`` slices the trigram, and the distinct's
-    partial aggregate dedups map-side — shuffle volume is bounded by
-    per-partition distinct (trigram, doc) pairs, not corpus bytes.
-    (The per-doc HOF alternative — array_distinct over transform —
-    runs interpreted per element, outside whole-stage codegen.)
+    Shuffle-free (round-6, guide §2.4): (doc_id, trigram) duplicates
+    can only arise within one document, so the per-doc
+    ``array_distinct`` over a ``transform`` of character positions
+    yields the identical row set with NO exchange. This replaces the
+    earlier sequence+explode+``.distinct()`` shape: its partial
+    aggregate did dedup map-side, but still shuffled every distinct
+    (trigram, doc) pair — and the measured A/B (sf0.1, noop sink)
+    has the per-doc form ~2x faster despite the HOF lambdas running
+    interpreted (0.3-0.4 s vs 0.6-1.2 s), because the exchange plus
+    two-phase aggregate outweighed the codegen advantage.
 
     ``fold_case=True`` lowercases content first. Queries made with
     ``ignore_case=True`` require a folded index (and vice versa);
@@ -64,15 +68,13 @@ def content_trigram_index(
     if fold_case:
         s = F.lower(s)
     base = fan_out(docs).select(F.col(id_col).alias("doc_id"), s.alias("s"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("s") - 2),
+        lambda i: F.col("s").substr(i, F.lit(3)),
+    )
     return (
         base.filter(F.length("s") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
-            "s",
-        )
-        .select("doc_id", F.substring("s", F.col("i"), F.lit(3)).alias("trigram"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("trigram"))
     )
 
 
