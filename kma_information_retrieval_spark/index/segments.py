@@ -127,6 +127,29 @@ def term_part_for(term: str, num_segments: int) -> int:
     return _stable_hash(term) % num_segments
 
 
+def _identity_partition_keys(spark: SparkSession, n: int) -> dict[int, int]:
+    """For each partition p in 0..n-1, a 32-bit key x with
+    ``pmod(hash(x), n) == p`` — hash being the same Murmur3 that
+    ``repartition(n, col)`` partitions by. Substituting x for p makes
+    the exchange an IDENTITY mapping: partition p receives exactly the
+    rows with part_id p, instead of whatever `pmod(hash(p), n)`
+    collides onto (n distinct values into n buckets leaves ~1/e of
+    them empty — guide §2.5). One tiny local job (a few thousand
+    ``spark.range`` rows, no data scan); deterministic, so retried
+    tasks repartition identically."""
+    keys: dict[int, int] = {}
+    lo, step = 0, max(64, 8 * n)
+    while len(keys) < n:
+        cand = spark.range(lo, lo + step).select(
+            F.col("id").cast("int").alias("x"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        for r in cand.collect():
+            keys.setdefault(r["p"], r["x"])
+        lo += step
+    return keys
+
+
 def _part_id_col(term_col, salt_col, num_segments: int):
     return (
         _stable_hash_col(F.concat(term_col, F.lit("#"), salt_col.cast("string")))
@@ -323,8 +346,22 @@ def salt_and_encode(
     # rows through the numpy group-walk encoder. (A collect_list-based
     # variant — _encode_partition(grouped=True) — was measured slower:
     # no map-side combine, object/GC-heavy.)
+    #
+    # The shuffle is pinned to an IDENTITY partitioning (round-6, guide
+    # §2.5 "synthetic partitioning keys with too few distinct values"):
+    # `repartition(num_segments, "part_id")` hashes num_segments
+    # distinct values into num_segments buckets, so collisions left
+    # ~1/e of the encode tasks empty and doubled up others — the
+    # measured straggler in the parallel build's write phase. Mapping
+    # each part_id to a probed key whose hash lands exactly on
+    # partition part_id gives every encode task exactly one segment's
+    # rows (and keeps the one-file-per-directory layout).
+    pkeys = _identity_partition_keys(spark, num_segments)
+    pkey_map = F.create_map(
+        *[F.lit(v) for p in range(num_segments) for v in (p, pkeys[p])]
+    )
     encoded = (
-        salted.repartition(num_segments, "part_id")
+        salted.repartition(num_segments, F.element_at(pkey_map, F.col("part_id")))
         .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(_encode_partition(avgdl, block_size), schema=SEGMENT_SCHEMA)
     )

@@ -116,8 +116,12 @@ def trigram_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
     )
     # (gram, term) duplicates can only arise WITHIN one term's gram
     # array (vocab terms are unique), so a per-row array_distinct
-    # replaces the global .distinct() — identical rows, one full
-    # shuffle of the exploded table removed (round-6, guide §2.4)
+    # replaces the global .distinct() — identical rows. When vocab
+    # arrives term-hash-partitioned (a dictionary groupBy upstream)
+    # Catalyst already elided the distinct's exchange, so the win
+    # there is dropping the two-phase hash aggregate over the whole
+    # exploded table; for any other vocab source the shuffle goes too
+    # (round-6, guide §2.4; plans/r06/vocab_gram_tables_*.txt)
     return (
         base.select("term", F.explode(F.array_distinct(grams)).alias("gram"))
         .select("gram", "term")
@@ -139,7 +143,7 @@ def gram2_index(vocab: DataFrame, term_col: str = "term") -> DataFrame:
         lambda i: F.col("term").substr(i, F.lit(2)),
     )
     # per-row array_distinct == global distinct here (unique vocab
-    # terms; see trigram_index) — no shuffle
+    # terms; see trigram_index on what the removal buys per source)
     return (
         base.filter(F.length("term") >= 2)
         .select("term", F.explode(F.array_distinct(grams)).alias("gram"))

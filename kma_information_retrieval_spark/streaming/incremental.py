@@ -478,12 +478,21 @@ def compact_generations(
             pos = p if pos is None else pos.unionByName(p)
         if tomb is not None:
             pos = pos.join(tomb, "doc_id", "left_anti")
+        # identity partitioning (see segments._identity_partition_keys):
+        # hashing num_segments part_id values into num_segments buckets
+        # leaves ~1/e of the write tasks empty via collisions
+        from ..index.segments import _identity_partition_keys
+
+        pk = _identity_partition_keys(spark, num_segments)
+        pkm = F.create_map(
+            *[F.lit(v) for p in range(num_segments) for v in (p, pk[p])]
+        )
         (
             pos.withColumn(
                 "part_id",
                 F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
             )
-            .repartition(num_segments, "part_id")
+            .repartition(num_segments, F.element_at(pkm, F.col("part_id")))
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite").partitionBy("part_id")
             .parquet(os.path.join(gen_dir, "positional"))
