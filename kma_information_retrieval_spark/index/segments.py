@@ -594,10 +594,22 @@ def build_index(
                 .parquet(pos_dir)
             )
         _mark("positional_store", _t)
+        # The map-only store writes (scan tasks x part_ids) smallish
+        # files, and the default 4 MB per-file open cost then inflates
+        # the three downstream re-scans (stats aggregate, dictionary,
+        # encode) to one tiny task per ~file — measured 64 tasks over a
+        # 61 MB table at the bench. coalesce packs the scan slices
+        # without a shuffle; the bound is scale-adaptive but resolves
+        # to the same value at every bench parallelism level
+        # (max(num_segments, 4*cores) = num_segments there), so the
+        # scaling experiment still compares identical plans.
+        n_rescan = max(
+            num_segments, 4 * spark.sparkContext.defaultParallelism
+        )
         term_doc = spark.read.schema(
             "part_id int, term string, doc_id long, tf long, dl long, "
             "positions array<int>"
-        ).parquet(pos_dir).select("term", "doc_id", "tf", "dl")
+        ).parquet(pos_dir).select("term", "doc_id", "tf", "dl").coalesce(n_rescan)
     else:
         # no positional table (doc-layout / BM25-only builds): the slim
         # (term, doc_id, tf, dl) aggregation is cheap to cache in memory
