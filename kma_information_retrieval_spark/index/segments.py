@@ -477,25 +477,21 @@ def build_index(
     # ONE per-doc aggregation feeds everything downstream (positional
     # table, dictionary, doc lengths, salting, encoding). A
     # (term, doc_id) group never crosses document boundaries, so the
-    # positional postings are computed INSIDE each row with array
-    # expressions (functions/tokenize.term_position_entries) instead of
-    # posexplode -> groupBy(term, doc_id) -> collect_list: that shape
-    # moved one row per TOKEN into an object-hash aggregate and pushed
-    # the whole positional payload through an exchange that the
-    # grouping key never actually needed (round-6, guide §2.4). The
-    # explode below emits the aggregate's output rows directly —
-    # map-only, no shuffle anywhere in the positional build.
+    # positional postings are computed INSIDE each row — no shuffle
+    # anywhere in the positional build (round-6, guide §2.4; the old
+    # posexplode -> groupBy(term, doc_id) shape moved one row per TOKEN
+    # through an exchange the grouping key never needed). The per-doc
+    # aggregation itself runs as an Arrow/numpy batch kernel
+    # (functions/tokenize.positional_entries_frame): the equivalent
+    # higher-order-function expression evaluates its lambdas
+    # interpreted per token and was the single largest CPU bucket of
+    # the whole build (guide §4.2; measured 34 s -> 9 s at local[1]).
     if with_positions:
-        from ..functions.tokenize import term_position_entries
+        from ..functions.tokenize import positional_entries_frame
 
-        term_doc_full = tok_arrays.select(
-            "doc_id", F.size("toks").alias("dl"),
-            F.explode(term_position_entries(F.col("toks"))).alias("e"),
-        ).select(
-            F.col("e.term").alias("term"), "doc_id",
-            F.size("e.positions").cast("long").alias("tf"), "dl",
-            F.col("e.positions").alias("positions"),
-        )
+        # part_id comes out of the same kernel (one md5 per distinct
+        # term per batch instead of a per-posting-row md5 expression)
+        term_doc_full = positional_entries_frame(tok_arrays, num_segments)
     else:
         # tf-only build (doc-layout / BM25-only): the slim aggregation
         # keeps the classic two-level hash-agg shape — no positional
@@ -584,15 +580,31 @@ def build_index(
             # partitions) — measured flat on the persisted-query bench
             # rows; AQE's size-based coalescing bounds the per-
             # directory file count by exchange bytes.
-            pos = term_doc_full.withColumn(
-                "part_id",
-                F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
-            ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
-            (
-                pos.sortWithinPartitions("part_id", "term", "doc_id")
-                .write.mode("overwrite").partitionBy("part_id")
-                .parquet(pos_dir)
+            pos = term_doc_full.select(
+                "part_id", "term", "doc_id", "tf", "dl", "positions"
             )
+            # Pipelined Arrow batches for THIS job only: with the
+            # default 64k-row batches one scan task is a single batch,
+            # so JVM->Python serialization, the kernel, and the
+            # Python->JVM read-back run strictly serially inside each
+            # task. Smaller batches overlap the three (producer/
+            # consumer across the socket), measured as hi-level wall
+            # win on the scaling bench at identical results. Runtime
+            # conf, restored immediately after the write (the encode's
+            # mapInPandas later prefers large batches); the concurrent
+            # docmap job has no Python stage, so the temporary setting
+            # cannot leak into another plan.
+            batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            prev_batch = spark.conf.get(batch_key)
+            spark.conf.set(batch_key, "8192")
+            try:
+                (
+                    pos.sortWithinPartitions("part_id", "term", "doc_id")
+                    .write.mode("overwrite").partitionBy("part_id")
+                    .parquet(pos_dir)
+                )
+            finally:
+                spark.conf.set(batch_key, prev_batch)
         _mark("positional_store", _t)
         # The map-only store writes (scan tasks x part_ids) smallish
         # files, and the default 4 MB per-file open cost then inflates

@@ -1,0 +1,208 @@
+"""Isolate the local[1] positional_store phase components (guide §1.4).
+
+Reproduces bench.py's _build_worker environment exactly (local[1], 16g
+heap, ActiveProcessorCount=1, 16m splits, shuffle=16, AQE coalescing
+off) and times, with the noop sink, each prefix of the positional-store
+pipeline:
+
+  tokenize            scan + tokenize_expr -> toks array
+  entries             + term_position_entries + explode (the pos frame)
+  entries_sorted      + sortWithinPartitions(part_id, term, doc_id)
+  parquet_write       the real partitioned zstd write
+  entries_arrow       mapInArrow numpy kernel instead of the HOF expr
+  arrow_sorted        + sortWithinPartitions
+  arrow_write         + the real partitioned write
+
+Usage: python scripts/probe_posstore.py [ndocs] (default 80000; corpus
+generated fresh in /dev/shm, same synthetic_corpus as bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def worker(corpus_path: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from kma_information_retrieval_spark.functions.tokenize import (
+        term_position_entries, tokenize_expr,
+    )
+    from kma_information_retrieval_spark.index.segments import _stable_hash_col
+    from kma_information_retrieval_spark.session import get_spark
+
+    spark = get_spark(
+        "probe_pos_1", master="local[1]", driver_memory="16g",
+        shuffle_partitions=16,
+        extra_java_options="-XX:ActiveProcessorCount=1",
+        extra_configs={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    docs = spark.read.parquet(corpus_path)
+    docs.count()
+    num_segments = 16
+
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("content").alias("content"))
+    tok_arrays = base.select("doc_id", tokenize_expr("content", "code").alias("toks"))
+    term_doc_full = tok_arrays.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.explode(term_position_entries(F.col("toks"))).alias("e"),
+    ).select(
+        F.col("e.term").alias("term"), "doc_id",
+        F.size("e.positions").cast("long").alias("tf"), "dl",
+        F.col("e.positions").alias("positions"),
+    )
+    pos = term_doc_full.withColumn(
+        "part_id",
+        F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+    ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
+
+    # ---- Arrow-kernel alternative: same (term, doc_id, tf, dl,
+    # positions) frame, computed per Arrow batch with numpy instead of
+    # the interpreted HOF expression
+    import pyarrow as pa
+
+    def entries_kernel(batches):
+        import numpy as np
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            doc = rb.column(rb.schema.get_field_index("doc_id"))
+            toks = rb.column(rb.schema.get_field_index("toks"))
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = toks.offsets.to_numpy().astype(np.int64)
+            lens = np.diff(offs)
+            doc_ids = doc.to_numpy()
+            total = int(offs[-1] - offs[0])
+            if total == 0:
+                continue
+            vals = toks.values  # StringArray (absolute indexing)
+            enc = vals.dictionary_encode()
+            codes_full = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = codes_full[offs[0]:offs[-1]]
+            uniq = enc.dictionary
+            doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            pos = np.arange(offs[0], offs[-1], dtype=np.int64) - np.repeat(offs[:-1], lens)
+            order = np.lexsort((codes, doc_idx))
+            sc, sd, sp = codes[order], doc_idx[order], pos[order]
+            bound = np.flatnonzero((sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1]))
+            starts = np.concatenate(([0], bound + 1))
+            ends = np.concatenate((bound + 1, [len(sc)]))
+            tf = ends - starts
+            list_offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.compute.take(uniq, pa.array(sc[starts])),
+                    pa.array(doc_ids[sd[starts]], type=pa.int64()),
+                    pa.array(tf, type=pa.int64()),
+                    pa.array(lens[sd[starts]], type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(list_offsets, type=pa.int32()),
+                        pa.array(sp.astype(np.int32), type=pa.int32()),
+                    ),
+                ],
+                names=["term", "doc_id", "tf", "dl", "positions"],
+            )
+            yield out
+
+    arrow_td = tok_arrays.mapInArrow(
+        entries_kernel,
+        schema="term string, doc_id long, tf long, dl long, positions array<int>",
+    )
+    arrow_pos = arrow_td.withColumn(
+        "part_id",
+        F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+    ).select("part_id", "term", "doc_id", "tf", "dl", "positions")
+
+    res = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        fn()
+        res[name] = round(time.time() - t0, 2)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: full pipeline once at 5% so codegen/JIT is out of the numbers
+    warm = docs.limit(4000)
+    wtok = warm.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokenize_expr("content", "code").alias("toks"))
+    wpos = wtok.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.explode(term_position_entries(F.col("toks"))).alias("e"),
+    ).select(
+        F.col("e.term").alias("term"), "doc_id",
+        F.size("e.positions").cast("long").alias("tf"), "dl",
+        F.col("e.positions").alias("positions"),
+    ).withColumn(
+        "part_id",
+        F.pmod(_stable_hash_col(F.col("term")), F.lit(num_segments)).cast("int"),
+    )
+    wpos.sortWithinPartitions("part_id", "term", "doc_id").write.mode(
+        "overwrite").partitionBy("part_id").parquet(os.path.join(out_dir, "warm"))
+
+    t("tokenize", lambda: noop(tok_arrays))
+    t("entries", lambda: noop(term_doc_full))
+    t("entries_sorted",
+      lambda: noop(pos.sortWithinPartitions("part_id", "term", "doc_id")))
+    t("parquet_write",
+      lambda: pos.sortWithinPartitions("part_id", "term", "doc_id")
+      .write.mode("overwrite").partitionBy("part_id")
+      .parquet(os.path.join(out_dir, "positional")))
+    # arrow warm-up (worker/JIT) before timing
+    arrow_td.limit(1000).write.format("noop").mode("overwrite").save()
+    t("entries_arrow", lambda: noop(arrow_td))
+    t("arrow_sorted",
+      lambda: noop(arrow_pos.sortWithinPartitions("part_id", "term", "doc_id")))
+    t("arrow_write",
+      lambda: arrow_pos.sortWithinPartitions("part_id", "term", "doc_id")
+      .write.mode("overwrite").partitionBy("part_id")
+      .parquet(os.path.join(out_dir, "positional_arrow")))
+    n = pos.count()
+    res["n_rows"] = n
+    res["n_rows_arrow"] = arrow_td.count()
+    print("PROBE " + json.dumps(res))
+    spark.stop()
+
+
+def main() -> None:
+    if sys.argv[1:2] == ["--worker"]:
+        worker(sys.argv[2], sys.argv[3])
+        return
+    ndocs = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
+    from kma_information_retrieval_spark.corpus import synthetic_corpus
+    from kma_information_retrieval_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="kma_probe_", dir=FAST_TMP)
+    corpus_path = os.path.join(tmp, "corpus.parquet")
+    gen = get_spark("probe_gen", master="local[8]")
+    synthetic_corpus(gen, ndocs, 64).write.mode("overwrite").parquet(corpus_path)
+    gen.stop()
+    res = subprocess.run(
+        [sys.executable, __file__, "--worker", corpus_path,
+         tempfile.mkdtemp(prefix="kma_probe_out_", dir=FAST_TMP)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("PROBE"):
+            print(line)
+    if res.returncode != 0:
+        print(res.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

@@ -247,3 +247,39 @@ def test_term_position_entries_matches_groupby(spark, docs):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+    # the Arrow/numpy kernel the build actually uses (round-6 §4.2)
+    # must match both shapes row-for-row, including the edge docs
+    from kma_information_retrieval_spark.functions.tokenize import (
+        positional_entries_frame,
+    )
+
+    arrow = positional_entries_frame(tok_arrays)
+    c = arrow.select("term", "doc_id", "tf", "dl", F.to_json("positions").alias("p"))
+    assert c.count() == a.count()
+    assert a.exceptAll(c).count() == 0
+    assert c.exceptAll(a).count() == 0
+
+    # in-kernel part_id must equal the JVM md5 expression / the
+    # driver-side term_part_for (the partition-pruning contract)
+    from kma_information_retrieval_spark.index.segments import _stable_hash_col
+
+    with_pid = positional_entries_frame(tok_arrays, num_segments=16)
+    mismatch = with_pid.withColumn(
+        "want",
+        F.pmod(_stable_hash_col(F.col("term")), F.lit(16)).cast("int"),
+    ).filter(F.col("part_id") != F.col("want"))
+    assert mismatch.count() == 0
+
+    # tiny-batch path: a batch smaller than one doc's tokens never
+    # occurs (batches are row-aligned), but multi-batch task streams do
+    # — force 2-row batches and re-check
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        c2 = positional_entries_frame(tok_arrays).select(
+            "term", "doc_id", "tf", "dl", F.to_json("positions").alias("p")
+        )
+        assert c2.count() == a.count()
+        assert a.exceptAll(c2).count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
