@@ -1,0 +1,83 @@
+"""Generate a driver-scale (sf1.0-like) proxy dataset for LOCAL
+measurement only: 50k documents / 20k embeddings with sf0.1's schema,
+empirical unigram + length distributions, and the same lang/source
+layout. The driver generates its own sf1.0 at round end; this proxy
+exists so before/after comparisons of this round's changes can be made
+at the driver's measurement scale. Deterministic (seed 42).
+
+Usage: python scripts/gen_sf_proxy.py [out_dir] (default /dev/shm/sfproxy1.0)
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+N_DOCS = 50_000
+N_EMB = 20_000
+SEED = 42
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sfproxy1.0"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    con = duckdb.connect()
+    rows = con.execute(f"SELECT text, lang FROM '{SRC}/documents.parquet'").fetchall()
+    counts: collections.Counter = collections.Counter()
+    lens = []
+    langs = collections.Counter()
+    for text, lang in rows:
+        toks = text.split()
+        counts.update(toks)
+        lens.append(len(toks))
+        langs[lang] += 1
+    vocab = np.array(sorted(counts))
+    probs = np.array([counts[w] for w in vocab], dtype=np.float64)
+    probs /= probs.sum()
+    lens = np.array(lens)
+    lang_names = sorted(langs)
+    lang_p = np.array([langs[l] for l in lang_names], dtype=np.float64)
+    lang_p /= lang_p.sum()
+
+    doc_lens = rng.choice(lens, size=N_DOCS)
+    total = int(doc_lens.sum())
+    words = rng.choice(vocab, size=total, p=probs)
+    texts = []
+    off = 0
+    for n in doc_lens:
+        texts.append(" ".join(words[off:off + int(n)]))
+        off += int(n)
+    doc_lang = rng.choice(np.array(lang_names), size=N_DOCS, p=lang_p)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(doc_lang.tolist(), type=pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(N_DOCS)], type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+
+    centers = rng.standard_normal((10, 64)) * 2.0
+    labels = rng.integers(0, 10, size=N_EMB)
+    emb = centers[labels] + rng.standard_normal((N_EMB, 64)) * 0.8
+    emb32 = emb.astype(np.float32)
+    etbl = pa.table({
+        "vec_id": pa.array(np.arange(N_EMB, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb32.reshape(-1)), 64).cast(pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), type=pa.int32()),
+    })
+    pq.write_table(etbl, os.path.join(out, "embeddings.parquet"))
+    print("written", out, N_DOCS, "docs,", N_EMB, "embeddings")
+
+
+if __name__ == "__main__":
+    main()
